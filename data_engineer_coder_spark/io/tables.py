@@ -1,0 +1,66 @@
+"""Parquet scan source (SURVEY.md §2.1 S3).
+
+The reference materializes its tables eagerly from JSON into pandas
+(``/root/reference/dags/my_data_pipeline.py:61-75``); here every table is
+a lazy columnar Parquet scan — Catalyst pushes filters into the
+row-group reader and prunes columns, so downstream operators only pay
+for what they touch (verify with ``df.explain``: ``PushedFilters`` /
+``ReadSchema``).
+
+At 100 TB these tables would be date/key-partitioned directories; the
+scan API is identical (``spark.read.parquet`` on the root), and static +
+dynamic partition pruning apply automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one fixture table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
+    Spark vectorized reader rejects; we read nanos as long and convert
+    to a microsecond timestamp (integer ``div`` — double math would lose
+    precision above 2^53), matching DuckDB's nanos→micros truncation.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables as lazy DataFrames keyed by name."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

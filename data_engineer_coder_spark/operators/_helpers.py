@@ -1,0 +1,63 @@
+"""Shared helpers for oracle-parity query authoring.
+
+Float determinism (SURVEY.md §7 watch list #1): double sums are
+accumulation-order-dependent, so Spark and DuckDB can differ in the last
+ULP — and *any* decimal rounding of a near-boundary value then diverges.
+The fix is to make the aggregate bit-identical in both engines:
+
+- fixture money/measure columns are true 2dp decimals (products of two
+  such are ≤4dp, with tax ≤6dp), so ``CAST(x AS DECIMAL(38,6))`` loses
+  nothing and is deterministic per-row;
+- ``SUM`` over DECIMAL is exact in both Spark and DuckDB;
+- the final ``CAST(... AS DOUBLE)`` maps the identical decimal to the
+  identical double, bit-for-bit.  Derived ops (division by count,
+  ROUND for display) then agree exactly.
+
+Raw passthrough columns are never rounded — they are already identical
+bits from the same parquet.
+
+Temporal outputs are formatted to strings in both engines so python-side
+timestamp representations can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact decimal sum, emitted as a (deterministic) double."""
+    return F.sum(_c(col).cast(DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Deterministic average: exact-decimal sum / non-null count."""
+    c = _c(col)
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
+
+
+def day_str(col: Column | str) -> Column:
+    """Timestamp → 'yyyy-MM-dd' string (matches DuckDB strftime('%Y-%m-%d'))."""
+    return F.date_format(_c(col), "yyyy-MM-dd")
+
+
+def ts_str(col: Column | str) -> Column:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (DuckDB strftime('%Y-%m-%d %H:%M:%S'))."""
+    return F.date_format(_c(col), "yyyy-MM-dd HH:mm:ss")

@@ -1,0 +1,54 @@
+"""SparkSession bootstrap for the engine.
+
+The reference runs a single sequential Python process (see SURVEY.md §4.1,
+``/root/reference/dags/my_data_pipeline.py:78,155``); here the execution
+substrate is Spark.  Local mode is for tests/bench only — every config
+below is chosen so the same plans scale to a multi-executor cluster:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join split,
+  broadcast demotion/promotion) — mandatory at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalescing makes the static number a ceiling, not a target.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled: every pandas interchange (pandas UDFs, toPandas) is
+  vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_engineer_coder_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (core count for local master),
+    ``SPARK_GRAFT_DRIVER_MEM`` (local-mode heap).
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    shuffle_partitions = int(shuffle_partitions or max(int(cpus), 8))
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
