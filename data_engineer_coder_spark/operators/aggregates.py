@@ -1,0 +1,296 @@
+"""Aggregations A1, A3–A6 (SURVEY.md §2.4).
+
+A1 generalizes the reference's report: ``df.describe().to_string()`` per
+table (``/root/reference/dags/my_data_pipeline.py:212``) — here an
+oracle-checkable single-pass aggregate instead of a rendered string.
+A6 replaces the reference's loop-as-pivot (``:84-86``: one wide pandas
+frame per contaminant with prefixed columns) with a real pivot.
+
+Scale notes: every aggregate here is a partial(map-side)→final
+HashAggregate — the shuffle carries group rows only.  The exact
+percentile query is the one deliberate exception (global sort); its
+100 TB path is ``percentile_approx`` (see ``summary_approx``, rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+from ._helpers import davg, day_str, dsum, sql_davg, sql_dsum
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# --------------------------------------------------------------------------
+# A1: summary statistics (describe-equivalent), one pass, unpivoted via
+# stack() so every stat is an oracle-checkable cell.
+# std = sqrt((sumsq - sum²/n) / (n-1)) on exact decimal sums → deterministic.
+# --------------------------------------------------------------------------
+
+
+def _sql_std(expr: str) -> str:
+    s = sql_dsum(expr)
+    s2 = sql_dsum(f"({expr}) * ({expr})")
+    return f"SQRT(({s2} - {s} * {s} / COUNT({expr})) / (COUNT({expr}) - 1))"
+
+
+_SUMMARY_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _summary_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name,
+       COUNT({c}) AS cnt,
+       {sql_davg(c)} AS mean,
+       {_sql_std(c)} AS std,
+       MIN({c}) AS min_val,
+       MAX({c}) AS max_val
+FROM lineitem"""
+        for c in _SUMMARY_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "summary_stats",
+    oracle=_summary_oracle(),
+    tags=("agg", "summary"),
+    doc="A1: count/mean/std/min/max per column in one scan (describe-equivalent).",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def _std(c: str):
+        s = dsum(c)
+        s2 = dsum(F.col(c) * F.col(c))
+        n = F.count(c)
+        return F.sqrt((s2 - s * s / n) / (n - 1))
+
+    aggs = []
+    for c in _SUMMARY_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            davg(c).alias(f"mean_{c}"),
+            _std(c).alias(f"std_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, mean_{c}, std_{c}, min_{c}, max_{c}" for c in _SUMMARY_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_SUMMARY_COLS)}, {stack_args}) "
+        "AS (col_name, cnt, mean, std, min_val, max_val)"
+    )
+
+
+# --------------------------------------------------------------------------
+# A1b: exact quantiles (type-1 / discrete: element at rank ceil(q*n)) via a
+# global sort window.  Interpolating percentiles differ at ULP level across
+# engines; picking an actual element is bit-exact.  100 TB path: the
+# approx variant below.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_quantity AS x,
+         ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN x END) AS p25,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN x END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN x END) AS p75
+FROM s
+""",
+    tags=("agg", "summary", "sort"),
+    doc="A1: exact discrete quantiles via rank selection (bit-exact across engines).",
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("x"))
+    w = Window.orderBy("x")
+    s = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    sel = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("x"))
+    )
+    return s.agg(sel(0.25).alias("p25"), sel(0.50).alias("p50"), sel(0.75).alias("p75"))
+
+
+@register(
+    "summary_approx",
+    oracle=None,  # approximate by design → driver rows-only check
+    tags=("agg", "summary", "approx"),
+    doc="A1/100TB: approx quantiles + approx distinct (t-digest/HLL) — the scale path.",
+)
+def summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("qty_quantiles"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: count / sum / exact distinct count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "count_distinct",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+""",
+    tags=("agg",),
+    doc="A3: global count/sum + exact distinct counts (expand-based in Spark).",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: rollup / cube — multi-granularity in one pass (partial aggregates are
+# shared across grouping sets by Catalyst's Expand).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_returnflag",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+    doc="A4: rollup over (returnflag, linestatus) — per-pair, per-flag, grand total.",
+)
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+    doc="A4: cube over (status, priority) — all 4 grouping sets in one pass.",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: collect_list — re-nesting rows into arrays (inverse of the flatten
+# P1; sorted so the value is deterministic).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "collect_lines",
+    oracle="""
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS line_nums,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+""",
+    tags=("agg", "nest"),
+    doc="A5: collect_list + sort_array — deterministic re-nesting per order.",
+)
+def collect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_nums"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: pivot — long→wide on event_type with an explicit value list (an
+# implicit list would need an extra distinct scan; explicit also fixes the
+# output schema, which 100 TB jobs require anyway).
+# Replaces the reference's per-contaminant prefixed-column loop
+# (my_data_pipeline.py:70-72,84-86).
+# --------------------------------------------------------------------------
+
+
+def _pivot_oracle() -> str:
+    cells = ",\n       ".join(
+        f"CAST(CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)"
+        f" / COUNT(CASE WHEN event_type = '{t}' THEN value END) AS DOUBLE) AS {t}_avg"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cells}
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "pivot_event_types",
+    oracle=_pivot_oracle(),
+    tags=("agg", "pivot"),
+    doc="A6: pivot events long→wide, one avg-value column per event type.",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(day_str("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(davg("value"))
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"{t}_avg")
+    return out

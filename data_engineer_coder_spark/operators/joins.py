@@ -1,0 +1,331 @@
+"""Joins J1–J8 (SURVEY.md §2.3).
+
+The reference performs no joins — its four per-contaminant tables share
+an implicit (day, country) key (``/root/reference/dags/my_data_pipeline.py:67-73``)
+that is a latent equi-join.  This module makes the full join algebra
+explicit, each shape chosen for 100 TB:
+
+- dims (region/nation/supplier) are broadcast — no shuffle of the fact;
+- fact⋈fact equi-joins shuffle on the join key and AQE handles skew;
+- the range join is bucketized into an equi-join (an unbounded
+  BroadcastNestedLoopJoin would be quadratic at scale);
+- the as-of join is the union+window merge pattern — one shuffle on the
+  key, no per-row probing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+from ._helpers import dsum, sql_dsum, ts_str
+
+# --------------------------------------------------------------------------
+# J1: inner equi-join — orders ⋈ customer, revenue per market segment.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS segment_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join",),
+    doc="J1: inner equi-join orders⋈customer with grouped revenue.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("segment_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: left outer join — every customer, with or without orders.  The right
+# default for merging the reference's per-contaminant tables where a city
+# can miss one contaminant (my_data_pipeline.py:64).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    tags=("join",),
+    doc="J2: left outer join keeps order-less customers (count=0, spent=0).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: left semi / left anti — EXISTS / NOT EXISTS without row duplication.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+    tags=("join",),
+    doc="J3: left-semi join — customers having at least one open order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+    tags=("join",),
+    doc="J3: left-anti join — customers with no large (>300k) order.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J4: broadcast-dim star join (TPC-H Q5 shape).  region/nation/supplier are
+# tiny: explicit F.broadcast means the lineitem fact never shuffles for
+# the dim lookups — the only exchange is the final 1-key aggregation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE', 'AMERICA', 'AFRICA', 'MIDDLE EAST')
+GROUP BY n_name
+""",
+    tags=("join", "broadcast", "agg"),
+    doc="J4: star join with broadcast dims (Q5 shape) — zero fact-side shuffle pre-agg.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE", "AMERICA", "AFRICA", "MIDDLE EAST")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: theta (non-equi) join.  Equi component on nationkey bounds the blowup;
+# the residual inequality is evaluated as a join filter.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_theta",
+    oracle=f"""
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS n_pairs,
+       {sql_dsum('s_acctbal - c_acctbal')} AS bal_gap
+FROM customer
+JOIN supplier ON c_nationkey = s_nationkey AND s_acctbal > c_acctbal
+GROUP BY c_nationkey
+""",
+    tags=("join", "theta"),
+    doc="J5: equi key + inequality residual — richer-supplier/customer pairs per nation.",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_nationkey == s.s_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dsum(F.col("s_acctbal") - F.col("c_acctbal")).alias("bal_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J6: range/interval join, bucketized.  "events within 60 s after an error"
+# has no equi key; a naive theta join is O(n²).  Bucketizing event time into
+# 60 s buckets turns it into an equi-join on the bucket (each left row probes
+# bucket b and b+1 — (e1, e1+60 s] can only land there), then the exact range
+# predicate filters residuals.  At 100 TB this is a shuffled hash join on a
+# dense int key instead of a nested-loop scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "range_join_events",
+    oracle="""
+SELECT e1.event_id AS err_id,
+       COUNT(*) AS n_follow
+FROM events e1
+JOIN events e2
+  ON e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+WHERE e1.event_type = 'error'
+GROUP BY e1.event_id
+""",
+    tags=("join", "range"),
+    doc="J6: interval join via 60s time-bucket equi-join + residual range filter.",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    bucket = F.expr("unix_micros(ts) div 60000000")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    others = ev.select(
+        F.col("ts").alias("fol_ts"),
+        bucket.alias("bucket"),
+    )
+    return (
+        errors.join(others, "bucket")
+        .filter(
+            (F.col("fol_ts") > F.col("err_ts"))
+            & (F.col("fol_ts") <= F.col("err_ts") + F.expr("INTERVAL 60 SECONDS"))
+        )
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_follow"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J7: as-of join — for each purchase, the latest click at-or-before it by
+# the same user.  No join primitive needed: tag both streams, union, and a
+# running MAX over (ts, event_id) ordering within the user partition.  One
+# shuffle on user_id; scales linearly (the classic merge pattern, vs the
+# quadratic join+filter formulation).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(click_ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_ts
+  FROM u
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS asof_click_ts
+FROM w
+WHERE event_type = 'purchase'
+""",
+    tags=("join", "asof", "window"),
+    doc="J7: as-of join via union + running-max window (merge pattern, single shuffle).",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_click_ts", F.max("click_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("last_click_ts").alias("asof_click_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J8: cross join — bounded sides only (125 rows here; at scale only ever
+# with a broadcast-small side, e.g. the LSH probe tables in similarity.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region
+CROSS JOIN nation
+""",
+    tags=("join", "cross"),
+    doc="J8: cross join of two bounded dims.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
