@@ -1,0 +1,295 @@
+"""Deduplication operators L1–L2 + SimHash (SURVEY.md §2.11, north-star).
+
+The reference *creates* duplicates: a daily scheduled run
+(``/root/reference/dags/airflow_dag.py:27``) append-inserts the same
+feed every day (``/root/reference/dags/my_data_pipeline.py:111``) with
+no dedup.  ``dedup_exact``/``dedup_hash_groups`` model exactly that
+(table unioned with itself) and repair it.
+
+Near-dup stack, Spark-first:
+- exact n-gram Jaccard via an inverted shingle index (explode → join on
+  shingle → group) — oracle-checkable, and already the scalable shape
+  (the join shuffles on the shingle key; frequent-shingle skew is the
+  known hazard → at 100 TB add a document-frequency cap on shingles).
+- MinHash+LSH: 32 seeded affine permutations over xxhash64(shingle),
+  8 bands × 4 rows, bucket self-join for candidates, exact-Jaccard
+  re-rank.  Rows-only check: LSH recall is probabilistic by design.
+- SimHash: 64-bit signature from per-bit ±1 sums over token hashes,
+  computed entirely inside array expressions (no shuffle until the
+  16-bit-chunk candidate join), Hamming-distance verification.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+
+# Seeded MinHash permutation parameters (public technique: Broder '97).
+_MERSENNE = 2147483647  # 2^31 - 1
+_K = 32  # signature length
+_BANDS, _ROWS = 8, 4
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(_K)]
+_PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(_K)]
+
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def _shingles(words_col):
+    """Distinct 3-word shingles as an array column (requires size>=3)."""
+    idx = F.sequence(F.lit(1), F.size(words_col) - 2)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words_col, i, 3), " "))
+    )
+
+
+_SHINGLE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE LEN(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, LEN(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+    FROM w
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# L1: exact dedup of the reference's double-ingest.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+""",
+    tags=("dedup", "llm"),
+    doc="L1: union-with-self (daily re-ingest bug) → exact dedup restores the original.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    doubled = docs.unionByName(docs)  # the reference's append-mode duplication
+    return doubled.dropDuplicates(["doc_id"])
+
+
+@register(
+    "dedup_hash_groups",
+    oracle="""
+SELECT sha256(text) AS text_hash, COUNT(*) AS n_copies
+FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+GROUP BY 1
+""",
+    tags=("dedup", "llm"),
+    doc="L1: content-hash duplicate groups (sha256) over the doubled table.",
+)
+def dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("text")
+    doubled = docs.unionByName(docs)
+    return doubled.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.count("*").alias("n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2a: exact n-gram Jaccard near-dup pairs (the ground truth the LSH
+# variants approximate).  Inverted index join on the shingle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_SHINGLE_SQL
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+""",
+    tags=("dedup", "llm", "join"),
+    doc="L2: exact 3-gram Jaccard ≥ 0.2 pairs via inverted shingle index.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(F.size("ws") >= 3)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2b: MinHash + LSH (rows-only: probabilistic recall).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc=(
+        "L2: MinHash(32 perms) + LSH(8 bands × 4) candidates, exact-Jaccard "
+        "verified ≥ 0.5.  The 100 TB path: candidates ∝ true pairs, never O(n²)."
+    ),
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(F.size("ws") >= 3)
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    h = F.pmod(F.xxhash64("s"), F.lit(2**31)).alias("h")
+    hashed = sh.select("doc_id", h)
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(_PERM_A[j]) * F.col("h") + F.lit(_PERM_B[j]), F.lit(_MERSENNE))).alias(
+                f"m{j}"
+            )
+            for j in range(_K)
+        ]
+    )
+    # LSH bands: one row per (doc, band), key = concatenated band minima.
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(band)),
+                        *[F.col(f"m{band * _ROWS + r}").cast("string") for r in range(_ROWS)],
+                    )
+                    for band in range(_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-Jaccard verification of the (small) candidate set.
+    shing = w.select("doc_id", _shingles(F.col("ws")).alias("sh_set"))
+    sa = shing.alias("sa")
+    sb = shing.alias("sb")
+    inter_size = F.size(F.array_intersect(F.col("sa.sh_set"), F.col("sb.sh_set")))
+    union_size = F.size(F.array_union(F.col("sa.sh_set"), F.col("sb.sh_set")))
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter_size.cast("double") / union_size).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --------------------------------------------------------------------------
+# L2c: SimHash (rows-only: engine-specific hash bits).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "simhash_neardup",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc=(
+        "L2: 64-bit SimHash per doc (per-bit ±1 sums over xxhash64(token), "
+        "computed in array expressions — zero shuffle), candidates via "
+        "16-bit chunk equality, Hamming ≤ 6 verification."
+    ),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    th = F.transform(F.col("ws"), lambda t: F.xxhash64(t)).alias("hs")
+    hashed = w.select("doc_id", th)
+
+    # sig bit i set iff sum over tokens of (bit_i(hash) ? +1 : -1) > 0
+    def bit_sum(i: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, hv: acc
+            + (F.shiftrightunsigned(hv, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+        )
+
+    sig_col = None
+    for i in range(64):
+        term = F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_col = term if sig_col is None else (sig_col + term)
+    sigs = hashed.select("doc_id", sig_col.alias("sig"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftrightunsigned("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, (F.col("a.chunk_key") == F.col("b.chunk_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )

@@ -1,0 +1,263 @@
+"""Similarity search over embeddings, L3 (SURVEY.md §2.11, north-star).
+
+Numeric design: cross-engine float dot products are not reproducible
+(accumulation order), so all oracle-checked cosine math runs on
+*quantized integers*: each float is scaled by 1e7 and rounded to BIGINT
+(deterministic given identical input floats), dots and norms are exact
+int64 sums (64 dims × (3e6)² ≈ 6e14 « 2^63), and the final
+``dot / (sqrt(na)·sqrt(nb))`` is the same double op-sequence in both
+engines → bit-identical cosines, exact ranking parity.  Quantization
+error ~1e-7 is far below any ranking gap in this data.
+
+Scale posture:
+- brute-force top-k: probe×corpus is a broadcast of the (small) probe
+  set over the corpus — linear in corpus, no corpus self-shuffle; this
+  is the exact baseline.
+- near-dup pairs: self-join restricted to an equi bucket (label) —
+  the blocking pattern; unrestricted all-pairs is O(n²) and banned.
+- LSH variant: random-hyperplane signatures (seeded, literal planes),
+  bucket equi-join, exact re-rank — candidates ∝ collisions, not n².
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+
+_SCALE = 10_000_000  # 1e7: float32 has ~7 significant digits
+
+# Seeded random hyperplanes (64-dim), embedded as literals so both the
+# plan and any re-run are deterministic.  Public technique: Charikar '02.
+# L tables × B bits: B controls bucket size (n/2^B expected), L controls
+# recall (1-(1-p^B)^L) — tune per corpus size.
+_rng = random.Random(42)
+_LSH_TABLES = 4
+_LSH_BITS = 8
+_PLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(_LSH_TABLES * _LSH_BITS)
+]
+
+
+def _qvec(col) -> Column:
+    """array<float> → array<bigint> quantized at 1e7."""
+    return F.transform(
+        F.col(col).cast("array<double>"),
+        lambda x: F.round(x * _SCALE).cast("bigint"),
+    )
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(dot, na, nb) -> Column:
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+_SQL_QVEC = (
+    "list_transform(CAST({e} AS DOUBLE[]), x -> CAST(ROUND(x * 10000000) AS BIGINT))"
+)
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2])) AS BIGINT)"
+)
+_SQL_NORM = "CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# L3a: exact brute-force cosine top-k.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm FROM q
+),
+probes AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm FROM n WHERE vec_id < 20),
+scored AS (
+  SELECT probe_id,
+         n.vec_id AS neighbor_id,
+         CAST({_SQL_DOT.format(a='pqv', b='qv')} AS DOUBLE)
+           / (SQRT(CAST(pnrm AS DOUBLE)) * SQRT(CAST(nrm AS DOUBLE))) AS cos_sim
+  FROM probes JOIN n ON n.vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, rn, cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+""",
+    tags=("similarity", "llm", "topk"),
+    doc="L3: exact cosine top-5 neighbors for 20 probes (quantized-int math).",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = (
+        n.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(_dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "rn", "cos_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3b/L2: embedding near-dup pairs within a blocking key (label).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, qv, {_SQL_NORM.format(a='qv')} AS nrm FROM q
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       a.label AS label,
+       CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+         / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) AS cos_sim
+FROM n a
+JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+        / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= 0.35
+""",
+    tags=("similarity", "llm", "dedup"),
+    doc="L3/L2: cosine ≥ 0.35 pairs within label blocks (equi-join blocking, no O(n²)).",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _qvec("embedding").alias("qv")
+    )
+    n = emb.select(
+        "vec_id", "label", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = _cosine(
+        _dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+# --------------------------------------------------------------------------
+# L3c: LSH-bucketed approximate top-k (rows-only: recall < 1 by design).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx"),
+    doc=(
+        "L3 at scale: multi-table random-hyperplane LSH (4 tables × 8 bits) "
+        "→ bucket equi-join → exact cosine re-rank over candidate union, "
+        "top-3 per probe."
+    ),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("ev"),
+        _qvec("embedding").alias("qv"),
+    )
+
+    def plane_bit(i: int, weight: int) -> Column:
+        plane = F.array(*[F.lit(v) for v in _PLANES[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col("ev"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot > 0, F.lit(weight)).otherwise(F.lit(0))
+
+    def table_key(t: int) -> Column:
+        sig = None
+        for j in range(_LSH_BITS):
+            bit = plane_bit(t * _LSH_BITS + j, 2**j)
+            sig = bit if sig is None else sig + bit
+        return F.concat_ws(":", F.lit(str(t)), sig.cast("string"))
+
+    sigs = emb.select(
+        "vec_id",
+        "qv",
+        _dot(F.col("qv"), F.col("qv")).alias("nrm"),
+        F.explode(F.array(*[table_key(t) for t in range(_LSH_TABLES)])).alias("bucket"),
+    )
+    probes = sigs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+        F.col("bucket").alias("pbucket"),
+    )
+    candidates = (
+        F.broadcast(probes)
+        .join(sigs, (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")))
+        .select("probe_id", "pqv", "pnrm", F.col("vec_id").alias("neighbor_id"), "qv", "nrm")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "probe_id",
+        "neighbor_id",
+        _cosine(_dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "rn", "cos_sim")
+    )

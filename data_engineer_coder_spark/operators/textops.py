@@ -1,0 +1,209 @@
+"""Text analysis L4 (SURVEY.md §2.11, north-star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything stays JVM-side in array/higher-order expressions — no Python
+UDFs: tokenization is ``split``, per-doc statistics are
+``transform``/``filter``/``aggregate`` over the token array (zero
+shuffle), corpus-level term frequencies are one explode + hash-agg.
+
+Determinism: all scores are ratios of integers (identical doubles in
+both engines); the fingerprint is pure int64 modular arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+
+# A small English stopword list (public domain).  The fixture vocabulary
+# is synthetic; the *operator* is what matters.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+# --------------------------------------------------------------------------
+# L4a: token counting + type-token ratio + word-length stats.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    oracle="""
+SELECT doc_id,
+       LEN(ws) AS n_tokens,
+       LEN(list_distinct(ws)) AS n_types,
+       CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws) AS type_token_ratio,
+       CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT) AS n_word_chars,
+       CAST(CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT) AS DOUBLE)
+         / LEN(ws) AS mean_word_len,
+       LENGTH(text) AS n_chars_text
+FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+""",
+    tags=("text", "llm"),
+    doc="L4: whitespace token counts, type-token ratio, word-length stats.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    word_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_types"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias("type_token_ratio"),
+        word_chars.alias("n_word_chars"),
+        (word_chars.cast("double") / F.size(ws)).alias("mean_word_len"),
+        F.length("text").cast("bigint").alias("n_chars_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4b: language-ID heuristic — stopword-hit ratio against a reference
+# list (the n-gram-profile method collapsed to its unigram core).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       CAST(LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE) / LEN(ws)
+         AS stopword_ratio,
+       CASE
+         WHEN CAST(LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE) / LEN(ws) >= 0.05
+         THEN 'en' ELSE 'other'
+       END AS lang_pred
+FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+""",
+    tags=("text", "llm"),
+    doc="L4: stopword-ratio language-ID heuristic with prediction column.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    ratio = (
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double") / F.size(ws)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4c: quality scoring — length, lexical diversity, stopword balance
+# combined into one filterable score (the C4/Gopher-style rule family).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(text, ' ') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars,
+         LEN(ws) AS n_tokens,
+         CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws) AS ttr,
+         CAST(LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE) / LEN(ws) AS swr,
+         CASE WHEN LEN(ws) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, ttr, swr, len_ok,
+       0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0) AS quality,
+       (0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0)) >= 0.5 AS keep
+FROM m
+""",
+    tags=("text", "llm"),
+    doc="L4: composite quality score (length window, diversity, stopword balance) + keep flag.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws)
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n_tokens
+    swr = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double") / n_tokens
+    len_ok = F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    quality = 0.4 * len_ok + 0.4 * ttr + 0.2 * F.least(swr * 10, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        ttr.alias("ttr"),
+        swr.alias("swr"),
+        len_ok.alias("len_ok"),
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L4d: document fingerprint — polynomial rolling hash over characters,
+# pure int64 modular arithmetic (cross-engine identical).  DuckDB's
+# list_reduce seeds with the first element, so Spark replicates that:
+# init = ascii(char 1), fold over chars 2..n.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+    tags=("text", "llm", "hash"),
+    doc="L4: polynomial rolling-hash fingerprint (base 31 mod 2^31-1).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    chars = F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        F.slice(chars, 2, F.size(chars) - 1),
+        F.element_at(chars, 1),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647).cast("bigint"),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# L4e: corpus term frequency — top 20 tokens (explode + hash agg + top-k).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "word_freq_topk",
+    oracle="""
+SELECT w AS word, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY 1
+ORDER BY freq DESC, word
+LIMIT 20
+""",
+    tags=("text", "llm", "topk"),
+    doc="L4: corpus-level term frequency, top-20 (map-side partial agg).",
+)
+def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
