@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the flagship plus one representative per operator family —
+scan/agg, broadcast star join, shuffle join, window, interval join,
+as-of, similarity, dedup, text, streaming-window batch twin.  Each is
+timed over a full collect() (plan + execute + fetch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineer_coder_spark import registry  # noqa: E402
+from data_engineer_coder_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "join_inner",
+    "join_left_outer",
+    "window_topk",
+    "window_running",
+    "range_join_events",
+    "asof_join",
+    "rollup_returnflag",
+    "pivot_event_types",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "count_distinct",
+    "cosine_topk",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "token_stats",
+    "word_freq_topk",
+    "doc_fingerprint",
+    "summary_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench", cpus=cpus)
+    qs = registry.queries()
+    # JVM/codegen warmup on the smallest table so per-query numbers
+    # measure the plan, not JIT startup.
+    qs["pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

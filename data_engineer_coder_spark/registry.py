@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.textops",
     "data_engineer_coder_spark.operators.multimodal",
     "data_engineer_coder_spark.streaming.windows",
+    "data_engineer_coder_spark.streaming.stateful",
 )
 
 _loaded = False

@@ -1,0 +1,108 @@
+"""Sinks S4–S7 (SURVEY.md §2.1).
+
+- JDBC: replaces the reference's hand-built DDL + row-tuple INSERT loop
+  (``/root/reference/dags/my_data_pipeline.py:91-116``) with
+  ``df.write.jdbc`` — Spark derives DDL, batches, and runs one
+  transaction per partition in parallel (the reference is single-
+  connection sequential, ``:135,173-175``).
+- Parquet: the 100 TB-native sink — date-partitioned columnar files so
+  downstream scans get partition pruning.
+- Report: the email summary (``:178-231``) as a pure text renderer over
+  a collected summary DataFrame + an injectable transport (no hardcoded
+  SMTP creds; the reference reads them from env at ``:183-184``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+# The reference's pandas-dtype→SQL-type map (my_data_pipeline.py:101):
+# {'int64': 'INT', 'float64': 'FLOAT', 'object': 'VARCHAR(50)', ...}.
+# Spark equivalent: per-column overrides for the JDBC writer.  We widen
+# VARCHAR(50) → VARCHAR(256): silent 50-char truncation is a reference
+# bug, not a feature.
+_SPARK_TO_SQL = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "float": "REAL",
+    "double": "DOUBLE PRECISION",
+    "string": "VARCHAR(256)",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",  # parquet without isAdjustedToUTC (Spark 4)
+    "date": "DATE",
+}
+
+
+def jdbc_column_types(df: DataFrame) -> str:
+    """Build ``createTableColumnTypes`` from the DataFrame schema."""
+    parts = [
+        f"{name} {_SPARK_TO_SQL[dtype]}"
+        for name, dtype in df.dtypes
+        if dtype in _SPARK_TO_SQL
+    ]
+    return ", ".join(parts)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """S4: JDBC sink.  DDL/batching/transactions handled per partition by
+    Spark — no psycopg2 row loops (my_data_pipeline.py:112-115)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("createTableColumnTypes", jdbc_column_types(df))
+        .options(**(properties or {}))
+        .mode(mode)
+        .save()
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """The scale-native sink: partition directories give downstream
+    readers static + dynamic partition pruning for free."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def render_report(title: str, summaries: dict[str, list[tuple]]) -> str:
+    """S6: plain-text summary report (the email body of
+    my_data_pipeline.py:199-216), rendered from already-collected rows —
+    the ONLY place engine data reaches the driver."""
+    lines = [title, "=" * len(title), ""]
+    for table_name, rows in summaries.items():
+        lines.append(f"-- {table_name} --")
+        for row in rows:
+            lines.append("  " + " | ".join(str(v) for v in row))
+        lines.append("")
+    return "\n".join(lines)
+
+
+def send_report(
+    body: str,
+    recipient: str,
+    transport: Callable[[str, str], None] | None = None,
+) -> None:
+    """S6: transport is injected (tests pass a collector; production
+    passes an smtplib closure with env-sourced credentials)."""
+    if transport is None:
+        raise NotImplementedError(
+            "no default transport: inject an smtplib/API closure "
+            "(credentials from env, never literals)"
+        )
+    transport(recipient, body)

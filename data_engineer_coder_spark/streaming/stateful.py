@@ -1,0 +1,128 @@
+"""Arbitrary stateful processing T7 + grouped-map UDFs D3 (SURVEY.md
+§2.9–2.10).
+
+Batch twin: ``applyInPandas`` per user computes session statistics in
+pandas (Arrow-batched, one group per call).  Streaming twin:
+``applyInPandasWithState`` keeps per-user running state across
+micro-batches — the generalization of the reference's per-run
+accumulation (each Airflow run re-derives everything from scratch;
+state makes it incremental).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..io.tables import table
+from ..registry import register
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+        T.StructField("n_sessions_30m", T.LongType()),
+    ]
+)
+
+
+def _user_stats_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user session statistics computed in pandas (one group)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    gaps = pdf["ts"].diff().dropna()
+    gaps_us = (gaps.dt.total_seconds() * 1_000_000).round().astype("int64")
+    n_sessions = int((gaps_us > 30 * 60 * 1_000_000).sum()) + 1
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "max_gap_us": [int(gaps_us.max()) if len(gaps_us) else 0],
+            "n_sessions_30m": [n_sessions],
+        }
+    )
+
+
+@register(
+    "user_session_stats",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COALESCE(MAX(gap_us), 0) AS max_gap_us,
+       1 + COUNT(CASE WHEN gap_us > 30 * 60 * 1000000 THEN 1 END) AS n_sessions_30m
+FROM g
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "pandas-udf"),
+    doc="T7/D3 batch twin: per-user session stats via applyInPandas (Arrow grouped-map).",
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return ev.groupBy("user_id").applyInPandas(_user_stats_pandas, _USER_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Streaming T7: running per-user counters with GroupState.
+# --------------------------------------------------------------------------
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n_events", T.LongType()), T.StructField("sum_value", T.DoubleType())]
+)
+_STATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_state(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate event count + value sum per user across micro-batches."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def streaming_user_counters(ev_stream: DataFrame) -> DataFrame:
+    """T7: applyInPandasWithState over a streaming events DataFrame."""
+    return (
+        ev_stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=_STATE_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "streaming_user_counters",
+    oracle=None,  # update-mode stateful output; checked by batch-equivalence in tests
+    tags=("streaming", "stateful", "real-stream"),
+    doc="T7 real stream: per-user running counters via applyInPandasWithState.",
+)
+def streaming_user_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import run_to_memory, stream_events
+
+    return run_to_memory(streaming_user_counters(stream_events(spark, sf_dir)), "update")

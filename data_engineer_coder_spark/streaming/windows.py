@@ -1,0 +1,213 @@
+"""Streaming window operators T2–T6 (SURVEY.md §2.9), batch-first.
+
+Each transformation is a pure ``DataFrame → DataFrame`` applied
+identically to ``spark.read`` (oracle-checked below) and
+``spark.readStream`` inputs (``streaming_tumbling_events`` runs the
+*actual stream* through a memory sink and shares the batch oracle —
+with ``availableNow`` over a complete input, streaming output ==
+batch output).
+
+Scale notes: windowed aggregations shuffle on (window, key) — bounded
+state per key; the watermark bounds state retention in continuous
+runs.  Session windows merge within the (user) partition only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..operators._helpers import dsum, sql_dsum, ts_str
+from ..registry import register
+from .core import run_to_memory, stream_events
+
+# --------------------------------------------------------------------------
+# Transformations (shared batch/stream code paths).
+# --------------------------------------------------------------------------
+
+
+def tumbling_hourly(ev: DataFrame) -> DataFrame:
+    """T2: 1-hour tumbling window per event_type."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            ts_str("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_hourly(ev: DataFrame) -> DataFrame:
+    """T3: 1-hour window sliding every 15 minutes."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(ts_str("win.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+def sessionized(ev: DataFrame) -> DataFrame:
+    """T4: per-user session windows with a 30-minute inactivity gap."""
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            ts_str("win.start").alias("session_start"),
+            ts_str("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def watermarked_tumbling(ev: DataFrame) -> DataFrame:
+    """T5: tumbling agg under a 10-minute watermark.  In batch mode the
+    watermark is a no-op (per Spark semantics); in streaming it bounds
+    state and drops late rows."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(ts_str("win.start").alias("win_start"), "n")
+    )
+
+
+def dedup_replays(ev: DataFrame) -> DataFrame:
+    """T6: drop replayed events by event_id (within the watermark when
+    streaming).  Duplicate rows are identical, so the kept row is
+    value-deterministic."""
+    return ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", ts_str("ts").alias("ts_s"), "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked batch twins + the real-stream query.
+# --------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming", "window"),
+    doc="T2 batch twin: 1-hour tumbling window counts/sums per event type.",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(table(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_tumbling_events",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming", "window", "real-stream"),
+    doc=(
+        "T1+T2+T8 real stream: readStream(parquet) → tumbling agg → "
+        "availableNow → memory sink; equals the batch result, so it "
+        "shares the batch oracle."
+    ),
+)
+def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(tumbling_hourly(stream_events(spark, sf_dir)), "complete")
+
+
+@register(
+    "sliding_window_agg",
+    oracle=f"""
+WITH e AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+         value
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM e
+GROUP BY 1
+""",
+    tags=("streaming", "window"),
+    doc="T3 batch twin: sliding 1h/15min window — each event in exactly 4 windows.",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_hourly(table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_agg",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, sess
+""",
+    tags=("streaming", "window", "session"),
+    doc="T4 batch twin: 30-min-gap session windows (oracle = gaps-and-islands SQL).",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized(table(spark, sf_dir, "events"))
+
+
+@register(
+    "watermark_window_agg",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+""",
+    tags=("streaming", "window", "watermark"),
+    doc="T5 batch twin: watermarked tumbling agg (watermark = no-op in batch).",
+)
+def watermark_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return watermarked_tumbling(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value
+FROM (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events
+)
+GROUP BY ALL
+""",
+    tags=("streaming", "dedup"),
+    doc="T6 batch twin: replayed feed (union with self) deduped by event_id.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return dedup_replays(ev.unionByName(ev))

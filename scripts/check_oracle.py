@@ -2,87 +2,23 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every registry query on Spark and its oracle SQL on DuckDB over the
-same parquet fixtures, then compares row count, sorted-column schema,
-and order-insensitive values (floats exact after in-query rounding, with
-a small fallback tolerance reported as WARN).
+same parquet fixtures; compares row count, schema, order-insensitive
+values (see data_engineer_coder_spark/testing.py).
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 import traceback
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
 from data_engineer_coder_spark import registry  # noqa: E402
-from data_engineer_coder_spark.io.tables import TABLES  # noqa: E402
 from data_engineer_coder_spark.session import get_spark  # noqa: E402
-
-
-def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
-
-
-def normalize(rows: list[tuple]) -> list[tuple]:
-    """Canonicalize values so Spark and DuckDB rows compare equal."""
-    out = []
-    for row in rows:
-        canon = []
-        for v in row:
-            if isinstance(v, bool):
-                canon.append(bool(v))
-            elif isinstance(v, float):
-                canon.append(0.0 if v == 0 else round(v, 9))
-            elif isinstance(v, (list, tuple)):
-                canon.append(tuple(round(x, 6) if isinstance(x, float) else x for x in v))
-            else:
-                canon.append(v)
-        out.append(tuple(canon))
-    return sorted(out, key=lambda r: tuple(repr(x) for x in r))
-
-
-def values_close(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-7)
-    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
-        return all(values_close(x, y) for x, y in zip(a, b))
-    return a == b
-
-
-def compare(name: str, spark_rows, duck_rows, spark_cols, duck_cols) -> list[str]:
-    problems = []
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-        return problems
-    if sorted(spark_cols) != sorted(duck_cols):
-        problems.append(f"schema spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-        return problems
-    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s = normalize([tuple(r[i] for i in order) for r in spark_rows])
-    d = normalize([tuple(r[i] for i in dorder) for r in duck_rows])
-    exact = sum(1 for x, y in zip(s, d) if x == y)
-    if exact != len(s):
-        close = sum(1 for x, y in zip(s, d) if values_close(x, y))
-        if close == len(s):
-            problems.append(f"WARN: {len(s) - exact}/{len(s)} rows only tol-equal")
-        else:
-            bad = [(x, y) for x, y in zip(s, d) if not values_close(x, y)][:3]
-            problems.append(f"values: {len(s) - close}/{len(s)} mismatched; first: {bad}")
-    return problems
+from data_engineer_coder_spark.testing import compare, duck_connect  # noqa: E402
 
 
 def main() -> int:
@@ -117,7 +53,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        problems = compare(spark_rows, duck_rows, spark_cols, duck_cols)
         dt = time.time() - t0
         if not problems:
             print(f"PASS {name}: {len(spark_rows)} rows [{dt:.1f}s]")

@@ -1,0 +1,71 @@
+"""Targeted operator semantics beyond the oracle sweep."""
+
+from __future__ import annotations
+
+from data_engineer_coder_spark import registry
+from data_engineer_coder_spark.io.tables import table
+
+_Q = registry.queries()
+
+
+def test_empty_result_keeps_schema(spark, sf_dir):
+    df = _Q["empty_result_schema"](spark, sf_dir)
+    assert df.columns == ["l_orderkey", "sum_qty"]
+    assert df.count() == 0
+
+
+def test_dedup_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, _Q["dedup_keep_first"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, _Q["dedup_keep_first"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_minhash_finds_all_strong_pairs(spark, sf_dir):
+    """LSH recall check: every exact pair with jaccard >= 0.5 must be
+    found by MinHash+LSH (at j≈0.99 and 8x4 bands, miss prob ≈ 0)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in _Q["ngram_jaccard_pairs"](spark, sf_dir).collect()
+        if r.jaccard >= 0.5
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in _Q["minhash_lsh_neardup"](spark, sf_dir).collect()}
+    assert exact <= lsh, f"LSH missed pairs: {exact - lsh}"
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    got = _Q["cosine_topk"](spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.probe_id, r.rn)):
+        by_probe.setdefault(r.probe_id, []).append(r.neighbor_id)
+    for probe in list(by_probe)[:5]:
+        p = vecs[probe]
+        sims = {
+            vid: float(p @ v / (np.linalg.norm(p) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != probe
+        }
+        expected = [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        assert by_probe[probe] == expected
+
+
+def test_topk_orders_descending(spark, sf_dir):
+    rows = _Q["topk_orders"](spark, sf_dir).collect()
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert len(rows) == 25
+
+
+def test_pricing_summary_plan_is_scale_shaped(spark, sf_dir):
+    """The flagship plan must push the filter into the scan and do a
+    partial-before-shuffle aggregate."""
+    df = _Q["pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explained

@@ -1,0 +1,81 @@
+"""Sources S1/S2 and sinks S4/S6 (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.io.tables import table
+from data_engineer_coder_spark.sinks import (
+    jdbc_column_types,
+    render_report,
+    send_report,
+    write_partitioned_parquet,
+)
+from data_engineer_coder_spark.sources.rest import (
+    air_quality_urls,
+    fake_fetcher,
+    fetch_urls,
+)
+
+
+def test_fetch_urls_parallel_fake(spark):
+    out = fetch_urls(air_quality_urls(spark), fetcher=fake_fetcher).collect()
+    assert len(out) == 3
+    assert all(r.status == 200 and r.n_attempts == 1 for r in out)
+    assert all('"status": "ok"' in r.body for r in out)
+
+
+def test_fetch_urls_retries_then_succeeds(spark):
+    calls = {}
+
+    def flaky(url: str):
+        calls[url] = calls.get(url, 0) + 1
+        if calls[url] == 1:
+            return 503, "unavailable"
+        return 200, "{}"
+
+    # Single partition so the closure's call-count state is coherent.
+    urls = air_quality_urls(spark).coalesce(1)
+    out = fetch_urls(urls, fetcher=flaky, backoff_s=0.01).collect()
+    assert all(r.status == 200 for r in out)
+    assert all(r.n_attempts == 2 for r in out)
+
+
+def test_jdbc_column_types_mapping(spark, sf_dir):
+    df = table(spark, sf_dir, "orders")
+    ddl = jdbc_column_types(df)
+    assert "o_orderkey BIGINT" in ddl
+    assert "o_totalprice DOUBLE PRECISION" in ddl
+    assert "o_orderstatus VARCHAR(256)" in ddl
+    assert "o_orderdate TIMESTAMP" in ddl
+
+
+def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir):
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_"), "orders")
+    df = table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    write_partitioned_parquet(df, out, ["yr"])
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    pruned = back.filter(F.col("yr") == 1995)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(yr#" in plan  # static partition pruning
+    assert pruned.count() == df.filter(F.col("yr") == 1995).count()
+
+
+def test_report_render_and_injected_transport(spark, sf_dir):
+    summary = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    body = render_report("Daily summary", {"events": [tuple(r) for r in summary]})
+    assert "Daily summary" in body and "-- events --" in body
+    sent = {}
+    send_report(body, "ops@example.test", transport=lambda to, b: sent.update({to: b}))
+    assert sent == {"ops@example.test": body}

@@ -1,0 +1,78 @@
+"""Streaming T1–T8: batch-equivalence (SURVEY.md §5.2) — the same
+transformation over readStream (availableNow) must equal the batch run."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.io.tables import table
+from data_engineer_coder_spark.streaming import windows as sw
+from data_engineer_coder_spark.streaming.core import (
+    run_to_memory,
+    stream_events,
+    write_foreach_batch,
+)
+from data_engineer_coder_spark.streaming.stateful import streaming_user_counters
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tumbling_batch_equivalence(spark, sf_dir):
+    batch = sw.tumbling_hourly(table(spark, sf_dir, "events"))
+    stream = run_to_memory(sw.tumbling_hourly(stream_events(spark, sf_dir)), "complete")
+    assert _sorted_rows(stream) == _sorted_rows(batch)
+
+
+def test_session_batch_equivalence(spark, sf_dir):
+    batch = sw.sessionized(table(spark, sf_dir, "events"))
+    stream = run_to_memory(sw.sessionized(stream_events(spark, sf_dir)), "complete")
+    assert _sorted_rows(stream) == _sorted_rows(batch)
+
+
+def test_watermark_append_emits_only_closed_windows(spark, sf_dir):
+    """Watermark semantics: in append mode only windows whose end is at
+    or before (max event time - watermark delay) are emitted; the
+    trailing open windows stay in state."""
+    ev = table(spark, sf_dir, "events")
+    batch = sw.watermarked_tumbling(ev)
+    stream = run_to_memory(
+        sw.watermarked_tumbling(stream_events(spark, sf_dir)), "append"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - __import__("datetime").timedelta(minutes=10)
+    closed = batch.filter(
+        F.col("win_start").cast("timestamp") + F.expr("INTERVAL 10 MINUTES")
+        <= F.lit(wm)
+    )
+    assert _sorted_rows(stream) == _sorted_rows(closed)
+    assert 0 < stream.count() < batch.count()
+
+
+def test_stateful_counters_match_batch_agg(spark, sf_dir):
+    stream = streaming_user_counters(stream_events(spark, sf_dir))
+    got = _sorted_rows(run_to_memory(stream, "update").select("user_id", "n_events"))
+    want = _sorted_rows(
+        table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    assert got == want
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="sink_")
+    target = os.path.join(out, "agg")
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(target)
+
+    q = write_foreach_batch(
+        sw.tumbling_hourly(stream_events(spark, sf_dir)), sink, output_mode="complete"
+    )
+    q.awaitTermination(300)
+    written = spark.read.parquet(target)
+    batch = sw.tumbling_hourly(table(spark, sf_dir, "events"))
+    assert _sorted_rows(written) == _sorted_rows(batch)
