@@ -1,0 +1,158 @@
+"""Remaining inventory rows: S2 in-memory source, classic multi-join
+shapes, scalar subquery — plus the §3.4 pipeline composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io.tables import table
+from ..registry import register
+from ._helpers import day_str, dsum, sql_dsum
+
+# --------------------------------------------------------------------------
+# S2: in-memory rows → DataFrame with an explicit schema (the engine's
+# replacement for pd.DataFrame(data_list) inference,
+# /root/reference/dags/my_data_pipeline.py:61-75 — schema precedes data).
+# --------------------------------------------------------------------------
+
+_CITY_ROWS = [
+    ("madrid", "ES", 3223000),
+    ("barcelona", "ES", 1620000),
+    ("valencia", "ES", 791000),
+]
+
+
+@register(
+    "inmemory_rows",
+    oracle="""
+SELECT city, country_code, population,
+       UPPER(SUBSTRING(city, 1, 1)) || LOWER(SUBSTRING(city, 2)) AS city_cap
+FROM (VALUES
+  ('madrid', 'ES', 3223000),
+  ('barcelona', 'ES', 1620000),
+  ('valencia', 'ES', 791000)
+) AS t(city, country_code, population)
+""",
+    tags=("source", "inmemory"),
+    doc="S2: literal rows under an explicit schema (no inference), derived column.",
+)
+def inmemory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("city", T.StringType(), False),
+            T.StructField("country_code", T.StringType(), False),
+            T.StructField("population", T.IntegerType(), False),
+        ]
+    )
+    df = spark.createDataFrame(_CITY_ROWS, schema)
+    cap = F.concat(
+        F.upper(F.substring("city", 1, 1)), F.lower(F.expr("substring(city, 2)"))
+    )
+    return df.select("city", "country_code", "population", cap.alias("city_cap"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: segment filter → 3-way join → grouped revenue → top-10.
+# customer is the small side (broadcast); lineitem never shuffles before
+# the aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "agg", "topk"),
+    doc="Q3 shape: filtered 3-way star join, grouped revenue, global top-10.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            day_str("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery: compare each row against a global aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders) AS near_max
+FROM orders
+WHERE o_totalprice >= 0.5 * (SELECT MAX(o_totalprice) FROM orders)
+""",
+    tags=("subquery",),
+    doc="Scalar subquery: rows vs a global aggregate (broadcast scalar, two-pass).",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice >= 0.9 * (SELECT MAX(o_totalprice) FROM orders_ssq) AS near_max
+        FROM orders_ssq
+        WHERE o_totalprice >= 0.5 * (SELECT MAX(o_totalprice) FROM orders_ssq)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# §3.4.3: the composable pipeline — source → transforms → sink as a
+# library function (the reference's three-task DAG without Airflow).
+# --------------------------------------------------------------------------
+
+
+def pipeline(source: DataFrame, *transforms, sink=None):
+    """Compose ``source |> t1 |> t2 ... |> sink`` lazily.
+
+    Each transform is ``DataFrame -> DataFrame``; the optional sink is a
+    terminal callable (e.g. ``lambda df: write_partitioned_parquet(...)``).
+    Returns the final DataFrame (pre-sink) so callers can also inspect it.
+    Stages exchange lazy plans — the reference's XCom serialization seam
+    (SURVEY.md §3.1 type-contract bug) cannot exist here.
+    """
+    df = source
+    for t in transforms:
+        df = t(df)
+    if sink is not None:
+        sink(df)
+    return df
