@@ -141,6 +141,14 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def to_records(df: DataFrame):
+    """S7: records serialization for *external* handoff only
+    (``to_dict(orient='records')`` twin of my_data_pipeline.py:161).
+    Intra-engine stages exchange lazy DataFrames, never serialized rows.
+    Returns an RDD of JSON strings (one object per row)."""
+    return df.toJSON()
+
+
 def pipeline(source: DataFrame, *transforms, sink=None):
     """Compose ``source |> t1 |> t2 ... |> sink`` lazily.
 

@@ -1,0 +1,110 @@
+"""UDF surface D1–D5 (SURVEY.md §2.10).
+
+The reference's "UDFs" are driver-side Python functions
+(``/root/reference/dags/my_data_pipeline.py:22-48,50-75,199-216``).
+Engine rules: built-ins first; when Python is genuinely needed it is
+Arrow-batched (pandas UDF / mapInPandas / UDTF) — never row-at-a-time.
+
+These two queries exist to pin the *plumbing* (Arrow exchange, schema
+contracts); their logic is deliberately re-expressible in SQL so the
+oracle can check the full path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..io.tables import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# D2: vectorized scalar pandas UDF — text normalization over Arrow batches.
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def _normalize_text(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.replace(r"[^a-z0-9 ]", "", regex=True).str.strip()
+
+
+@register(
+    "pandas_udf_normalize",
+    oracle="""
+SELECT doc_id,
+       TRIM(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS norm_text
+FROM documents
+WHERE doc_id < 100
+""",
+    tags=("udf", "pandas-udf", "text"),
+    doc="D2: Arrow-batched scalar pandas UDF (text normalization), oracle-checked.",
+)
+def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", _normalize_text("text").alias("norm_text"))
+
+
+# --------------------------------------------------------------------------
+# D1: row-at-a-time Python UDF — exists to pin the surface; deliberately
+# NOT used anywhere else (SURVEY §2.10: last resort; ~10-100× slower than
+# the equivalent builtin/pandas UDF).
+# --------------------------------------------------------------------------
+
+_reverse_udf = F.udf(lambda s: s[::-1] if s is not None else None, T.StringType())
+
+
+@register(
+    "python_udf_reverse",
+    oracle="""
+SELECT p_partkey, reverse(p_name) AS name_rev
+FROM part
+WHERE p_partkey < 50
+""",
+    tags=("udf", "slow-path"),
+    doc="D1: scalar Python UDF (the documented slow path; builtins preferred).",
+)
+def python_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return p.select("p_partkey", _reverse_udf("p_name").alias("name_rev"))
+
+
+# --------------------------------------------------------------------------
+# D5: Python UDTF — 1→N row expansion (the explode-with-logic shape).
+# --------------------------------------------------------------------------
+
+
+@udtf(returnType="pos INT, token STRING, token_len INT")
+class _TokenizeUdtf:
+    def eval(self, doc_id: int, text: str):  # noqa: D401
+        for pos, tok in enumerate(text.split(" ")):
+            if tok:
+                yield pos, tok, len(tok)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+SELECT doc_id, u.pos, u.token, u.token_len
+FROM (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), (w, i) ->
+           struct_pack(pos := CAST(i - 1 AS INTEGER),
+                       token := w,
+                       token_len := CAST(LENGTH(w) AS INTEGER))) AS toks
+  FROM documents
+  WHERE doc_id < 50
+), unnest(toks) AS t(u)
+WHERE u.token <> ''
+""",
+    tags=("udf", "udtf", "text"),
+    doc="D5: Python UDTF 1→N expansion (positional tokenizer), oracle-checked.",
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.lateralJoin(
+        _TokenizeUdtf(F.col("doc_id").outer(), F.col("text").outer())
+    ).select("doc_id", "pos", "token", "token_len")

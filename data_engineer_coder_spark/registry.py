@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.scalar_functions",
     "data_engineer_coder_spark.operators.airquality",
     "data_engineer_coder_spark.operators.misc",
+    "data_engineer_coder_spark.operators.udfs",
     "data_engineer_coder_spark.operators.dedup",
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.textops",

@@ -1,0 +1,55 @@
+"""Scale-layout utilities: bucketed co-located joins, salted skew joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.io.tables import table
+from data_engineer_coder_spark.plans.scale import (
+    salted_groupby_count,
+    salted_join_small_skew,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "orders_b", ["o_orderkey"], 8)
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "lineitem_b", ["l_orderkey"], 8)
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).withColumn(
+        "v", F.col("o_totalprice") + F.col("l_quantity")
+    )
+    # Force a merge join so broadcast doesn't mask the bucketing effect.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(ob.join(lb, ob.o_orderkey == lb.l_orderkey))
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_groupby_matches_plain(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    got = sorted(map(tuple, salted_groupby_count(ev, "event_type").collect()))
+    want = sorted(map(tuple, ev.groupBy("event_type").count().collect()))
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    got = salted_join_small_skew(li, part, "l_partkey")
+    want = li.join(part, "l_partkey")
+    assert sorted(map(tuple, got.select(sorted(got.columns)).collect())) == sorted(
+        map(tuple, want.select(sorted(want.columns)).collect())
+    )
