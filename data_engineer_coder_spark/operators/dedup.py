@@ -131,9 +131,22 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(F.size("ws") >= 3)
-    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Repartition before the heavy array expressions: a single parquet
+    # file otherwise pins shingle generation to one task.
+    w = (
+        docs.repartition(F.col("doc_id"))
+        .select("doc_id", _words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", _shingles(F.col("ws")).alias("sh_arr"))  # computed once
+    )
+    # Carry each doc's distinct-shingle count on the exploded rows: the
+    # pair aggregation then has |A| and |B| in hand — no size-lookup
+    # joins re-deriving the shingle pipeline.
+    sh = w.select(
+        "doc_id",
+        F.size("sh_arr").alias("n"),
+        F.explode("sh_arr").alias("s"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -142,17 +155,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jacc = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
+    jacc = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_common", jacc.alias("jaccard"))
+        inter.select("doc_a", "doc_b", "n_common", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -173,7 +184,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(F.size("ws") >= 3)
+    w = (
+        docs.repartition(F.col("doc_id"))  # parallelize past the single source file
+        .select("doc_id", _words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
     sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
     h = F.pmod(F.xxhash64("s"), F.lit(2**31)).alias("h")
     hashed = sh.select("doc_id", h)
@@ -238,12 +253,14 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "L2: 64-bit SimHash per doc (per-bit ±1 sums over xxhash64(token), "
         "computed in array expressions — zero shuffle), candidates via "
-        "16-bit chunk equality, Hamming ≤ 6 verification."
+        "16-bit chunk equality, Hamming ≤ 3 verification."
     ),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    # 64 per-bit array aggregates per row: repartition first or a single
+    # source file serializes the whole signature computation.
+    w = docs.repartition(F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
     th = F.transform(F.col("ws"), lambda t: F.xxhash64(t)).alias("hs")
     hashed = w.select("doc_id", th)
 
@@ -291,5 +308,5 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
     )
