@@ -229,6 +229,34 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_events",
+    oracle=f"""
+SELECT COALESCE(event_type, 'ALL') AS etype,
+       COALESCE(CAST(user_id AS VARCHAR), 'ALL') AS uid,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+""",
+    tags=("agg", "grouping-sets"),
+    doc="A4: explicit GROUPING SETS — two independent dimensions + grand total.",
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(CAST(user_id AS STRING), 'ALL') AS uid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # A5: collect_list — re-nesting rows into arrays (inverse of the flatten
 # P1; sorted so the value is deterministic).

@@ -73,6 +73,38 @@ def python_udf_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D4: grouped-aggregate pandas UDAF — one Arrow batch per group in, one
+# scalar out.  Median sorts inside the UDF, so shuffle row order cannot
+# leak into the result (and numpy/DuckDB interpolate identically).
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _median_udaf(v: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.median(v.to_numpy(dtype="float64")))
+
+
+@register(
+    "pandas_udaf_median",
+    oracle="""
+SELECT event_type, median(value) AS median_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("udf", "pandas-udf", "agg"),
+    doc=(
+        "D4: grouped-agg pandas UDAF (per-type median), oracle-checked. "
+        "NB: Spark forbids mixing pandas UDAFs with JVM aggregates in one agg()."
+    ),
+)
+def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(_median_udaf("value").alias("median_value"))
+
+
+# --------------------------------------------------------------------------
 # D5: Python UDTF — 1→N row expansion (the explode-with-logic shape).
 # --------------------------------------------------------------------------
 

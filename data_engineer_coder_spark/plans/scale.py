@@ -23,7 +23,19 @@ def write_bucketed(df: DataFrame, name: str, bucket_cols: list[str], n_buckets: 
     Readers joining two tables bucketed identically on the join key get
     a shuffle-free sort-merge join — the Exchange disappears from the
     plan (asserted in tests/test_scale.py).
+
+    Idempotent: drops a stale table AND its leftover warehouse directory
+    (a fresh session's in-memory catalog forgets the table, but the
+    managed location survives and blocks re-creation).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc.rstrip('/')}/{name.lower()}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)
