@@ -13,6 +13,7 @@ timed over a full collect() (plan + execute + fetch).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -53,7 +54,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench", cpus=cpus)
+    spark = get_spark(
+        "bench", cpus=cpus, driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
     qs = registry.queries()
     # JVM/codegen warmup on the smallest table so per-query numbers
     # measure the plan, not JIT startup.
@@ -61,9 +64,19 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        per_query[name] = round(time.time() - t0, 3)
+        # Best-of-2: transient stalls (JIT compilation, GC pauses, noisy
+        # neighbors) otherwise land on random queries and swamp the
+        # signal; the minimum is the reproducible cost of the plan.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+            # Drop python-side plan/broadcast refs so the ContextCleaner
+            # can release executor/driver memory between queries — long
+            # bench sessions otherwise accumulate broadcasts and GC-thrash.
+            gc.collect()
+        per_query[name] = round(best, 3)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

@@ -148,7 +148,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("sh_arr").alias("s"),
     )
     a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash: Catalyst would otherwise broadcast the entire exploded
+    # shingle corpus (fits locally, never at scale) — the right shape is a
+    # shuffled join on the shingle key for both sides.
+    b = sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
