@@ -179,6 +179,42 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_malformed_robustness",
+    oracle="""
+SELECT id,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract(payload, '$.k') AS INTEGER) END AS k,
+       json_valid(payload) AS is_valid
+FROM (VALUES
+  (1, '{"k": 7}'),
+  (2, 'not json at all'),
+  (3, '{"k": }'),
+  (4, NULL),
+  (5, '{"other": 1}')
+) AS t(id, payload)
+""",
+    tags=("function", "json", "robustness"),
+    doc="F4 edge: malformed/missing JSON yields NULL, never an error (status-code branching parity, my_data_pipeline.py:37-48).",
+)
+def json_malformed_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, '{"k": 7}'),
+        (2, "not json at all"),
+        (3, '{"k": }'),
+        (4, None),
+        (5, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    k = F.get_json_object("payload", "$.k").cast("int")
+    # Spark's validity probe: a malformed document fails even a '$' query.
+    # NULL payload → NULL validity (matching SQL json_valid's null-safety).
+    is_valid = F.when(
+        F.col("payload").isNotNull(), F.get_json_object("payload", "$").isNotNull()
+    )
+    return df.select("id", k.alias("k"), is_valid.alias("is_valid"))
+
+
 # --------------------------------------------------------------------------
 # F5: arrays (embeddings fixture) — size / element access / slice /
 # float-exact min/max.  Heavy numeric array work lives in similarity.py.

@@ -47,6 +47,29 @@ def jdbc_column_types(df: DataFrame) -> str:
     return ", ".join(parts)
 
 
+def jdbc_options_from_env(env: dict | None = None) -> dict:
+    """S5: connection options from the environment (the reference reads
+    DB_HOST/DB_NAME/DB_USER/DB_PORT and a password file,
+    my_data_pipeline.py:119-140; it also hardcodes an API token at :34 —
+    never replicated here).  Returns JDBC options; raises KeyError on
+    missing required vars rather than silently connecting wrong."""
+    import os as _os
+
+    e = env if env is not None else _os.environ
+    host, name, user, port = e["DB_HOST"], e["DB_NAME"], e["DB_USER"], e.get("DB_PORT", "5432")
+    opts = {
+        "url": f"jdbc:postgresql://{host}:{port}/{name}",
+        "user": user,
+    }
+    pw_file = e.get("DB_PASSWORD_FILE")
+    if pw_file:
+        with open(pw_file) as fh:
+            opts["password"] = fh.read().strip()
+    elif "DB_PASSWORD" in e:
+        opts["password"] = e["DB_PASSWORD"]
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -79,3 +79,24 @@ def test_report_render_and_injected_transport(spark, sf_dir):
     sent = {}
     send_report(body, "ops@example.test", transport=lambda to, b: sent.update({to: b}))
     assert sent == {"ops@example.test": body}
+
+
+def test_jdbc_options_from_env(tmp_path):
+    from data_engineer_coder_spark.sinks import jdbc_options_from_env
+
+    pw = tmp_path / "pw"
+    pw.write_text("s3cret\n")
+    env = {
+        "DB_HOST": "db.example.test",
+        "DB_NAME": "warehouse",
+        "DB_USER": "loader",
+        "DB_PORT": "5439",
+        "DB_PASSWORD_FILE": str(pw),
+    }
+    opts = jdbc_options_from_env(env)
+    assert opts["url"] == "jdbc:postgresql://db.example.test:5439/warehouse"
+    assert opts["user"] == "loader" and opts["password"] == "s3cret"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        jdbc_options_from_env({"DB_HOST": "x"})  # missing required vars
