@@ -1,0 +1,51 @@
+"""User-facing engine facade.
+
+A user of the reference project interacts with three things: tables,
+ad-hoc transformations, and the named pipeline products.  ``Engine``
+packages those: fixture tables by name, the full named-query registry,
+arbitrary SQL over registered views, and the composable pipeline.
+
+    eng = Engine(spark, "/root/testdata/sf0.01")
+    eng.table("lineitem").filter(...)
+    eng.query("pricing_summary")            # any registry query
+    eng.sql("SELECT COUNT(*) FROM orders")  # SQL API over the views
+    eng.names()                             # discoverability
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import registry
+from .io.tables import TABLES, register_views, table
+from .operators.misc import pipeline  # noqa: F401  (re-export)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    def table(self, name: str) -> DataFrame:
+        return table(self.spark, self.sf_dir, name)
+
+    def tables(self) -> tuple[str, ...]:
+        return TABLES
+
+    def query(self, name: str) -> DataFrame:
+        """Run a named query from the registry (SURVEY §2 inventory)."""
+        return registry.queries()[name](self.spark, self.sf_dir)
+
+    def names(self) -> list[str]:
+        return sorted(registry.queries())
+
+    def oracle(self, name: str) -> str | None:
+        return registry.oracle_sql().get(name)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL API: all fixture tables are available as views."""
+        if not self._views_registered:
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
