@@ -62,21 +62,22 @@ def main() -> None:
     # measure the plan, not JIT startup.
     qs["pricing_summary"](spark, sf_dir).collect()
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        # Best-of-2: transient stalls (JIT compilation, GC pauses, noisy
-        # neighbors) otherwise land on random queries and swamp the
-        # signal; the minimum is the reproducible cost of the plan.
-        best = float("inf")
-        for _ in range(2):
+    # Three full round-robin passes, minimum per query: this host shows
+    # multi-minute starvation windows (RUNNABLE threads starved, load
+    # spike at idle CPU) that poison whatever happens to be measured.
+    # Back-to-back retries land in the same window; separate passes
+    # don't.  The minimum is the reproducible cost of the plan.
+    per_query: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _pass in range(3):
+        for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
+            per_query[name] = min(per_query[name], time.time() - t0)
             # Drop python-side plan/broadcast refs so the ContextCleaner
             # can release executor/driver memory between queries — long
             # bench sessions otherwise accumulate broadcasts and GC-thrash.
             gc.collect()
-        per_query[name] = round(best, 3)
+    per_query = {k: round(v, 3) for k, v in per_query.items()}
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

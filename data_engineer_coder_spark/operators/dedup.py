@@ -134,7 +134,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition before the heavy array expressions: a single parquet
     # file otherwise pins shingle generation to one task.
     w = (
-        docs.repartition(F.col("doc_id"))
+        docs.repartition(32, F.col("doc_id"))  # explicit n: AQE won't coalesce it away
         .select("doc_id", _words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
         .select("doc_id", _shingles(F.col("ws")).alias("sh_arr"))  # computed once
@@ -188,7 +188,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
-        docs.repartition(F.col("doc_id"))  # parallelize past the single source file
+        docs.repartition(32, F.col("doc_id"))  # explicit n: parallel AND AQE-stable
         .select("doc_id", _words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
     )
@@ -263,7 +263,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # 64 per-bit array aggregates per row: repartition first or a single
     # source file serializes the whole signature computation.
-    w = docs.repartition(F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
+    w = docs.repartition(32, F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
     th = F.transform(F.col("ws"), lambda t: F.xxhash64(t)).alias("hs")
     hashed = w.select("doc_id", th)
 

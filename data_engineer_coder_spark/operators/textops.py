@@ -65,6 +65,41 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L4a2: BPE-ish subtoken counting — the pre-tokenization regex family
+# (letter runs / digit runs / single punctuation), the standard proxy for
+# LLM token budgeting when the real tokenizer isn't on the cluster.
+# Pattern kept to constructs Java regex and RE2 treat identically.
+# --------------------------------------------------------------------------
+
+_BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "bpe_ish_token_count",
+    oracle=f"""
+SELECT doc_id,
+       LEN(regexp_extract_all(LOWER(text), '{_BPE_ISH}')) AS n_subtokens,
+       LEN(string_split(text, ' ')) AS n_words,
+       CAST(LEN(regexp_extract_all(LOWER(text), '{_BPE_ISH}')) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS subtokens_per_word
+FROM documents
+""",
+    tags=("text", "llm", "tokens"),
+    doc="L4: BPE-ish regex subtoken counts (token-budget estimation).",
+)
+def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_ISH), 0)  # idx=0: whole match (pattern has no groups)
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(sub).cast("bigint").alias("n_subtokens"),
+        F.size(words).cast("bigint").alias("n_words"),
+        (F.size(sub).cast("double") / F.size(words)).alias("subtokens_per_word"),
+    )
+
+
+# --------------------------------------------------------------------------
 # L4b: language-ID heuristic — stopword-hit ratio against a reference
 # list (the n-gram-profile method collapsed to its unigram core).
 # --------------------------------------------------------------------------

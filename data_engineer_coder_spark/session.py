@@ -36,6 +36,12 @@ def get_spark(
     shuffle_partitions = int(shuffle_partitions or max(int(cpus), 8))
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
+    # Scratch space (shuffle files, broadcast spill) on tmpfs when
+    # available: this host's block device exhibits multi-minute IO
+    # stalls that block otherwise-idle JVM stages.  On a real cluster
+    # this is the local-SSD spark.local.dir, not RAM.
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -48,6 +54,20 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    # Codegen JIT hygiene: the default 240m code cache fills across many
+    # codegen-heavy queries in one JVM, after which generated aggregates
+    # run INTERPRETED (observed: a decimal-sum stage at 100×, minutes
+    # instead of seconds).  Reserve a big cache and let HotSpot flush.
+    # (Do NOT lower spark.sql.codegen.hugeMethodLimit: forcing the
+    # non-codegen fallback made the same aggregates deterministically
+    # ~60× slower.)
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
