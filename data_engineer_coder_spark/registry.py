@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.airquality",
     "data_engineer_coder_spark.operators.misc",
     "data_engineer_coder_spark.operators.udfs",
+    "data_engineer_coder_spark.operators.analytics",
     "data_engineer_coder_spark.operators.dedup",
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.textops",
