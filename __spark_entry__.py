@@ -11,11 +11,18 @@ this module is a thin re-export of its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_engineer_coder_spark import registry
+# Import-safe regardless of the caller's cwd/sys.path.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from data_engineer_coder_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
