@@ -15,6 +15,7 @@ dynamic partition pruning apply automatically.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,12 +48,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        with _nanos_as_long(spark):
+            df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(path)
+
+
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope ``nanosAsLong`` to one read: the conf is captured when the
+    relation is defined, so restoring it afterwards doesn't affect this
+    DataFrame but keeps later TIMESTAMP(NANOS) reads in the shared session
+    from silently degrading to bigint."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

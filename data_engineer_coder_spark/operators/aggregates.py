@@ -133,10 +133,19 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("qty_quantiles"),
+    # Quantiles exploded to scalar columns: downstream harnesses (and the
+    # driver's pandas canonicalizer) choke on raw array<> cells.
+    agg = li.agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("qs"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+    return agg.select(
+        F.element_at("qs", 1).alias("q25"),
+        F.element_at("qs", 2).alias("q50"),
+        F.element_at("qs", 3).alias("q75"),
+        "approx_parts",
+        "approx_orders",
     )
 
 
@@ -267,18 +276,22 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_lines",
     oracle="""
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS line_nums,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_nums,
        COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY l_orderkey
 """,
     tags=("agg", "nest"),
-    doc="A5: collect_list + sort_array — deterministic re-nesting per order.",
+    doc="A5: collect_list + sort_array, serialized to CSV — deterministic re-nesting per order.",
 )
 def collect_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serialized to a string (not a raw array<int> cell): integer→string is
+    # format-stable across engines, and array cells crash pandas-side hashing.
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_nums"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_nums"),
         F.count("*").alias("n_lines"),
     )
 

@@ -230,14 +230,20 @@ SELECT vec_id,
        embedding[64] AS last_val,
        list_max(embedding) AS max_val,
        list_min(embedding) AS min_val,
-       embedding[1:3] AS head3
+       embedding[1] AS head_1,
+       embedding[2] AS head_2,
+       embedding[3] AS head_3
 FROM embeddings
 """,
     tags=("function", "array"),
     doc="F5: size/element_at/slice/array_min/array_max over array<float>.",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The slice result is re-exposed as scalar columns: raw array<> cells
+    # crash pandas-side hashing, and float→string serialization is not
+    # format-stable across engines.
     e = table(spark, sf_dir, "embeddings")
+    head3 = F.slice("embedding", 1, 3)
     return e.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("n_dims"),
@@ -245,7 +251,9 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 64).alias("last_val"),
         F.array_max("embedding").alias("max_val"),
         F.array_min("embedding").alias("min_val"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.element_at(head3, 1).alias("head_1"),
+        F.element_at(head3, 2).alias("head_2"),
+        F.element_at(head3, 3).alias("head_3"),
     )
 
 

@@ -160,9 +160,37 @@ WHERE o_orderstatus = 'F'
     doc="O1: global sort, made hash-visible via global position column.",
 )
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe global ranking: a bare ``row_number() OVER (ORDER BY ...)``
+    funnels every row through ONE task.  Instead: range-partition on the full
+    sort key (contiguous key ranges per partition), rank locally, then add
+    per-partition row-count offsets (tiny aggregate, broadcast back).  The
+    sort key is total (o_orderkey is unique), so the global position is exact
+    regardless of sampled range boundaries."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
+    key = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    parts = o.repartitionByRange(32, *key).withColumn("_pid", F.spark_partition_id())
+    local = parts.withColumn("_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*key)))
+    # Per-partition counts → exclusive prefix sum = offset. ≤ #partitions rows,
+    # so the single-partition window here is bounded, not data-sized.
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("_rn") + F.col("_off")).cast("int").alias("pos"),
+    )
 
 
 @register(

@@ -58,6 +58,70 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# Names emitted FIRST by queries()/oracle_sql(), in this order; everything
+# else follows in registration order.  The external driver correctness-checks
+# a 50-query prefix of the returned dict, so this list rotates coverage:
+# queries with no CORRECTNESS row yet (round 1 checked only the first 50
+# registered — see VERDICT.md) and queries changed this round go up front,
+# while the already-driver-verified relational/join/window/setops block
+# (locally covered by tests/test_oracle_parity.py) rotates to the back.
+# Keep this list at ≤ 50 names; unknown names are ignored (forward refs OK).
+_CHECK_FIRST: tuple[str, ...] = (
+    # -- never driver-checked in round 1 (registration positions 51-88) --
+    "airquality_wide",
+    "airquality_report_stats",
+    "inmemory_rows",
+    "shipping_priority",
+    "order_priority_check",
+    "scalar_subquery",
+    "pandas_udf_normalize",
+    "python_udf_reverse",
+    "pandas_udaf_median",
+    "udtf_tokenize",
+    "funnel_conversion",
+    "parts_supplier_counts",
+    "session_sequence",
+    "dedup_exact",
+    "dedup_hash_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "cosine_topk",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "token_stats",
+    "bpe_ish_token_count",
+    "lang_id_heuristic",
+    "quality_score",
+    "doc_fingerprint",
+    "word_freq_topk",
+    "multimodal_join",
+    "binary_payload_meta",
+    "multimodal_decode_stub",
+    "tumbling_window_agg",
+    "streaming_tumbling_events",
+    "sliding_window_agg",
+    "session_window_agg",
+    "watermark_window_agg",
+    "stream_dedup",
+    "user_session_stats",
+    "streaming_user_counters",
+    # -- fixed or rewritten this round: need a fresh CORRECTNESS row --
+    "summary_approx",
+    "collect_lines",
+    "array_funcs",
+    "sort_global",
+    "summary_stats",
+    # -- new this round --
+    "tfidf_topk",
+)
+
+
+def _check_order(names: list[str]) -> list[str]:
+    pri = {n: i for i, n in enumerate(_CHECK_FIRST)}
+    reg = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (0, pri[n]) if n in pri else (1, reg[n]))
+
 
 def register(
     name: str,
@@ -94,14 +158,12 @@ def load_all() -> None:
 
 def all_queries() -> dict[str, QuerySpec]:
     load_all()
-    return dict(_REGISTRY)
+    return {name: _REGISTRY[name] for name in _check_order(list(_REGISTRY))}
 
 
 def queries() -> dict[str, QueryFn]:
-    load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    load_all()
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle}
+    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle}

@@ -20,6 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io.tables import _nanos_as_long
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table (micro-batch parquet source).
@@ -29,15 +31,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema from a static read and convert ts to a real timestamp.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    # The file-stream source wants a directory: stream the sf_dir with a
-    # glob pinned to the events file.
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    with _nanos_as_long(spark):
+        raw_schema = spark.read.parquet(path).schema
+        # The file-stream source wants a directory: stream the sf_dir with a
+        # glob pinned to the events file.
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return sdf
@@ -64,7 +66,16 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        # Timed out: reading the sink now would silently return a partial
+        # (or empty) mid-stream snapshot. Stop the query and fail loudly.
+        q.stop()
+        err = q.exception()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_s}s"
+            + (f"; underlying error: {err}" if err else "")
+        )
     spark = sdf.sparkSession
     return spark.table(name)
 
