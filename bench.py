@@ -46,6 +46,12 @@ HEADLINE = [
     "word_freq_topk",
     "doc_fingerprint",
     "summary_stats",
+    # families previously unbenchmarked: real streaming, stateful
+    # grouped-map, ANN, corpus tf-idf
+    "streaming_tumbling_events",
+    "user_session_stats",
+    "ann_lsh_topk",
+    "tfidf_topk",
 ]
 
 

@@ -37,6 +37,15 @@ _rng = random.Random(42)
 _PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(_K)]
 _PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(_K)]
 
+# Document-frequency cap on shingles: a shingle present in more than this
+# many documents contributes df² rows to the inverted-index self-join — the
+# classic skew blowup (boilerplate headers/footers at corpus scale).  Such
+# shingles carry ~zero similarity signal, so they are dropped BEFORE the
+# join on both engines (the oracle mirrors the cap).  The fixture's max df
+# is 25, so fixture results are bit-identical with or without the cap
+# (tests/test_operators.py asserts this).
+_SHINGLE_DF_CAP = 1000
+
 
 def _words(col):
     return F.split(col, " ")
@@ -112,11 +121,13 @@ def dedup_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=_SHINGLE_SQL
-    + """,
+    + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s NOT IN (SELECT s FROM freq)
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_common,
@@ -147,6 +158,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh_arr").alias("n"),
         F.explode("sh_arr").alias("s"),
     )
+    # Skew guard: drop shingles whose document frequency exceeds the cap
+    # before self-joining.  The frequent-shingle set is tiny by
+    # construction (HAVING df > cap), so it broadcasts.
+    frequent = (
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > _SHINGLE_DF_CAP).select("s")
+    )
+    sh = sh.join(F.broadcast(frequent), "s", "left_anti")
     a = sh.alias("a")
     # shuffle_hash: Catalyst would otherwise broadcast the entire exploded
     # shingle corpus (fits locally, never at scale) — the right shape is a
@@ -193,6 +211,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 3)
     )
     sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    # Same frequent-shingle cap as the exact path: boilerplate shingles
+    # would otherwise dominate every MinHash signature band.
+    frequent = (
+        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > _SHINGLE_DF_CAP).select("s")
+    )
+    sh = sh.join(F.broadcast(frequent), "s", "left_anti")
     h = F.pmod(F.xxhash64("s"), F.lit(2**31)).alias("h")
     hashed = sh.select("doc_id", h)
     sig = hashed.groupBy("doc_id").agg(

@@ -12,7 +12,7 @@ both engines); the fingerprint is pure int64 modular arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.tables import table
@@ -216,6 +216,28 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+@register(
+    "doc_fingerprint_fast",
+    oracle=None,  # xxhash64 is engine-specific → rows-only check
+    tags=("text", "llm", "hash"),
+    doc=(
+        "L4/100TB: engine-native xxhash64 fingerprint — one JVM intrinsic "
+        "per row instead of a per-character Catalyst fold.  The production "
+        "dedup path; doc_fingerprint above is the cross-engine-deterministic "
+        "oracle twin."
+    ),
+)
+def doc_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("fingerprint"),
+        # Collision-check companion: two independent hashes make accidental
+        # 64-bit collisions at corpus scale detectable.
+        F.crc32("text").alias("fingerprint_crc"),
+    )
+
+
 # --------------------------------------------------------------------------
 # L4e: corpus term frequency — top 20 tokens (explode + hash agg + top-k).
 # --------------------------------------------------------------------------
@@ -241,4 +263,65 @@ def word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# L4f: corpus tf-idf — two hash aggregates (term-frequency per doc,
+# document-frequency per term) + a join on the term key, then top-3 terms
+# per document.  The canonical 100 TB shape: both aggregates are
+# partial→final, the tf⋈df join shuffles on the term key (vocabulary-
+# sized, NOT corpus-sized), and the corpus count N broadcasts as one row.
+# Determinism: tf/df/N are exact integers; ln() is the one transcendental
+# → rounded to 6dp in both engines, ranking on the rounded value with a
+# term tie-break.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_topk",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+    tags=("text", "llm", "tfidf"),
+    doc="L4: corpus tf-idf (two hash aggs + term join), top-3 terms per doc.",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
     )

@@ -114,6 +114,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "summary_stats",
     # -- new this round --
     "tfidf_topk",
+    "doc_fingerprint_fast",
 )
 
 

@@ -65,9 +65,14 @@ def get_spark(
     # (Do NOT lower spark.sql.codegen.hugeMethodLimit: forcing the
     # non-codegen fallback made the same aggregates deterministically
     # ~60× slower.)
+    # -XX:-DontCompileHugeMethods: wide aggregate stacks (15 decimal aggs
+    # in summary_stats) generate >8000-bytecode methods that HotSpot
+    # otherwise refuses to JIT — measured 3.8s → 1.5s on summary_stats
+    # at sf0.1.
     builder = builder.config(
         "spark.driver.extraJavaOptions",
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+        "-XX:-DontCompileHugeMethods",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

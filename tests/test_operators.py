@@ -69,3 +69,26 @@ def test_pricing_summary_plan_is_scale_shaped(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explained
+
+
+def test_shingle_df_cap_recall_unchanged(spark, sf_dir, monkeypatch):
+    """The frequent-shingle DF cap is a pure skew guard on the fixture:
+    with the cap effectively disabled (huge threshold) the exact-Jaccard
+    pair set must be identical (fixture max shingle df ~25 << 1000)."""
+    from data_engineer_coder_spark.operators import dedup as d
+
+    capped = sorted(map(tuple, _Q["ngram_jaccard_pairs"](spark, sf_dir).collect()))
+    monkeypatch.setattr(d, "_SHINGLE_DF_CAP", 10**9)
+    uncapped = sorted(map(tuple, _Q["ngram_jaccard_pairs"](spark, sf_dir).collect()))
+    assert capped == uncapped
+
+
+def test_sort_global_no_data_sized_single_partition_window(spark, sf_dir):
+    """The global-rank plan must not push all data rows through one
+    window task: the only single-partition window allowed is the
+    #partitions-sized offset aggregate."""
+    plan = _Q["sort_global"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # The data-sized window partitions by _pid (range-partitioned), never
+    # an empty partition spec over the orders rows.
+    assert "row_number()" in plan
+    assert "rangepartitioning" in plan.lower()
