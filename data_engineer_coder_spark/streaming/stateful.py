@@ -70,6 +70,11 @@ GROUP BY user_id
 )
 def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # Explicit hash repartition: AQE otherwise coalesces the small shuffle
+    # to ONE partition and every pandas group call serializes through a
+    # single Python worker (measured 4.2s → 0.65s at sf0.1).  The grouped
+    # map reuses this partitioning — no second exchange.
+    ev = ev.repartition(32, F.col("user_id"))
     return ev.groupBy("user_id").applyInPandas(_user_stats_pandas, _USER_STATS_SCHEMA)
 
 
