@@ -1,0 +1,118 @@
+"""Deterministic sampling + skew-mitigation aggregation patterns.
+
+Training-data pipelines sample constantly (holdout splits, per-source
+quotas, debug slices).  ``df.sample()`` is seed-dependent *per partition
+layout*, so results change when the file split changes — useless for
+reproducible 100 TB pipelines.  The engine's sampling is **content
+hashed**: a row is in the sample iff ``md5(key)`` falls under a
+threshold, so membership is a pure function of the data (stable under
+repartitioning, re-runs, engine version, even engine *choice* — the
+DuckDB oracle computes the identical sample).
+
+``skew_salted_agg`` is the canonical two-stage salted aggregation: at
+100 TB a single hot group key (bot traffic on one event_type) turns a
+hash agg's final exchange into one straggler task.  Salting splits each
+key into ``_SALTS`` subkeys for the partial aggregate, then merges the
+partials — the hot key's work spreads over ``_SALTS`` tasks and the
+second shuffle carries only ``keys × _SALTS`` rows.  (Spark's partial
+map-side aggregation already does this when the hot key is spread over
+many *input* partitions; explicit salting is the insurance for when it
+is not — and the oracle proves the rewrite is semantics-preserving.)
+
+The reference has no sampling or skew handling (it processes ≤96
+rows/day, /root/reference/dags/my_data_pipeline.py:16,19,150).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+from ._helpers import DEC, sql_dsum
+
+_SALTS = 16
+
+# md5 produces a uniform hex string; comparing its first 2 chars against a
+# threshold yields rate = int(threshold, 16) / 256.  '20' → 32/256 = 12.5%.
+_SAMPLE_THRESHOLD = "20"
+
+# Stratified rates per event_type, as hex-prefix thresholds:
+# purchase kept at ~50% ('80'=128/256), error at 100% ('zz' > any hex),
+# everything else at ~6.25% ('10'=16/256).
+_STRATA = {"purchase": "80", "error": "zz"}
+_DEFAULT_STRATUM = "10"
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT event_id, user_id, event_type, value,
+         substring(md5(CAST(event_id AS VARCHAR)), 1, 2) AS hk
+  FROM events
+)
+SELECT event_id, user_id, event_type, value
+FROM keyed
+WHERE hk < '{_SAMPLE_THRESHOLD}'
+   OR hk < CASE event_type
+             WHEN 'purchase' THEN '{_STRATA["purchase"]}'
+             WHEN 'error' THEN '{_STRATA["error"]}'
+             ELSE '{_DEFAULT_STRATUM}'
+           END
+""",
+    tags=("sampling", "llm"),
+    doc=(
+        "Content-hash deterministic sample (12.5% uniform ∪ stratified "
+        "per-type rates) — reproducible under repartitioning and across "
+        "engines, unlike seed-based df.sample()."
+    ),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hk = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    stratum = (
+        F.when(F.col("event_type") == "purchase", _STRATA["purchase"])
+        .when(F.col("event_type") == "error", _STRATA["error"])
+        .otherwise(_DEFAULT_STRATUM)
+    )
+    return ev.filter((hk < _SAMPLE_THRESHOLD) | (hk < stratum)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "skew"),
+    doc=(
+        "Two-stage salted aggregation (salt = hash(event_id) % 16): "
+        "hot-key insurance at scale, provably identical to the direct "
+        "group-by (the oracle IS the unsalted query)."
+    ),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Stage 1: partial aggregate on (key, salt).  The salt is derived from
+    # a data column (not rand()) so the plan stays deterministic.
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)))
+        .groupBy("event_type", "_salt")
+        # Keep the partial as exact DECIMAL — casting to double here would
+        # reintroduce accumulation-order dependence in the merge.
+        .agg(F.count("*").alias("_n"), F.sum(F.col("value").cast(DEC)).alias("_sv"))
+    )
+    # Stage 2: merge partials — only keys × _SALTS rows shuffle here; the
+    # decimal re-sum is exact, so the result is bit-identical to the
+    # direct single-stage aggregate the oracle runs.
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_sv").cast("double").alias("sum_value"),
+    )

@@ -261,3 +261,140 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id", "rn", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# L3d: IVF-style ANN — coarse quantizer (nearest of K centroids) partitions
+# the corpus into inverted lists; each probe searches only its nprobe
+# closest lists.  Per-probe work drops from |corpus| to ~|corpus|·nprobe/K.
+# Centroids here are corpus vectors picked by a fixed id rule (a real
+# deployment k-means-refines them offline; the *query shape* — assign,
+# invert, probe, re-rank — is identical and is what must scale).
+# Fully deterministic (quantized-int cosine, id tie-breaks) → the DuckDB
+# oracle replays the exact same search.
+# --------------------------------------------------------------------------
+
+_IVF_K = 16  # centroids: vec_ids [100, 116)
+_IVF_NPROBE = 4
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+  ) WHERE crn = 1
+),
+probe_lists AS (
+  SELECT probe_id, pqv, pnrm, centroid_id FROM (
+    SELECT n.vec_id AS probe_id, n.qv AS pqv, n.nrm AS pnrm, cents.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+    WHERE n.vec_id < 20
+  ) WHERE crn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         CAST({_SQL_DOT.format(a='p.pqv', b='a.qv')} AS DOUBLE)
+           / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE))) AS cos_sim
+  FROM probe_lists p
+  JOIN assigned a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, rn, cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+    tags=("similarity", "llm", "approx", "ann"),
+    doc=(
+        "L3 at scale: IVF ANN — assign corpus to nearest of 16 centroids "
+        "(broadcast, map-side argmax), probe the 4 nearest lists per "
+        "query, exact re-rank.  Deterministic → fully oracle-checked."
+    ),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = (
+        n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("cqv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    # Corpus × K centroid scores stay in the source partition (broadcast
+    # join, no shuffle); the argmax aggregate partial-combines map-side so
+    # the exchange carries |corpus| rows, not |corpus| × K.
+    corpus_scores = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim")
+    )
+    assigned = (
+        corpus_scores.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+    )
+    w_cent = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probe_lists = (
+        corpus_scores.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+            "centroid_id",
+            "c_sim",
+        )
+        .withColumn("crn", F.row_number().over(w_cent))
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .drop("c_sim", "crn")
+    )
+    scored = (
+        F.broadcast(probe_lists)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(_dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "rn", "cos_sim")
+    )

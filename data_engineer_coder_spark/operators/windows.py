@@ -188,3 +188,39 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# W1b: distribution ranking — percent_rank / cume_dist / ntile.  All three
+# are exact rationals of ranks and counts, so the doubles are bit-identical
+# across engines; the ORDER BY carries a unique tiebreaker (o_orderkey).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       o_orderkey,
+       o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_orderstatus = 'F'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "rank"),
+    doc="W1: percent_rank / cume_dist / ntile(4) per order priority.",
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -52,8 +52,10 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.textops",
     "data_engineer_coder_spark.operators.multimodal",
+    "data_engineer_coder_spark.operators.sampling",
     "data_engineer_coder_spark.streaming.windows",
     "data_engineer_coder_spark.streaming.stateful",
+    "data_engineer_coder_spark.streaming.joins",
 )
 
 _loaded = False
@@ -112,9 +114,16 @@ _CHECK_FIRST: tuple[str, ...] = (
     "array_funcs",
     "sort_global",
     "summary_stats",
-    # -- new this round --
+    # -- new this round (exactly fills the 50-query check prefix; the
+    # round's remaining new queries — purchase_attribution_batch,
+    # stream_join_conversion_rate — rotate into the prefix next round) --
     "tfidf_topk",
     "doc_fingerprint_fast",
+    "ivf_ann_topk",
+    "deterministic_sample",
+    "skew_salted_agg",
+    "stream_stream_join",
+    "window_percentiles",
 )
 
 

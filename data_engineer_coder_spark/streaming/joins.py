@@ -1,0 +1,133 @@
+"""Stream-stream joins (T-family extension, SURVEY.md §2.9).
+
+The canonical attribution query: join each purchase event to the click
+events by the same user in the preceding 30 minutes.  In Structured
+Streaming this is a watermarked stream-stream inner join — both sides
+buffer state, the event-time bound (``c.ts BETWEEN p.ts - 30m AND
+p.ts``) plus the watermarks let Spark evict state as time advances,
+which is what makes the join runnable forever at scale.
+
+Batch-first like streaming/windows.py: ``attributed_purchases`` is a
+pure DataFrame transformation; the registered query runs it over two
+REAL ``readStream`` inputs through a memory sink and shares the batch
+oracle (availableNow over a complete input ⇒ streaming == batch for an
+inner join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..operators._helpers import sql_dsum, ts_str
+from ..registry import register
+from .core import run_to_memory, stream_events
+
+_GAP_MIN = 30
+
+
+def attributed_purchases(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Inner join: purchases ⋈ same-user clicks in the preceding 30 min.
+
+    Equi-key = user_id (the shuffle/state key); the range predicate on
+    event time bounds the buffered state on both sides.
+    """
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        ts_str("p_ts").alias("purchase_ts"),
+        ts_str("c_ts").alias("click_ts"),
+        "purchase_value",
+    )
+
+
+_SSJ_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.value AS purchase_value
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {_GAP_MIN} MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register(
+    "stream_stream_join",
+    oracle=_SSJ_ORACLE,
+    tags=("streaming", "join", "real-stream"),
+    doc=(
+        "T stream-stream: watermarked purchase⋈click attribution join over "
+        "two real readStream inputs → memory sink; inner join over a "
+        "complete availableNow input equals the batch join, so it shares "
+        "the batch oracle."
+    ),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    clicks = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return run_to_memory(attributed_purchases(purchases, clicks), "append")
+
+
+@register(
+    "purchase_attribution_batch",
+    oracle=_SSJ_ORACLE,
+    tags=("streaming", "join"),
+    doc="Batch twin of stream_stream_join (same transformation, spark.read input).",
+)
+def purchase_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return attributed_purchases(ev, ev)
+
+
+@register(
+    "stream_join_conversion_rate",
+    oracle=f"""
+WITH attributed AS ({_SSJ_ORACLE})
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS n_attributed_purchases,
+       COUNT(*) AS n_click_pairs,
+       {sql_dsum('purchase_value')} AS attributed_value
+FROM attributed
+GROUP BY user_id
+""",
+    tags=("streaming", "join", "agg"),
+    doc="Aggregation over the attribution join: per-user attributed purchase totals.",
+)
+def stream_join_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._helpers import DEC
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        attributed_purchases(ev, ev)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("n_attributed_purchases"),
+            F.count("*").alias("n_click_pairs"),
+            F.sum(F.col("purchase_value").cast(DEC)).cast("double").alias("attributed_value"),
+        )
+    )

@@ -92,3 +92,20 @@ def test_sort_global_no_data_sized_single_partition_window(spark, sf_dir):
     # an empty partition spec over the orders rows.
     assert "row_number()" in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    """IVF(nprobe=4/16) top-3 should substantially agree with the exact
+    top-5: every IVF hit must be a true neighbor ranking-wise (cos_sim
+    monotone in rn), and overall recall@3 vs the exact top-3 stays > 0.5
+    on the fixture."""
+    exact = {}
+    for r in _Q["cosine_topk"](spark, sf_dir).collect():
+        if r.rn <= 3:
+            exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in _Q["ivf_ann_topk"](spark, sf_dir).collect():
+        ivf.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    hits = sum(len(ivf.get(p, set()) & s) for p, s in exact.items())
+    total = sum(len(s) for s in exact.values())
+    assert hits / total > 0.5, f"IVF recall@3 too low: {hits}/{total}"
