@@ -52,6 +52,8 @@ HEADLINE = [
     "user_session_stats",
     "ann_lsh_topk",
     "tfidf_topk",
+    "ivf_ann_topk",
+    "stream_stream_join",
 ]
 
 

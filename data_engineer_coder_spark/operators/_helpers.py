@@ -53,6 +53,45 @@ def sql_davg(expr: str) -> str:
     return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
 
 
+def with_global_pos(df, order_cols, pos_name: str = "pos", num_partitions: int = 32):
+    """Attach a 1-based global rank column without a single-partition window.
+
+    Scale-safe global ranking: range-partition on the sort key (contiguous
+    key ranges per partition), ``row_number`` locally, then add per-partition
+    row-count offsets (an aggregate of ≤ ``num_partitions`` rows, broadcast
+    back).  Equal keys split across a range boundary get an arbitrary but
+    valid order among themselves — callers needing a total order must pass a
+    unique tiebreaker in ``order_cols``.
+    """
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(pos_name, F.col("_rn") + F.col("_off"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def day_str(col: Column | str) -> Column:
     """Timestamp → 'yyyy-MM-dd' string (matches DuckDB strftime('%Y-%m-%d'))."""
     return F.date_format(_c(col), "yyyy-MM-dd")

@@ -14,12 +14,12 @@ percentile query is the one deliberate exception (global sort); its
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import davg, day_str, dsum, sql_davg, sql_dsum
+from ._helpers import davg, day_str, dsum, sql_davg, sql_dsum, with_global_pos
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -89,10 +89,12 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A1b: exact quantiles (type-1 / discrete: element at rank ceil(q*n)) via a
-# global sort window.  Interpolating percentiles differ at ULP level across
-# engines; picking an actual element is bit-exact.  100 TB path: the
-# approx variant below.
+# A1b: exact quantiles (type-1 / discrete: element at rank ceil(q*n)).
+# Interpolating percentiles differ at ULP level across engines; picking an
+# actual element is bit-exact.  The global rank comes from the
+# range-partitioned helper (no single-partition window): ties across a
+# range boundary don't matter — every element at a given rank among equal
+# keys has the same value.  100 TB alternative: the approx variant below.
 # --------------------------------------------------------------------------
 
 
@@ -115,10 +117,9 @@ FROM s
 )
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("x"))
-    w = Window.orderBy("x")
-    s = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
-    )
+    ranked = with_global_pos(li, [F.asc("x")], pos_name="rn")
+    n = li.agg(F.count("*").alias("n"))
+    s = ranked.crossJoin(F.broadcast(n))
     sel = lambda q: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"), F.col("x"))
     )

@@ -1,0 +1,75 @@
+"""File-format sources beyond parquet (SURVEY.md §2.1 S3 extension).
+
+The reference's only file exchange is JSON-over-HTTP
+(``/root/reference/dags/my_data_pipeline.py:34-38``); a complete engine
+also reads the landed-file forms.  ``csv_json_roundtrip`` proves the
+CSV and JSON readers/writers are lossless against the parquet truth:
+a sample is written to BOTH formats, read back under explicit schemas,
+and every row must appear exactly twice in the union — any formatting
+drift (double round-trip, quoting, null encoding) breaks the count and
+the oracle hash.
+
+Scale posture: format choice changes the scan operator only — writes
+are partition-parallel, reads split per file; schemas are explicit
+(inference is a dev convenience the engine does not rely on, SURVEY.md
+§1.3).  Doubles survive because Spark writes round-trip-safe shortest
+reprs (Java ``Double.toString``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io.tables import table
+from ..operators._helpers import ts_str
+from ..registry import register
+
+_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_s", T.StringType()),
+    ]
+)
+
+
+@register(
+    "csv_json_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(2 AS BIGINT) AS n_copies
+FROM events
+WHERE event_id < 2000
+""",
+    tags=("source", "csv", "json"),
+    doc=(
+        "S3 formats: write a sample to CSV and JSON, read both back under "
+        "explicit schemas; every row must appear exactly twice (lossless "
+        "round-trip proven against the parquet truth)."
+    ),
+)
+def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value", ts_str("ts").alias("ts_s"))
+    )
+    out = tempfile.mkdtemp(prefix="fmt_rt_")
+    csv_dir, json_dir = os.path.join(out, "csv"), os.path.join(out, "json")
+    sample.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    sample.write.mode("overwrite").json(json_dir)
+    csv = spark.read.schema(_RT_SCHEMA).option("header", "true").csv(csv_dir)
+    js = spark.read.schema(_RT_SCHEMA).json(json_dir)
+    return (
+        csv.unionByName(js)
+        .groupBy("event_id", "user_id", "event_type", "value", "ts_s")
+        .agg(F.count("*").alias("n_copies"))
+    )

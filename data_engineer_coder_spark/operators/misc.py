@@ -202,3 +202,91 @@ def pipeline(source: DataFrame, *transforms, sink=None):
     if sink is not None:
         sink(df)
     return df
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated aggregate subquery — each lineitem compared
+# against the per-part average quantity.  Catalyst decorrelates this into
+# an aggregate + equi-join; written in SQL so the decorrelation path
+# itself is exercised.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "correlated_agg_subquery",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice')} AS small_order_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+""",
+    tags=("subquery", "agg"),
+    doc="Q17 shape: correlated aggregate subquery (qty < half the part's average).",
+)
+def correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_csq")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS small_order_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem_csq l
+        WHERE l_quantity < (
+          SELECT 0.5 * AVG(l_quantity) FROM lineitem_csq WHERE l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING over a grouped subquery feeding a semi join —
+# large-volume orders with their customers.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_orders",
+    oracle=f"""
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       {sql_dsum('l_quantity')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+    tags=("subquery", "join", "agg", "having"),
+    doc="Q18 shape: IN-subquery with HAVING (large orders), join back to customers.",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_ok"), li.l_orderkey == F.col("_ok"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            day_str("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )

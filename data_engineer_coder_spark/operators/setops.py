@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import ts_str
+from ._helpers import ts_str, with_global_pos
 
 # --------------------------------------------------------------------------
 # U1: union all / union distinct (by name).
@@ -161,35 +161,14 @@ WHERE o_orderstatus = 'F'
 )
 def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe global ranking: a bare ``row_number() OVER (ORDER BY ...)``
-    funnels every row through ONE task.  Instead: range-partition on the full
-    sort key (contiguous key ranges per partition), rank locally, then add
-    per-partition row-count offsets (tiny aggregate, broadcast back).  The
-    sort key is total (o_orderkey is unique), so the global position is exact
-    regardless of sampled range boundaries."""
+    funnels every row through ONE task; ``with_global_pos`` range-partitions
+    on the full sort key, ranks locally, and adds per-partition offsets.
+    The sort key is total (o_orderkey is unique), so the global position is
+    exact regardless of sampled range boundaries."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    key = [F.desc("o_totalprice"), F.asc("o_orderkey")]
-    parts = o.repartitionByRange(32, *key).withColumn("_pid", F.spark_partition_id())
-    local = parts.withColumn("_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*key)))
-    # Per-partition counts → exclusive prefix sum = offset. ≤ #partitions rows,
-    # so the single-partition window here is bounded, not data-sized.
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_off")
-    )
-    return local.join(F.broadcast(offsets), "_pid").select(
-        "o_orderkey",
-        "o_totalprice",
-        (F.col("_rn") + F.col("_off")).cast("int").alias("pos"),
+    ranked = with_global_pos(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], pos_name="_pos")
+    return ranked.select(
+        "o_orderkey", "o_totalprice", F.col("_pos").cast("int").alias("pos")
     )
 
 

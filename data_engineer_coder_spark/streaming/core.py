@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from ..io.tables import _nanos_as_long
 
 
+def _ckpt_dir() -> str:
+    """Checkpoint scratch: tmpfs when available (state-store commits do
+    synchronous IO per micro-batch; this host's block device exhibits
+    multi-minute stalls — same rationale as session.py spark.local.dir).
+    Production streams point this at durable storage instead."""
+    base = "/dev/shm/spark-ckpt" if os.path.isdir("/dev/shm") else None
+    if base:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table (micro-batch parquet source).
 
@@ -49,24 +60,45 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame.
+
+    ``shuffle_partitions`` sizes the STATE partitioning for this query
+    (captured at stream planning, then restored): every stateful operator
+    instantiates one state store per shuffle partition per micro-batch,
+    a fixed cost that dwarfs the work when partitions far outnumber the
+    keyspace/throughput (measured on the attribution join: 32 partitions
+    7.4s → 8 partitions 2.5s at sf0.1).  Production sizing rule: pick
+    partitions for peak state volume, not the batch-session default —
+    it is baked into the checkpoint and cannot change across restarts.
 
     The memory sink is a test/driver harness: production sinks are
     ``foreachBatch`` → JDBC (S4 twin) or files (T8).
     """
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_s)
+    ckpt = _ckpt_dir()
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        # Restore only after the query finished (or timed out): micro-batch
+        # planning is asynchronous and reads the conf after start() returns.
+        if shuffle_partitions is not None:
+            spark.conf.set(key, prev)
     if not finished:
         # Timed out: reading the sink now would silently return a partial
         # (or empty) mid-stream snapshot. Stop the query and fail loudly.
@@ -76,7 +108,6 @@ def run_to_memory(
             f"streaming query {name!r} did not finish within {timeout_s}s"
             + (f"; underlying error: {err}" if err else "")
         )
-    spark = sdf.sparkSession
     return spark.table(name)
 
 
@@ -94,7 +125,7 @@ def write_foreach_batch(
     full-rewrite sinks, 'append' only for non-aggregated or watermarked
     plans (Spark rejects append on unwatermarked aggregations).
     """
-    ckpt = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = checkpoint or _ckpt_dir()
     return (
         sdf.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)

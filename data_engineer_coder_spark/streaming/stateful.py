@@ -130,4 +130,6 @@ def streaming_user_counters(ev_stream: DataFrame) -> DataFrame:
 def streaming_user_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .core import run_to_memory, stream_events
 
-    return run_to_memory(streaming_user_counters(stream_events(spark, sf_dir)), "update")
+    return run_to_memory(
+        streaming_user_counters(stream_events(spark, sf_dir)), "update", shuffle_partitions=8
+    )

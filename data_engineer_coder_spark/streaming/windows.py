@@ -121,7 +121,10 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(tumbling_hourly(stream_events(spark, sf_dir)), "complete")
+    # Small window×type keyspace → 8 state partitions (see run_to_memory).
+    return run_to_memory(
+        tumbling_hourly(stream_events(spark, sf_dir)), "complete", shuffle_partitions=8
+    )
 
 
 @register(
