@@ -134,3 +134,144 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: the video pattern — payload split into fixed-size
+# "frames", every k-th frame sampled, one output row per sampled frame
+# (1→N mapInPandas expansion).  The fixture payload is ASCII text bytes,
+# so per-frame byte sums are expressible in DuckDB too → oracle-checked,
+# unusual for media plumbing.
+# --------------------------------------------------------------------------
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx in range(0, (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES, _FRAME_STRIDE):
+                fr = payload[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_len"].append(len(fr))
+                out["frame_checksum"].append(int(sum(fr)))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         i AS frame_idx,
+         substring(text, i * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS fr
+  FROM documents,
+       unnest(range(0, CAST(CEIL(LENGTH(text) / {_FRAME_BYTES}.0) AS BIGINT))) AS t(i)
+  WHERE i % {_FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(LENGTH(fr) AS BIGINT) AS frame_len,
+       CAST(list_sum(list_transform(string_split(fr, ''), c -> ascii(c))) AS BIGINT)
+         AS frame_checksum
+FROM f
+""",
+    tags=("multimodal", "binary", "pandas-udf"),
+    doc=(
+        "Media frame sampling: payload → 32-byte frames, every 4th kept, "
+        "one row per frame via Arrow-batched mapInPandas (1→N); byte "
+        "checksums oracle-checked (ASCII fixture makes bytes == chars)."
+    ),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    # Spread docs before the Python stage — same single-file hazard as
+    # the other documents-table pandas paths.
+    return docs.repartition(32, F.col("doc_id")).mapInPandas(
+        _frame_sample_batches, schema=_FRAME_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature extraction / "resize": fixed-width feature row per payload —
+# char-class histogram (the stand-in for a channel histogram) plus a
+# 4-point "thumbnail" (first byte of each quarter).  numpy-vectorized
+# inside mapInPandas; scalar output columns (array cells are hostile to
+# downstream pandas canonicalizers).
+# --------------------------------------------------------------------------
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_lower_am", T.LongType()),
+        T.StructField("n_lower_nz", T.LongType()),
+        T.StructField("n_digit", T.LongType()),
+        T.StructField("n_space", T.LongType()),
+        T.StructField("thumb_0", T.IntegerType()),
+        T.StructField("thumb_1", T.IntegerType()),
+        T.StructField("thumb_2", T.IntegerType()),
+        T.StructField("thumb_3", T.IntegerType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in _FEAT_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(payload, dtype=np.uint8)
+            q = max(len(b) // 4, 1)
+            rows["doc_id"].append(doc_id)
+            rows["n_lower_am"].append(int(((b >= ord("a")) & (b <= ord("m"))).sum()))
+            rows["n_lower_nz"].append(int(((b >= ord("n")) & (b <= ord("z"))).sum()))
+            rows["n_digit"].append(int(((b >= ord("0")) & (b <= ord("9"))).sum()))
+            rows["n_space"].append(int((b == ord(" ")).sum()))
+            for t in range(4):
+                v = int(b[t * q]) if t * q < len(b) else -1
+                rows[f"thumb_{t}"].append(v)
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "media_feature_stub",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-m]', '', 'g')) AS BIGINT) AS n_lower_am,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[n-z]', '', 'g')) AS BIGINT) AS n_lower_nz,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space,
+       ascii(substring(text, 0 * GREATEST(LENGTH(text) // 4, 1) + 1, 1)) AS thumb_0,
+       ascii(substring(text, 1 * GREATEST(LENGTH(text) // 4, 1) + 1, 1)) AS thumb_1,
+       ascii(substring(text, 2 * GREATEST(LENGTH(text) // 4, 1) + 1, 1)) AS thumb_2,
+       ascii(substring(text, 3 * GREATEST(LENGTH(text) // 4, 1) + 1, 1)) AS thumb_3
+FROM documents
+""",
+    tags=("multimodal", "binary", "pandas-udf"),
+    doc=(
+        "Feature-extract/resize stub: numpy char-class histogram + 4-point "
+        "thumbnail per payload via mapInPandas, scalar outputs, "
+        "oracle-checked against pure-SQL equivalents."
+    ),
+)
+def media_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.repartition(32, F.col("doc_id")).mapInPandas(
+        _feature_batches, schema=_FEAT_SCHEMA
+    )
