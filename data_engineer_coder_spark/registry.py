@@ -128,10 +128,46 @@ _CHECK_FIRST: tuple[str, ...] = (
 )
 
 
+def _driver_checked() -> dict[str, bool]:
+    """name → ever recorded a non-error row in any CORRECTNESS_r*.json.
+
+    Lets the ordering rotate automatically across rounds: queries the
+    external gate has never reached sort ahead of green ones even if the
+    manual list above goes stale.
+    """
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = isinstance(row, dict) and not row.get("err")
+            seen[name] = seen.get(name, False) or ok
+    return seen
+
+
 def _check_order(names: list[str]) -> list[str]:
     pri = {n: i for i, n in enumerate(_CHECK_FIRST)}
     reg = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (0, pri[n]) if n in pri else (1, reg[n]))
+    seen = _driver_checked()
+
+    def key(n: str):
+        if n in pri:
+            return (0, pri[n])
+        if n not in seen:
+            return (1, reg[n])  # never reached by the driver gate
+        if not seen[n]:
+            return (2, reg[n])  # reached but errored — needs a fresh row
+        return (3, reg[n])  # has a green row already
+
+    return sorted(names, key=key)
 
 
 def register(

@@ -53,3 +53,26 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert sorted(map(tuple, got.select(sorted(got.columns)).collect())) == sorted(
         map(tuple, want.select(sorted(want.columns)).collect())
     )
+
+
+def test_ivf_assignment_is_partial_aggregated(spark, sf_dir):
+    """The corpus→centroid argmax must partial-aggregate map-side (the
+    exchange carries |corpus| rows, not |corpus| × K): plan shows a
+    partial HashAggregate below the exchange and a broadcast of the
+    centroid set, and no sort-merge join anywhere."""
+    from data_engineer_coder_spark.registry import queries
+
+    df = queries()["ivf_ann_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_tfidf_no_corpus_broadcast(spark, sf_dir):
+    """tf⋈df joins on the term key; only the 1-row corpus count may
+    broadcast — the term-level df table must not be collected driver-side."""
+    from data_engineer_coder_spark.registry import queries
+
+    df = queries()["tfidf_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan
