@@ -8,9 +8,10 @@ no dedup.  ``dedup_exact``/``dedup_hash_groups`` model exactly that
 
 Near-dup stack, Spark-first:
 - exact n-gram Jaccard via an inverted shingle index (explode → join on
-  shingle → group) — oracle-checkable, and already the scalable shape
-  (the join shuffles on the shingle key; frequent-shingle skew is the
-  known hazard → at 100 TB add a document-frequency cap on shingles).
+  shingle → group) — oracle-checkable, and already the scalable shape:
+  the join shuffles on the shingle key, and a document-frequency cap
+  (``_SHINGLE_DF_CAP``, mirrored in the oracle) drops boilerplate
+  shingles before the self-join — the df² skew hazard at corpus scale.
 - MinHash+LSH: 32 seeded affine permutations over xxhash64(shingle),
   8 bands × 4 rows, bucket self-join for candidates, exact-Jaccard
   re-rank.  Rows-only check: LSH recall is probabilistic by design.
@@ -23,7 +24,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.tables import table
@@ -159,17 +160,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("sh_arr").alias("s"),
     )
     # Skew guard: drop shingles whose document frequency exceeds the cap
-    # before self-joining.  The frequent-shingle set is tiny by
-    # construction (HAVING df > cap), so it broadcasts.
-    frequent = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > _SHINGLE_DF_CAP).select("s")
+    # before self-joining.  Computed as a count window over the shingle
+    # key: the one shuffle it costs ALSO leaves both join sides hash-
+    # partitioned and sorted on s, so the self-join below adds no
+    # exchange (verified in tests/test_scale.py).
+    sh = (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
     )
-    sh = sh.join(F.broadcast(frequent), "s", "left_anti")
     a = sh.alias("a")
-    # shuffle_hash: Catalyst would otherwise broadcast the entire exploded
-    # shingle corpus (fits locally, never at scale) — the right shape is a
-    # shuffled join on the shingle key for both sides.
-    b = sh.alias("b").hint("shuffle_hash")
+    b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -211,12 +212,14 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 3)
     )
     sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
-    # Same frequent-shingle cap as the exact path: boilerplate shingles
-    # would otherwise dominate every MinHash signature band.
-    frequent = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > _SHINGLE_DF_CAP).select("s")
+    # Same frequent-shingle cap as the exact path (count window on the
+    # shingle key): boilerplate shingles would otherwise dominate every
+    # MinHash signature band.
+    sh = (
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
     )
-    sh = sh.join(F.broadcast(frequent), "s", "left_anti")
     h = F.pmod(F.xxhash64("s"), F.lit(2**31)).alias("h")
     hashed = sh.select("doc_id", h)
     sig = hashed.groupBy("doc_id").agg(
