@@ -109,7 +109,7 @@ def pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@udtf(returnType="pos INT, token STRING, token_len INT")
+@udtf(returnType="pos INT, token STRING, token_len INT", useArrow=True)
 class _TokenizeUdtf:
     def eval(self, doc_id: int, text: str):  # noqa: D401
         for pos, tok in enumerate(text.split(" ")):
