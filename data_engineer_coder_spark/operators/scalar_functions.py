@@ -318,3 +318,39 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority_clean"),
         (F.col("o_orderstatus") == "O").alias("is_open"),
     )
+
+
+# --------------------------------------------------------------------------
+# F5b: higher-order array functions — exists / forall / filter / transform
+# composed JVM-side (lambda expressions inside whole-stage codegen, the
+# idiomatic replacement for per-row Python loops over array columns).
+# Predicates compare floats against literals only → deterministic.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "higher_order_funcs",
+    oracle="""
+SELECT vec_id,
+       LEN(list_filter(embedding, x -> x > 0)) AS n_pos,
+       LEN(list_filter(embedding, x -> x > 1.0)) > 0 AS any_gt1,
+       LEN(list_filter(embedding, x -> NOT (ABS(x) < 100))) = 0 AS all_small,
+       LEN(list_filter(list_transform(embedding, x -> x * x), x -> x > 0.25))
+         AS n_sq_gt_quarter
+FROM embeddings
+""",
+    tags=("function", "array", "higher-order"),
+    doc="F5: exists/forall/filter/transform lambda pipeline over array<float>.",
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(emb, lambda x: x > 1.0).alias("any_gt1"),
+        F.forall(emb, lambda x: F.abs(x) < 100).alias("all_small"),
+        F.size(F.filter(F.transform(emb, lambda x: x * x), lambda x: x > 0.25))
+        .cast("bigint")
+        .alias("n_sq_gt_quarter"),
+    )

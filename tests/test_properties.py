@@ -67,3 +67,39 @@ def test_fingerprint_matches_python(spark, s):
     for ch in s[1:]:
         acc = (acc * 31 + ord(ch)) % 2147483647
     assert got == acc
+
+
+# Content-hash sampling: membership is a pure function of the data, so
+# the sampled id-set must be invariant under any repartitioning.
+@given(n_parts=st.integers(min_value=1, max_value=9))
+@_settings
+def test_deterministic_sample_invariant_under_partitioning(spark, n_parts):
+    from data_engineer_coder_spark.io.tables import table as t
+
+    ev = t(spark, "/root/testdata/sf0.001", "events").repartition(n_parts)
+    hk = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    ids = sorted(r[0] for r in ev.filter(hk < "20").select("event_id").collect())
+    ev2 = t(spark, "/root/testdata/sf0.001", "events").coalesce(1)
+    ids2 = sorted(r[0] for r in ev2.filter(hk < "20").select("event_id").collect())
+    assert ids == ids2
+
+
+# with_global_pos must agree with a driver-side sort enumeration for any
+# input multiset and partition count.
+@given(
+    xs=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_with_global_pos_matches_enumeration(spark, xs, n_parts):
+    from data_engineer_coder_spark.operators._helpers import with_global_pos
+
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, x long").repartition(7)
+    ranked = with_global_pos(df, [F.asc("x"), F.asc("id")], num_partitions=n_parts)
+    got = {(r.id): r.pos for r in ranked.collect()}
+    want = {
+        rid: pos + 1
+        for pos, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == want
