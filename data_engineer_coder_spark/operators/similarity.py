@@ -398,3 +398,133 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id", "rn", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# L3e: k-means-refined IVF — Lloyd iterations expressed as DataFrame
+# rounds.  Each iteration: assign (broadcast centroids, map-side argmax)
+# → recompute centroids as 64 per-dimension integer-sum aggregates
+# (partial→final; the shuffle carries K×64 cells, NOT corpus×64 rows —
+# the explode-based mean would).  Exact bigint sums make every iteration
+# deterministic, so repeated runs converge identically; rows-only check
+# (a 2-iteration SQL replay is impractical) + recall test vs the exact
+# baseline in tests/test_operators.py.
+# --------------------------------------------------------------------------
+
+_KMEANS_ITERS = 2
+_DIMS = 64
+
+
+def _assign(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """corpus (vec_id, qv, nrm) × centroids (centroid_id, cqv, cnrm) →
+    per-vector best centroid, map-side partial argmax."""
+    cos = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    scores = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "nrm", "centroid_id", cos.alias("c_sim")
+    )
+    return (
+        scores.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """New centroid per list: elementwise mean of member vectors, computed
+    as 64 exact bigint-sum aggregates + one count, re-quantized."""
+    sums = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.element_at("qv", d + 1)).alias(f"_s{d}")
+            for d in range(_DIMS)
+        ],
+    )
+    mean_arr = F.array(
+        *[
+            F.round(F.col(f"_s{d}").cast("double") / F.col("_n")).cast("bigint")
+            for d in range(_DIMS)
+        ]
+    )
+    out = sums.select("centroid_id", mean_arr.alias("cqv"))
+    return out.select(
+        "centroid_id", "cqv", _dot(F.col("cqv"), F.col("cqv")).alias("cnrm")
+    )
+
+
+@register(
+    "ivf_kmeans_topk",
+    oracle=None,  # iterative refinement → rows-only; recall test covers quality
+    tags=("similarity", "llm", "approx", "ann", "iterative"),
+    doc=(
+        "L3 at scale: IVF with 2 Lloyd refinement iterations (assign → "
+        "64-dim exact-sum recenter per round), then nprobe=4 probe + "
+        "exact re-rank.  The iterative-algorithm pattern: one shuffle "
+        "round per iteration, K×64 cells on the wire."
+    ),
+)
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = (
+        n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("cqv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    # Iteration state (K×64 integer cells) is materialized to the driver
+    # and re-broadcast as literal rows each round — the MLlib-KMeans
+    # pattern for iterative algorithms.  Without it the lazy lineage
+    # nests one full assign+recenter subtree per iteration (exponential
+    # recompute).  This is algorithm state, not a data collect: the
+    # corpus never leaves the executors.
+    for _ in range(_KMEANS_ITERS):
+        rows = _recenter(_assign(n, cents)).collect()
+        cents = spark.createDataFrame(
+            [(r.centroid_id, list(r.cqv), r.cnrm) for r in rows],
+            "centroid_id long, cqv array<bigint>, cnrm long",
+        )
+    assigned = _assign(n, cents)
+
+    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    w_cent = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probe_lists = (
+        n.filter(F.col("vec_id") < 20)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+            "centroid_id",
+            cos_to_cent.alias("c_sim"),
+        )
+        .withColumn("crn", F.row_number().over(w_cent))
+        .filter(F.col("crn") <= _IVF_NPROBE)
+        .drop("c_sim", "crn")
+    )
+    scored = (
+        F.broadcast(probe_lists)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(_dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "rn", "cos_sim")
+    )

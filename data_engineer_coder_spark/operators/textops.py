@@ -141,31 +141,30 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "quality_score",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang, n_chars,
-         string_split(text, ' ') AS ws
-  FROM documents
-), m AS (
-  SELECT doc_id, lang, n_chars,
+# Shared between quality_score and the training_data_prep pipeline so the
+# Spark expressions and the oracle CTE cannot drift apart.
+_QUALITY_SQL_CTE = f"""
+q_t AS (
+  SELECT *, string_split(text, ' ') AS ws FROM documents
+), q_m AS (
+  SELECT * EXCLUDE (ws),
          LEN(ws) AS n_tokens,
          CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws) AS ttr,
          CAST(LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE) / LEN(ws) AS swr,
          CASE WHEN LEN(ws) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS len_ok
-  FROM t
+  FROM q_t
+), q AS (
+  SELECT *,
+         0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0) AS quality,
+         (0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0)) >= 0.5 AS keep
+  FROM q_m
 )
-SELECT doc_id, lang, n_tokens, ttr, swr, len_ok,
-       0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0) AS quality,
-       (0.4 * len_ok + 0.4 * ttr + 0.2 * LEAST(swr * 10, 1.0)) >= 0.5 AS keep
-FROM m
-""",
-    tags=("text", "llm"),
-    doc="L4: composite quality score (length window, diversity, stopword balance) + keep flag.",
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+"""
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Attach n_tokens/ttr/swr/len_ok/quality/keep columns (C4/Gopher-style
+    rule family); pure expressions, zero shuffle."""
     ws = F.split("text", " ")
     n_tokens = F.size(ws)
     ttr = F.size(F.array_distinct(ws)).cast("double") / n_tokens
@@ -173,14 +172,30 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
     quality = 0.4 * len_ok + 0.4 * ttr + 0.2 * F.least(swr * 10, F.lit(1.0))
     return docs.select(
-        "doc_id",
-        "lang",
+        "*",
         n_tokens.cast("bigint").alias("n_tokens"),
         ttr.alias("ttr"),
         swr.alias("swr"),
         len_ok.alias("len_ok"),
         quality.alias("quality"),
         (quality >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE}
+SELECT doc_id, lang, n_tokens, ttr, swr, len_ok, quality, keep
+FROM q
+""",
+    tags=("text", "llm"),
+    doc="L4: composite quality score (length window, diversity, stopword balance) + keep flag.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id", "lang", "n_tokens", "ttr", "swr", "len_ok", "quality", "keep"
     )
 
 

@@ -109,3 +109,17 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     hits = sum(len(ivf.get(p, set()) & s) for p, s in exact.items())
     total = sum(len(s) for s in exact.values())
     assert hits / total > 0.5, f"IVF recall@3 too low: {hits}/{total}"
+
+
+def test_ivf_kmeans_recall_at_least_matches_fixed_centroids(spark, sf_dir):
+    """Lloyd refinement must not degrade recall vs the exact top-3."""
+    exact = {}
+    for r in _Q["cosine_topk"](spark, sf_dir).collect():
+        if r.rn <= 3:
+            exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    km = {}
+    for r in _Q["ivf_kmeans_topk"](spark, sf_dir).collect():
+        km.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    total = sum(len(s) for s in exact.values())
+    hits = sum(len(km.get(p, set()) & s) for p, s in exact.items())
+    assert hits / total > 0.5, f"k-means IVF recall@3 too low: {hits}/{total}"
