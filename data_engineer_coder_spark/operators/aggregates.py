@@ -336,3 +336,38 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in EVENT_TYPES:
         out = out.withColumnRenamed(t, f"{t}_avg")
     return out
+
+
+# --------------------------------------------------------------------------
+# A6b: unpivot (melt) — the inverse of the pivot above: the wide
+# per-type table back to long (day, event_type, avg_value) rows.
+# Null cells (day × type combos with no events) are dropped so the
+# result equals the direct long aggregate, which is also the oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_event_types",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type,
+       {sql_davg('value')} AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("agg", "pivot", "unpivot"),
+    doc="A6: unpivot/melt of the wide pivot back to long — round-trips to the direct aggregate.",
+)
+def unpivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_event_types(spark, sf_dir)
+    long = wide.unpivot(
+        "day",
+        [f"{t}_avg" for t in EVENT_TYPES],
+        "event_type",
+        "avg_value",
+    )
+    return long.filter(F.col("avg_value").isNotNull()).select(
+        "day",
+        F.regexp_replace("event_type", "_avg$", "").alias("event_type"),
+        "avg_value",
+    )
