@@ -371,3 +371,43 @@ def unpivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("event_type", "_avg$", "").alias("event_type"),
         "avg_value",
     )
+
+
+# --------------------------------------------------------------------------
+# A4b: grouping_id — the correct way to tell a subtotal row from a
+# genuine NULL group key (the COALESCE(x,'ALL') idiom above conflates
+# them; fixture keys are non-null so both are shown).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_grouping_id",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, '(total)') AS returnflag,
+       COALESCE(l_linestatus, '(total)') AS linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup", "grouping-id"),
+    doc="A4: rollup with grouping_id marking which keys are aggregated per row.",
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(total)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(total)")).alias("linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n",
+            "sum_qty",
+        )
+    )
