@@ -73,3 +73,60 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id", "event_type", "value", "ts_s")
         .agg(F.count("*").alias("n_copies"))
     )
+
+
+# --------------------------------------------------------------------------
+# CSV robustness: malformed rows must surface in the corrupt-record
+# column under PERMISSIVE mode, never kill the job — the file-format
+# twin of json_malformed_robustness (status-code branching parity,
+# /root/reference/dags/my_data_pipeline.py:37-48).
+# --------------------------------------------------------------------------
+
+_CSV_LINES = [
+    "1,alpha,10",
+    "2,beta,not_a_number",  # type error → corrupt
+    "3,gamma,30",
+    "4,delta",  # missing column → corrupt
+]
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+@register(
+    "csv_malformed_robustness",
+    oracle="""
+SELECT id, name, qty, is_corrupt
+FROM (VALUES
+  (1, 'alpha', 10, FALSE),
+  (2, 'beta', CAST(NULL AS INTEGER), TRUE),
+  (3, 'gamma', 30, FALSE),
+  (4, 'delta', CAST(NULL AS INTEGER), TRUE)
+) AS t(id, name, qty, is_corrupt)
+""",
+    tags=("source", "csv", "robustness"),
+    doc=(
+        "S3 edge: malformed CSV rows (bad type, missing column) land in the "
+        "PERMISSIVE corrupt-record column; valid fields of bad rows survive."
+    ),
+)
+def csv_malformed_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="csv_bad_")
+    path = os.path.join(out, "rows.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(_CSV_LINES) + "\n")
+    df = (
+        spark.read.schema(_CSV_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return df.select(
+        "id", "name", "qty", F.col("_corrupt").isNotNull().alias("is_corrupt")
+    )
