@@ -340,3 +340,106 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# L2d: duplicate clusters — connected components over the near-dup pair
+# graph.  Pair detection alone leaves A~B, B~C as two facts; dedup needs
+# the transitive closure {A,B,C} with one canonical representative.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=_SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s NOT IN (SELECT s FROM freq)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.node
+),
+members AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM members
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id, TRUE AS is_canonical
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM members)
+""",
+    tags=("dedup", "llm", "iterative"),
+    doc=(
+        "L2: connected components over the exact-Jaccard pair graph via "
+        "hash-min label propagation (iterate: label = min over self + "
+        "neighbors, O(component diameter) rounds).  Every document gets a "
+        "cluster_id = min doc_id of its component; keep is_canonical rows "
+        "to dedup.  Oracle: DuckDB recursive CTE reachability."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs → (doc_id, cluster_id).
+
+    Scale posture: the iterated frontier is only the documents that occur
+    in at least one near-dup pair — a small fraction of the corpus — and
+    each round is one shuffle (join labels to edges + min-aggregate).
+    Hash-min converges in O(diameter) rounds; near-dup components are
+    shallow (dups of a common source), so 3-5 rounds in practice.  Each
+    round is localCheckpoint()ed: without it the plan doubles per round
+    and Catalyst re-executes the whole prefix.  The driver-side loop is
+    the standard iterative-algorithm pattern (MLlib does the same); the
+    per-round convergence check is one tiny count job.  For adversarial
+    deep chains at 100 TB, the published fix is large-star/small-star
+    (Kiveris et al.) at identical per-round shape.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # pair mining runs once, not per round
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(20):  # safety bound; loop exits on convergence below
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    members = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    singles = docs.join(members, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.unionByName(singles).select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
