@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import dsum, sql_davg, sql_dsum
 
 # --------------------------------------------------------------------------
 # Funnel: users whose first signup precedes their first purchase, with
@@ -139,4 +140,134 @@ def session_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.max(F.col("event_type") == "signup").alias("has_signup"),
         F.max(F.col("event_type") == "purchase").alias("has_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: late shipments by line status × order priority class.
+# Conditional aggregation after a fact-fact equi-join on the order key —
+# at scale both sides shuffle-partition on l_orderkey/o_orderkey (or come
+# pre-bucketed on it), never a broadcast.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+""",
+    tags=("join", "agg", "tpch"),
+    doc=(
+        "Q12 shape: lines shipped >60 days after order placement, counted "
+        "into high/low priority classes per line status (conditional sums "
+        "over a fact-fact join)."
+    ),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per ship month.  Broadcast the
+# part dim into the lineitem scan; one hash aggregate; the ratio of two
+# decimal-exact sums is bit-deterministic cross-engine.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_revenue,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+       {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         / {sql_dsum("l_extendedprice * (1 - l_discount)")} AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+    tags=("join", "agg", "tpch"),
+    doc=(
+        "Q14 shape: fraction of revenue from PROMO-type parts per ship "
+        "month (conditional / total sum ratio, broadcast part dim)."
+    ),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(dsum(promo_rev).alias("promo_revenue"), dsum(rev).alias("total_revenue"))
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: high-balance customers with no orders, per market
+# segment.  Scalar-subquery threshold (broadcast 1-row aggregate) +
+# anti-join against the fact table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "idle_customer_balance",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       {sql_dsum("c_acctbal")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT {sql_davg("c_acctbal")} FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+    tags=("subquery", "join", "agg", "tpch"),
+    doc=(
+        "Q22 shape: customers above the positive-balance average with no "
+        "urgent orders, counted per market segment (scalar subquery + anti "
+        "join; the fixture has no order-less customers, so the anti side "
+        "filters to urgent orders to stay selective)."
+    ),
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import davg  # local import keeps module header tight
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")  # pushed to the scan
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal").alias("_avg"))
+    return (
+        c.join(F.broadcast(thresh))  # 1-row scalar broadcast
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
