@@ -443,3 +443,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.unionByName(singles).select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+# --------------------------------------------------------------------------
+# L2e: fuzzy entity matching — blocked Levenshtein pairs.  The string-
+# distance complement to the token-set (Jaccard) near-dup family: catches
+# typo-level variants token methods miss entirely.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS edit_dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 4
+""",
+    tags=("dedup", "llm", "join"),
+    doc=(
+        "L2: edit-distance <= 4 name pairs, blocked on the trailing token.  "
+        "Blocking turns the O(n^2) all-pairs distance into an equi-join on "
+        "the block key; per-block candidate sets stay bounded, so the "
+        "quadratic work is local to a block — the standard entity-"
+        "resolution shape at corpus scale (block key choice is the recall "
+        "knob: trailing token here; phonetic/sorted-neighborhood keys slot "
+        "into the same plan)."
+    ),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    b = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.p_name") < F.col("c.p_name")))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )

@@ -130,3 +130,34 @@ def csv_malformed_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id", "name", "qty", F.col("_corrupt").isNotNull().alias("is_corrupt")
     )
+
+
+# --------------------------------------------------------------------------
+# ORC: the other columnar format large estates actually hold (Hive
+# heritage).  Written and read back under the explicit schema; the read
+# result itself is the query output, so the oracle (parquet truth) proves
+# the ORC write/read path is lossless — and ORC scans split/push down
+# exactly like parquet, so the scale posture is unchanged.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+WHERE event_id < 2000
+""",
+    tags=("source", "orc"),
+    doc="S3 formats: ORC write + schema-explicit read is lossless vs the parquet truth.",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value", ts_str("ts").alias("ts_s"))
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    sample.write.mode("overwrite").orc(out)
+    return spark.read.schema(_RT_SCHEMA).orc(out)
