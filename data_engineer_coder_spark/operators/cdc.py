@@ -1,0 +1,176 @@
+"""Change-data-capture patterns: MERGE/upsert and SCD2 history.
+
+The reference pipeline append-inserts the daily feed with no notion of
+updates (``/root/reference/dags/my_data_pipeline.py:106-115`` —
+``INSERT INTO ... VALUES`` per batch, duplicates on re-run).  A complete
+engine needs the other half of ingestion: applying a change set to a
+snapshot (MERGE) and keeping attribute history (SCD2).  Spark has no
+MERGE without a table format, so both are expressed as join shapes —
+which is also exactly what a 1000-executor MERGE compiles to anyway:
+
+- upsert = full outer join snapshot⋈changes on the key, change side
+  wins, delete ops drop the row.  Shuffles both sides on the key once;
+  at scale the snapshot is bucketed on the key so only the (small)
+  change set moves.
+- SCD2 = windowed change-ordering per key: each attribute version gets
+  [valid_from, valid_to) from its own and the next change's timestamp.
+
+The change set here is derived deterministically from the fixture
+(key mod rules) so the oracle can reproduce it in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..operators._helpers import ts_str
+from ..registry import register
+
+# Deterministic change set over orders:
+#   key % 17 == 3  -> D (delete)
+#   key % 10 == 0  -> U (update: status 'X', price * 1.1)
+#   key negative?  -> inserts use max_key + rank (new keys)
+_CHANGES_SQL = """
+changes AS (
+  SELECT o_orderkey AS key, 'D' AS op,
+         CAST(NULL AS VARCHAR) AS new_status, CAST(NULL AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 17 = 3
+  UNION ALL
+  SELECT o_orderkey, 'U', 'X',
+         CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 1.1 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 3
+  UNION ALL
+  SELECT (SELECT MAX(o_orderkey) FROM orders) + 1 + (o_orderkey % 97), 'I', 'N',
+         CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 0.5 AS DOUBLE)
+  FROM orders WHERE o_orderkey % 100 = 7
+)
+"""
+
+
+def _change_set(orders: DataFrame) -> DataFrame:
+    """The SQL change set above, as a DataFrame (same rows, same types)."""
+    k = F.col("o_orderkey")
+    deletes = orders.filter(k % 17 == 3).select(
+        k.alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("new_status"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    updates = orders.filter((k % 10 == 0) & (k % 17 != 3)).select(
+        k.alias("key"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("new_status"),
+        (F.col("o_totalprice").cast("decimal(38,6)") * 1.1).cast("double").alias("new_price"),
+    )
+    max_key = orders.agg(F.max("o_orderkey").alias("_mx"))
+    inserts = (
+        orders.filter(k % 100 == 7)
+        .join(F.broadcast(max_key))
+        .select(
+            (F.col("_mx") + 1 + (k % 97)).alias("key"),
+            F.lit("I").alias("op"),
+            F.lit("N").alias("new_status"),
+            (F.col("o_totalprice").cast("decimal(38,6)") * 0.5).cast("double").alias("new_price"),
+        )
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="WITH "
+    + _CHANGES_SQL
+    + """,
+dedup_changes AS (
+  -- several source rows may mint the same insert key; keep one per key
+  -- deterministically (min op/status/price tuple)
+  SELECT key, MIN(op) AS op, MIN(new_status) AS new_status, MIN(new_price) AS new_price
+  FROM changes GROUP BY key
+)
+SELECT COALESCE(c.key, s.o_orderkey) AS o_orderkey,
+       CASE WHEN c.key IS NULL THEN s.o_orderstatus ELSE c.new_status END AS o_orderstatus,
+       CASE WHEN c.key IS NULL THEN s.o_totalprice ELSE c.new_price END AS o_totalprice,
+       c.key IS NOT NULL AS was_changed
+FROM orders s
+FULL JOIN dedup_changes c ON s.o_orderkey = c.key
+WHERE COALESCE(c.op, '') <> 'D'
+""",
+    tags=("cdc", "join"),
+    doc=(
+        "MERGE/upsert: apply a delete/update/insert change set to the "
+        "orders snapshot via one full outer join on the key (what MERGE "
+        "compiles to on any engine; bucket the snapshot on the key at "
+        "scale so only the change set shuffles)."
+    ),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    c = (
+        _change_set(table(spark, sf_dir, "orders"))
+        .groupBy("key")
+        .agg(
+            F.min("op").alias("op"),
+            F.min("new_status").alias("new_status"),
+            F.min("new_price").alias("new_price"),
+        )
+    )
+    j = s.join(c, s.o_orderkey == c.key, "full_outer")
+    changed = F.col("key").isNotNull()
+    return j.filter(F.coalesce(F.col("op"), F.lit("")) != "D").select(
+        F.coalesce(F.col("key"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(changed, F.col("new_status")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(changed, F.col("new_price")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        changed.alias("was_changed"),
+    )
+
+
+@register(
+    "scd2_event_history",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_id
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+       COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to_s,
+       valid_to IS NULL AS is_current
+FROM v
+""",
+    tags=("cdc", "window"),
+    doc=(
+        "SCD2: collapse each user's event-type runs into [valid_from, "
+        "valid_to) validity intervals (lag to detect change rows, lead for "
+        "the closing timestamp, NULL upper bound = current).  One shuffle "
+        "on the key; this is the standard dimension-history build at any "
+        "scale."
+    ),
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    # NOTE: the LEAD must run over the change rows only (post-filter), so
+    # the validity upper bound is the NEXT CHANGE, not the next raw event.
+    v = (
+        ch.filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .withColumnRenamed("ts", "valid_from")
+    )
+    return v.select(
+        "user_id",
+        "event_type",
+        ts_str("valid_from").alias("valid_from_s"),
+        F.coalesce(ts_str("valid_to"), F.lit("current")).alias("valid_to_s"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
