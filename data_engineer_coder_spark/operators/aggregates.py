@@ -411,3 +411,78 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A1 extension: equi-width histogram.  One hash aggregate over the bucket
+# expression — the distributed histogram IS a group-by; fixed bin edges
+# keep the double arithmetic bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+_HIST_LO, _HIST_W, _HIST_NB = 0.0, 30000.0, 20
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+SELECT CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), {_HIST_NB - 1}) AS BIGINT) AS bucket,
+       CAST(LEAST(FLOOR((o_totalprice - {_HIST_LO}) / {_HIST_W}), {_HIST_NB - 1}) * {_HIST_W} AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n,
+       {sql_dsum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY 1, 2
+""",
+    tags=("agg", "histogram"),
+    doc=(
+        "Equi-width histogram of order totals (20 x 30k buckets, top "
+        "bucket clamps the tail): bucket expression + one hash aggregate "
+        "— fully parallel, map-side combinable."
+    ),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / _HIST_W), F.lit(_HIST_NB - 1)
+    ).cast("bigint")
+    return (
+        o.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", (F.col("bucket") * _HIST_W).cast("double"))
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 extension: HLL sketch vs exact, driver-checked via a tolerance
+# boolean.  approx_count_distinct is THE count-distinct at 100 TB (fixed
+# few-KB state per group vs an unbounded distinct-set shuffle); emitting
+# (exact, within_tolerance) makes the sketch's accuracy an oracle fact
+# while keeping engine-specific sketch internals out of the hash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_check",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "approx", "sketch"),
+    doc=(
+        "HyperLogLog++ distinct-user estimate per event type, asserted "
+        "within 5% of the exact count (rsd=0.02).  The exact count and "
+        "the tolerance verdict are the checked output; the estimate "
+        "itself is engine-specific."
+    ),
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return g.select("event_type", "exact_users", (rel_err < 0.05).alias("approx_within_5pct"))

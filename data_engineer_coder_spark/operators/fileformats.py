@@ -161,3 +161,90 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_rt_")
     sample.write.mode("overwrite").orc(out)
     return spark.read.schema(_RT_SCHEMA).orc(out)
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned read: write a sample partitioned by event_type, read
+# back with a partition filter.  At 100 TB, partition pruning is the
+# first and biggest scan reducer — this makes it a driver-checked fact,
+# not just a plan-shape test: the pruned read must equal the oracle's
+# filtered scan exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "partition_pruned_read",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id < 5000 AND event_type IN ('purchase', 'signup')
+""",
+    tags=("source", "parquet", "scale"),
+    doc=(
+        "Partitioned parquet write (partitionBy event_type) + pruned read: "
+        "the IN filter on the partition column selects whole directories "
+        "(PartitionFilters in the scan, non-matching partitions never "
+        "opened)."
+    ),
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    out = tempfile.mkdtemp(prefix="part_prune_")
+    sample.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join, driver-checked.  The 100 TB fact-fact join
+# answer: both tables pre-bucketed on the join key → sort-merge join with
+# ZERO Exchange (tests/test_scale.py asserts the plan; this query makes
+# the RESULT an oracle-checked fact).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 5000
+GROUP BY o_orderstatus
+""",
+    tags=("join", "scale", "bucketing"),
+    doc=(
+        "Fact-fact join through bucketed managed tables (8 buckets on the "
+        "order key, sortBy the same): the sort-merge join reads both sides "
+        "pre-partitioned and pre-sorted, no Exchange in the plan."
+    ),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.scale import write_bucketed
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "bjr_orders", ["o_orderkey"], 8)
+    write_bucketed(li, "bjr_lineitem", ["l_orderkey"], 8)
+    ob = spark.table("bjr_orders")
+    lb = spark.table("bjr_lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev.cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+    )
