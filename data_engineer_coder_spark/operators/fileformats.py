@@ -240,8 +240,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = spark.table("bjr_orders")
     lb = spark.table("bjr_lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # MERGE hint: at fixture scale Catalyst would broadcast the small side
+    # and never touch the bucket layout; forcing sort-merge exercises the
+    # exchange-free path the layout exists for (what a 100 TB plan does
+    # unhinted).
     return (
-        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        ob.join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
