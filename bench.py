@@ -54,6 +54,9 @@ HEADLINE = [
     "tfidf_topk",
     "ivf_ann_topk",
     "stream_stream_join",
+    # round 2 additions: iterative graph dedup, join-shaped MERGE
+    "dedup_clusters",
+    "cdc_merge_upsert",
 ]
 
 
