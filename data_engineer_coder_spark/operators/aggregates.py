@@ -486,3 +486,80 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return g.select("event_type", "exact_users", (rel_err < 0.05).alias("approx_within_5pct"))
+
+
+# --------------------------------------------------------------------------
+# A1 extension: exact per-group quantiles with explicit type-7
+# interpolation.  Engine builtins interpolate with engine-specific
+# arithmetic; spelling the formula out (rank selection + linear
+# interpolation) makes the result bit-identical cross-engine AND keeps
+# the window partitioned by group — per-group sorts distribute, unlike a
+# global-order quantile.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "group_quantiles",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+s AS (
+  SELECT g, MAX(n) AS n,
+         MIN(CASE WHEN rn = FLOOR(1 + (n-1)*0.5) THEN v END) AS lo5,
+         MIN(CASE WHEN rn = CEIL(1 + (n-1)*0.5)  THEN v END) AS hi5,
+         MIN(CASE WHEN rn = FLOOR(1 + (n-1)*0.9) THEN v END) AS lo9,
+         MIN(CASE WHEN rn = CEIL(1 + (n-1)*0.9)  THEN v END) AS hi9
+  FROM r GROUP BY g
+)
+SELECT g AS l_returnflag, n AS n_rows,
+       lo5 + (hi5 - lo5) * ((1 + (n-1)*0.5) - FLOOR(1 + (n-1)*0.5)) AS qty_p50,
+       lo9 + (hi9 - lo9) * ((1 + (n-1)*0.9) - FLOOR(1 + (n-1)*0.9)) AS qty_p90
+FROM s
+""",
+    tags=("agg", "window", "quantile"),
+    doc=(
+        "Exact p50/p90 of quantity per return flag: row_number + count "
+        "windows pick the two straddling order statistics, explicit "
+        "type-7 interpolation combines them.  Scale: partitioned by the "
+        "group key — no global sort, no single-partition window."
+    ),
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").cast("double").alias("v")
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("g"))
+    )
+
+    def pick(p: float, which) -> F.Column:
+        pos = 1 + (F.col("n") - 1) * p
+        target = which(pos)
+        return F.min(F.when(F.col("rn") == target, F.col("v")))
+
+    s = r.groupBy("g").agg(
+        F.max("n").alias("n"),
+        pick(0.5, F.floor).alias("lo5"),
+        pick(0.5, F.ceil).alias("hi5"),
+        pick(0.9, F.floor).alias("lo9"),
+        pick(0.9, F.ceil).alias("hi9"),
+    )
+
+    def interp(lo, hi, p):
+        pos = 1 + (F.col("n") - 1) * p
+        frac = pos - F.floor(pos)
+        return F.col(lo) + (F.col(hi) - F.col(lo)) * frac
+
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        interp("lo5", "hi5", 0.5).alias("qty_p50"),
+        interp("lo9", "hi9", 0.9).alias("qty_p90"),
+    )

@@ -329,3 +329,44 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# J9: null-safe equality join.  SQL NULL never equals NULL under `=`;
+# matching null keys takes IS NOT DISTINCT FROM (Spark: `<=>`), which
+# hashes NULL like any other key value — same shuffle shape, different
+# semantics.  A real engine must expose both.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT NULLIF(user_id % 7, 3) AS k, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(o_custkey % 7, 3) AS k, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT a.k, a.n_events, b.n_orders
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+    tags=("join", "semantics"),
+    doc=(
+        "J9: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the NULL "
+        "bucket joins to the NULL bucket instead of silently dropping; "
+        "plain `=` would return one row fewer."
+    ),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    a = ev.groupBy(F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    b = o.groupBy(F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k, "n_events", "n_orders")

@@ -134,3 +134,44 @@ def stream_join_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("purchase_value").cast(DEC)).cast("double").alias("attributed_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment: the third join kind Structured Streaming
+# supports, and the most common in practice — enrich each micro-batch
+# with a slowly-changing dimension.  No watermark and no join state: the
+# static side is (re)planned per micro-batch, broadcast when small.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join", "real-stream"),
+    doc=(
+        "T stream-static: purchases stream enriched with the customer "
+        "dimension (broadcast static side, no join state), aggregated per "
+        "market segment in complete mode; availableNow over the full "
+        "input equals the batch join+agg, so it shares a batch oracle."
+    ),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._helpers import DEC
+
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    # Complete-mode aggregate over availableNow input == batch result;
+    # 5-key keyspace → 4 state partitions.
+    return run_to_memory(agg, "complete", shuffle_partitions=4)
