@@ -528,3 +528,43 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id", "rn", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# L3e: per-label embedding centroids — the reduce side of k-means and the
+# build side of IVF lists, as a standalone checked op.  Same quantized-
+# int determinism as cosine_topk: component sums are exact int64, the
+# final double division is the same op sequence in both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+WITH q AS (
+  SELECT label, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+e AS (
+  SELECT label, i AS dim, qv[i] AS qc
+  FROM q CROSS JOIN (SELECT unnest(range(1, 9)) AS i)
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(qc) AS DOUBLE) / COUNT(*) / {_SCALE} AS centroid
+FROM e GROUP BY label, dim
+""",
+    tags=("similarity", "llm", "agg"),
+    doc=(
+        "L3: per-label centroid of the first 8 embedding dims (quantized-"
+        "int component sums -> exact; one hash aggregate on (label, dim), "
+        "map-side combinable — the k-means reduce step at any scale)."
+    ),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("label", _qvec("embedding").alias("qv"))
+    ex = emb.select(
+        "label", F.posexplode(F.slice("qv", 1, 8)).alias("pos", "qc")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "qc")
+    return ex.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum("qc").cast("double") / F.count("*") / _SCALE).alias("centroid"),
+    )

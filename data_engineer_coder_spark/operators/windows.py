@@ -224,3 +224,44 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# W6: RANGE frame over event time — "last hour per user", the frame kind
+# ROWS cannot express (peers by VALUE distance, not row count).  Ordered
+# on integer microseconds so the frame bound is exact in both engines;
+# ties (equal timestamps) are frame peers, so the result is order-
+# deterministic without a tiebreaker.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_time_range",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS val_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "range"),
+    doc=(
+        "W6: trailing-1-hour RANGE frame per user (count + decimal-exact "
+        "sum).  Partitioned by user — distributes across the keyspace; "
+        "the range bound rides the sorted run within each partition."
+    ),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ts_us", F.expr("unix_micros(ts)"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("val_last_hour"),
+    )
