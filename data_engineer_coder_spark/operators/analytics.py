@@ -271,3 +271,71 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + gap fill: regularize each user's event stream to a
+# daily grid (their own min..max day), forward-filling days with no events.
+# The scheduled daily feed in the reference (airflow_dag.py:27, one run/day)
+# assumes a dense daily grid; this operator CREATES that grid from sparse
+# event data — the standard "resample + ffill" time-series primitive.
+#
+# Scale posture: one hash agg on (user_id, day); the spine is
+# sequence()+explode per user (rows ∝ user's active span, no cross join);
+# the fill is a per-user running window — partitioned by user_id, never
+# global.  Everything shuffles on user_id once and stays co-partitioned.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "resample_daily_fill",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, {sql_davg("value")} AS day_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id
+),
+f AS (
+  SELECT s.user_id, s.day, d.day_value
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       LAST_VALUE(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       day_value IS NULL AS was_gap
+FROM f
+""",
+    tags=("analytics", "timeseries"),
+    doc="Time-series resample to a per-user daily grid with forward fill.",
+)
+def resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward fill per user (dense grid from sparse events)."""
+    from ._helpers import davg
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        davg("value").alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )

@@ -489,3 +489,88 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+# --------------------------------------------------------------------------
+# L2e: benchmark decontamination — the published-practice n-gram-overlap
+# check (GPT-3 appendix C / PaLM-style): flag training documents sharing
+# 3-gram shingles with a held-out benchmark set.  Here the "benchmark" is
+# the deterministic doc_id < 20 slice of the corpus; real deployments pass
+# an external eval set.
+#
+# Scale posture: the benchmark side is small BY DEFINITION (eval suites are
+# KBs-to-MBs), so its distinct shingle set is broadcast — the 100 TB corpus
+# side never shuffles for the probe: shingle explode → broadcast-hash
+# semi-ish join → per-doc hash agg on doc_id.  No inverted-index self-join,
+# no skew exposure (corpus-frequent shingles only fan out against the tiny
+# benchmark set).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_overlap",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 20
+),
+corpus AS (
+  SELECT doc_id, LEN(shs) AS n_shingles, shs FROM sh WHERE doc_id >= 20
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM (SELECT c.doc_id, unnest(c.shs) AS s FROM corpus c) cs
+  JOIN bench USING (s)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       c.n_shingles,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles AS overlap_ratio,
+       (CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / c.n_shingles) >= 0.2 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+""",
+    tags=("dedup", "llm", "decontamination"),
+    doc="L2: benchmark decontamination via 3-gram overlap against a broadcast probe set.",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle overlap with a benchmark probe set.
+
+    The probe side's distinct shingles are broadcast; the corpus side is
+    one explode + broadcast join + doc_id hash agg (map-side combinable).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(_words(F.col("text"))).alias("shs")).where(
+        F.size("shs") >= 1
+    )
+    bench = (
+        sh.where(F.col("doc_id") < 20).select(F.explode("shs").alias("s")).distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= 20).select(
+        "doc_id", F.size("shs").alias("n_shingles"), "shs"
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("shs").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    joined = corpus.drop("shs").join(hits, "doc_id", "left")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+    ratio = n_shared.cast("double") / F.col("n_shingles")
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        n_shared.alias("n_shared"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= 0.2).alias("contaminated"),
+    )

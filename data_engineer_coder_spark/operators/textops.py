@@ -340,3 +340,66 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# L4h: repetition signals (Gopher-style quality rule: heavily repetitive
+# documents are low-value training data).  Duplicate-unigram and
+# duplicate-bigram fractions per document — ratios of integers, so the
+# doubles are bit-identical across engines.  Pure per-row array
+# expressions: zero shuffle, linear in corpus size, partition-parallel.
+# Reference analogue: the reference's describe() report surfaces only
+# corpus-level stats (my_data_pipeline.py:199-231); per-document repetition
+# is the LLM-corpus extension of that quality reporting.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repetition_ratio",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 2
+), b AS (
+  SELECT doc_id,
+         LEN(ws) AS n_tokens,
+         LEN(list_distinct(ws)) AS n_uni_distinct,
+         list_transform(range(1, LEN(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+  FROM w
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(n_tokens - n_uni_distinct AS DOUBLE) / n_tokens AS dup_unigram_ratio,
+       CAST(LEN(bg) - LEN(list_distinct(bg)) AS DOUBLE) / LEN(bg) AS dup_bigram_ratio,
+       (CAST(LEN(bg) - LEN(list_distinct(bg)) AS DOUBLE) / LEN(bg)) > 0.5 AS repetitive
+FROM b
+""",
+    tags=("text", "llm", "quality"),
+    doc="L4: Gopher-style repetition signals — duplicate unigram/bigram fractions + flag.",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram fractions per document (repetition ⇒ low quality).
+
+    Scale posture: per-row higher-order expressions only — no shuffle, no
+    UDF; survives any corpus size that scans.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    w = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    bg = F.transform(idx, lambda i: F.array_join(F.slice("ws", i, 2), " "))
+    b = w.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).alias("n_uni_distinct"),
+        bg.alias("bg"),
+    )
+    dup_uni = (F.col("n_tokens") - F.col("n_uni_distinct")).cast("double") / F.col("n_tokens")
+    dup_bi = (F.size("bg") - F.size(F.array_distinct("bg"))).cast("double") / F.size("bg")
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        dup_uni.alias("dup_unigram_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+        (dup_bi > 0.5).alias("repetitive"),
+    )
