@@ -348,11 +348,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the transitive closure {A,B,C} with one canonical representative.
 # --------------------------------------------------------------------------
 
-
-@register(
-    "dedup_clusters",
-    oracle=_SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""",
+# Cluster-label CTE chain (after the RECURSIVE shingle CTEs): near-dup
+# pairs → undirected edges → reachability walk → min-label members, plus
+# `allm` = members ∪ singleton docs.  Shared by the dedup_clusters and
+# dedup_keep_best oracles so the two cannot drift.
+_CLUSTER_CTES = f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
 inter AS (
@@ -378,12 +378,23 @@ walk(node, label) AS (
   UNION
   SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.node
 ),
-members AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
-SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM members
-UNION ALL
-SELECT doc_id, doc_id AS cluster_id, TRUE AS is_canonical
-FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM members)
-""",
+members AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+allm AS (
+  SELECT doc_id, cluster_id FROM members
+  UNION ALL
+  SELECT doc_id, doc_id AS cluster_id
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM members)
+)
+"""
+
+_RECURSIVE_SHINGLE_SQL = _SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register(
+    "dedup_clusters",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _CLUSTER_CTES
+    + "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM allm",
     tags=("dedup", "llm", "iterative"),
     doc=(
         "L2: connected components over the exact-Jaccard pair graph via "
@@ -573,4 +584,72 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shared.alias("n_shared"),
         ratio.alias("overlap_ratio"),
         (ratio >= 0.2).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L2f: keep-best dedup — the step that actually SHRINKS the corpus: within
+# each near-dup cluster keep the single highest-quality member (quality
+# desc, doc_id tiebreak).  This is the policy real pipelines use instead
+# of "keep lowest id": near-dups differ in truncation/boilerplate, and
+# keeping the best-scoring copy preserves the most signal.
+#
+# Scale posture: cluster labels come from dedup_clusters (frontier-sized
+# iteration), quality is per-row expressions; the final argmax is one
+# window over cluster_id — partitioned by cluster, never global.
+# --------------------------------------------------------------------------
+
+
+def _quality_cte() -> str:
+    from .textops import _QUALITY_SQL_CTE
+
+    return _QUALITY_SQL_CTE
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _CLUSTER_CTES
+    + ","
+    + _quality_cte()
+    + """
+SELECT cluster_id, doc_id AS kept_doc, n_members, quality
+FROM (
+  SELECT m.cluster_id, m.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality DESC, m.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM allm m JOIN q ON m.doc_id = q.doc_id
+)
+WHERE rn = 1
+""",
+    tags=("dedup", "llm", "quality"),
+    doc="L2: per-cluster keep-best dedup — highest-quality member survives.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each near-dup cluster to its best-quality member."""
+    from .textops import with_quality
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = with_quality(table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    joined = clusters.join(quality, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            "n_members",
+            "quality",
+        )
     )
