@@ -54,9 +54,12 @@ HEADLINE = [
     "tfidf_topk",
     "ivf_ann_topk",
     "stream_stream_join",
-    # round 2 additions: iterative graph dedup, join-shaped MERGE
+    # round 2 additions: iterative graph dedup, join-shaped MERGE,
+    # 5-way TPC-H Q5 star, keep-best cluster dedup
     "dedup_clusters",
     "cdc_merge_upsert",
+    "regional_supplier_volume",
+    "dedup_keep_best",
 ]
 
 

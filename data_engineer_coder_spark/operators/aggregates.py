@@ -563,3 +563,65 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp("lo5", "hi5", 0.5).alias("qty_p50"),
         interp("lo9", "hi9", 0.9).alias("qty_p90"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7: bivariate statistics per group — Pearson correlation and OLS
+# slope/intercept (the regr_slope/regr_intercept/corr SQL family), built
+# from exact decimal moments (Σx, Σy, Σxy, Σx², n) instead of the engines'
+# native streaming accumulators, whose double accumulation order is
+# nondeterministic across engines AND across partitionings.  The final
+# double arithmetic runs the identical expression tree in both engines on
+# identical inputs, so results are bit-exact.  One hash agg, map-side
+# combinable — the moments pattern is how you make ANY algebraic
+# statistic deterministic at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corr_regression_by_flag",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum("l_quantity")} AS sx,
+         {sql_dsum("l_extendedprice")} AS sy,
+         {sql_dsum("l_quantity * l_extendedprice")} AS sxy,
+         {sql_dsum("l_quantity * l_quantity")} AS sx2,
+         {sql_dsum("l_extendedprice * l_extendedprice")} AS sy2
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n AS intercept,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy)) AS pearson_r
+FROM m
+""",
+    tags=("agg", "stats"),
+    doc="A7: per-group OLS slope/intercept + Pearson r from exact decimal moments.",
+)
+def corr_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/regr_slope/regr_intercept equivalents, deterministic by moments."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sx2"),
+        dsum(y * y).alias("sy2"),
+    )
+    n, sx, sy, sxy, sx2, sy2 = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sx2", "sy2"))
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r.alias("pearson_r"),
+    )

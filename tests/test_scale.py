@@ -76,3 +76,43 @@ def test_tfidf_no_corpus_broadcast(spark, sf_dir):
     df = queries()["tfidf_topk"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan, plan
+
+
+def test_decontaminate_probe_side_is_broadcast(spark, sf_dir):
+    """The benchmark shingle set must reach the corpus join as a broadcast:
+    the corpus side never shuffles for the probe."""
+    from data_engineer_coder_spark.operators.dedup import decontaminate_overlap
+
+    plan = _plan(decontaminate_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_ratio_has_no_exchange(spark, sf_dir):
+    """Per-row array expressions only — a shuffle here would mean the
+    operator stopped being embarrassingly parallel."""
+    from data_engineer_coder_spark.operators.textops import repetition_ratio
+
+    plan = _plan(repetition_ratio(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_multijoin_date_filters_push_down(spark, sf_dir):
+    """Q5's order-date range must reach the parquet scan as PushedFilters,
+    and the dims must broadcast."""
+    from data_engineer_coder_spark.operators.multijoin import regional_supplier_volume
+
+    plan = _plan(regional_supplier_volume(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan.replace(
+        "\n", " "
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_moment_agg_is_partial_aggregated(spark, sf_dir):
+    """corr_regression_by_flag's moments must partial-aggregate map-side:
+    two HashAggregates around one exchange, nothing else."""
+    from data_engineer_coder_spark.operators.aggregates import corr_regression_by_flag
+
+    plan = _plan(corr_regression_by_flag(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # agg shuffle (+AQE read)
+    assert "HashAggregate" in plan, plan
