@@ -25,7 +25,13 @@ from ..io.tables import table
 from ..registry import register
 from ._helpers import dsum, sql_dsum
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# NOTE: must stay lazy — building a Column at module import requires an
+# active SparkContext, and the registry imports this module before the
+# caller necessarily has one.
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 _SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -68,7 +74,7 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey")
     )
     li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", _REV.alias("rev")
+        "l_orderkey", "l_suppkey", _rev().alias("rev")
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = F.broadcast(table(spark, sf_dir, "nation"))
@@ -123,7 +129,7 @@ def bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
-        .select("l_orderkey", "l_suppkey", "l_shipdate", _REV.alias("rev"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", _rev().alias("rev"))
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -191,7 +197,7 @@ GROUP BY o_year
 def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_orderkey", "l_suppkey", _REV.alias("volume")
+        "l_partkey", "l_orderkey", "l_suppkey", _rev().alias("volume")
     )
     o = (
         table(spark, sf_dir, "orders")
@@ -269,7 +275,7 @@ def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", _REV.alias("rev"))
+        .select("l_orderkey", _rev().alias("rev"))
     )
     n = F.broadcast(table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     return (
@@ -350,7 +356,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
-        .select("l_suppkey", _REV.alias("rev"))
+        .select("l_suppkey", _rev().alias("rev"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum("rev").alias("total_revenue")
@@ -390,7 +396,7 @@ WHERE {_Q19_SQL}
 )
 def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", _REV.alias("rev")
+        "l_partkey", "l_quantity", _rev().alias("rev")
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
 
