@@ -64,14 +64,24 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# Names whose implementation changed AFTER the driver recorded a green row
+# for them: always re-checked first, regardless of recorded status.  Prune
+# when the post-change round records a fresh green row.
+_FORCE_RECHECK: tuple[str, ...] = (
+    "sort_global",  # rewritten: range-partitioned rank (round 2)
+    "summary_stats",  # rewritten: JIT-able agg stack (round 2)
+)
+
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything
 # else follows in registration order.  The external driver correctness-checks
 # a 50-query prefix of the returned dict, so this list rotates coverage:
 # queries with no CORRECTNESS row yet (round 1 checked only the first 50
-# registered — see VERDICT.md) and queries changed this round go up front,
-# while the already-driver-verified relational/join/window/setops block
-# (locally covered by tests/test_oracle_parity.py) rotates to the back.
-# Keep this list at ≤ 50 names; unknown names are ignored (forward refs OK).
+# registered — see VERDICT.md) go up front, while the already-driver-verified
+# block (locally covered by tests/test_oracle_parity.py) rotates to the back.
+# SELF-RETIRING: a name here drops out of the priority prefix as soon as any
+# CORRECTNESS_r*.json records it green, so stale entries cost nothing in
+# later rounds — only additions matter.  Keep ≤ 50 names; unknown names are
+# ignored (forward refs OK).
 _CHECK_FIRST: tuple[str, ...] = (
     # -- never driver-checked in round 1 (registration positions 51-88) --
     "airquality_wide",
@@ -157,18 +167,21 @@ def _driver_checked() -> dict[str, bool]:
 
 
 def _check_order(names: list[str]) -> list[str]:
+    force = {n: i for i, n in enumerate(_FORCE_RECHECK)}
     pri = {n: i for i, n in enumerate(_CHECK_FIRST)}
     reg = {n: i for i, n in enumerate(names)}
     seen = _driver_checked()
 
     def key(n: str):
-        if n in pri:
-            return (0, pri[n])
+        if n in force:
+            return (0, force[n])  # changed post-green — always re-verify
+        if n in pri and not seen.get(n, False):
+            return (1, pri[n])  # manually queued, not yet green
         if n not in seen:
-            return (1, reg[n])  # never reached by the driver gate
+            return (2, reg[n])  # never reached by the driver gate
         if not seen[n]:
-            return (2, reg[n])  # reached but errored — needs a fresh row
-        return (3, reg[n])  # has a green row already
+            return (3, reg[n])  # reached but errored — needs a fresh row
+        return (4, reg[n])  # has a green row already
 
     return sorted(names, key=key)
 
