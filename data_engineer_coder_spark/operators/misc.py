@@ -290,3 +290,42 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery — the SQL-surface twin of window top-k:
+# per outer row, a dependent inner query (here: each nation's two richest
+# customers).  Catalyst decorrelates the LIMIT-ed lateral into a
+# partitioned window, so the physical plan is the same scalable shape as
+# window_topk — no nested-loop re-execution per nation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+""",
+    tags=("subquery", "sql"),
+    doc="LATERAL correlated subquery: top-2 customers per nation via the SQL surface.",
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
