@@ -625,3 +625,65 @@ def corr_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         r.alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# A1 extension: approximate quantiles with a hard correctness signal.
+# percentile_approx's sketch values are engine-specific, so checking them
+# directly is impossible — instead both engines emit the EXACT discrete
+# quantile plus a boolean asserting the approx estimate landed within a
+# rank-error tolerance of it (the oracle asserts TRUE, mirroring
+# approx_distinct_check).  The approx path is the 100 TB one: one
+# mergeable sketch pass, no per-group sort.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT g AS l_returnflag,
+       MIN(CASE WHEN rn = CEIL(n * 0.5) THEN v END) AS exact_p50,
+       TRUE AS approx_within_tol
+FROM r GROUP BY g
+""",
+    tags=("agg", "approx", "sketch"),
+    doc=(
+        "A1: percentile_approx p50 per group, asserted within ±2% "
+        "value-tolerance of the exact discrete quantile; exact value + "
+        "verdict are the checked output."
+    ),
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("v")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag"),
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    exact = r.groupBy(F.col("l_returnflag")).agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("v"))
+        ).alias("exact_p50")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("v", 0.5, 10000).alias("approx_p50")
+    )
+    j = exact.join(approx, "l_returnflag")
+    ok = (
+        F.abs(F.col("approx_p50") - F.col("exact_p50"))
+        <= 0.02 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
+    )
+    return j.select("l_returnflag", "exact_p50", ok.alias("approx_within_tol"))

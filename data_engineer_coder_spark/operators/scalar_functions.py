@@ -354,3 +354,35 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sq_gt_quarter"),
     )
+
+
+# --------------------------------------------------------------------------
+# F5b: positional + outer explode.  ``posexplode_outer`` keeps rows whose
+# array is empty (one NULL row) — the lossless flatten; plain explode
+# silently drops them, a classic correctness trap in token pipelines.
+# Oracle: DuckDB lateral over range(), with the empty case CASEd to NULL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "posexplode_outer_tokens",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey, string_split(p_name, ' ')[4:] AS arr FROM part
+)
+SELECT p_partkey,
+       CASE WHEN LEN(arr) = 0 THEN NULL ELSE i - 1 END AS pos,
+       CASE WHEN LEN(arr) = 0 THEN NULL ELSE arr[i] END AS tok
+FROM t, LATERAL (SELECT unnest(range(1, GREATEST(LEN(arr), 1) + 1)) AS i) u
+""",
+    tags=("function", "array"),
+    doc="F5: posexplode_outer — positional flatten preserving empty-array rows.",
+)
+def posexplode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    arr = F.slice(F.split("p_name", " "), 4, 1000)
+    return (
+        p.select("p_partkey", arr.alias("arr"))
+        .select("p_partkey", F.posexplode_outer("arr").alias("pos", "tok"))
+        .select("p_partkey", F.col("pos").cast("bigint").alias("pos"), "tok")
+    )
