@@ -76,3 +76,46 @@ def test_foreach_batch_parquet_sink(spark, sf_dir):
     written = spark.read.parquet(target)
     batch = sw.tumbling_hourly(table(spark, sf_dir, "events"))
     assert _sorted_rows(written) == _sorted_rows(batch)
+
+
+def test_foreach_batch_merge_upsert_state(spark, sf_dir):
+    """Streaming CDC: each micro-batch MERGEs its latest-per-key rows into
+    a parquet state table (the foreachBatch upsert-sink pattern).  The
+    merge step is associative (max over a totally-ordered struct), so the
+    final state must equal the batch latest-per-key regardless of how the
+    stream was split into micro-batches."""
+    out = tempfile.mkdtemp(prefix="merge_")
+    target = os.path.join(out, "state")
+
+    latest = F.max(F.struct("ts", "event_id", "value")).alias("latest")
+
+    def merge(batch_df, epoch_id):
+        upd = batch_df.groupBy("user_id").agg(latest).select(
+            "user_id", "latest.ts", "latest.event_id", "latest.value"
+        )
+        if os.path.exists(target):
+            cur = batch_df.sparkSession.read.parquet(target)
+            upd = (
+                cur.unionByName(upd)
+                .groupBy("user_id")
+                .agg(latest)
+                .select("user_id", "latest.ts", "latest.event_id", "latest.value")
+            )
+        # stage-then-swap: never read and overwrite the same files in one job
+        tmp = target + "_tmp"
+        upd.write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target)
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    q = write_foreach_batch(ev, merge, output_mode="append")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(target)
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(latest)
+        .select("user_id", "latest.ts", "latest.event_id", "latest.value")
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
