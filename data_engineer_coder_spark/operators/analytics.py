@@ -339,3 +339,63 @@ def resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("day_value").isNull().alias("was_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming-style anomaly scoring: each event z-scored against the
+# expanding history of ITS OWN user (frame ends at 1 PRECEDING — the
+# current value never contaminates its baseline).  Running moments are
+# exact decimal sums inside the frame, so mean/std/z go through the
+# identical double expression tree in both engines.  Per-user window →
+# distributes on user_id; the streaming twin is applyInPandasWithState
+# carrying (n, Σx, Σx²) per key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id, value,
+         COUNT(value) OVER w AS n_prev,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s_prev,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value,
+       (value - s_prev / n_prev)
+         / SQRT((s2_prev - s_prev * s_prev / n_prev) / (n_prev - 1)) AS z,
+       ABS((value - s_prev / n_prev)
+         / SQRT((s2_prev - s_prev * s_prev / n_prev) / (n_prev - 1))) > 3.0 AS is_anomaly
+FROM b
+WHERE n_prev >= 10 AND (s2_prev - s_prev * s_prev / n_prev) > 0
+""",
+    tags=("analytics", "timeseries", "window"),
+    doc="Expanding-history z-score per user (leave-one-out frame) + |z|>3 flag.",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import DEC
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col("value")
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n_prev"),
+        F.sum(v.cast(DEC)).over(w).cast("double").alias("s_prev"),
+        F.sum((v * v).cast(DEC)).over(w).cast("double").alias("s2_prev"),
+    )
+    n, s, s2 = F.col("n_prev"), F.col("s_prev"), F.col("s2_prev")
+    var_num = s2 - s * s / n
+    z = (v - s / n) / F.sqrt(var_num / (n - 1))
+    return b.filter((n >= 10) & (var_num > 0)).select(
+        "event_id", "user_id", "value", z.alias("z"), (F.abs(z) > 3.0).alias("is_anomaly")
+    )
