@@ -386,3 +386,38 @@ def posexplode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.posexplode_outer("arr").alias("pos", "tok"))
         .select("p_partkey", F.col("pos").cast("bigint").alias("pos"), "tok")
     )
+
+
+# --------------------------------------------------------------------------
+# F7b: ANSI-safe arithmetic/cast (`try_*`).  Spark 4 runs ANSI mode by
+# default — bare `/0`, overflow, or a bad cast now FAIL the job; the
+# idiomatic safe path is the try_* family returning NULL instead.  DuckDB
+# lacks try_divide/try_add, so the oracle spells out the equivalent
+# NULLIF/TRY_CAST algebra.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "try_safe_funcs",
+    oracle="""
+SELECT p_partkey,
+       p_retailprice / NULLIF(p_size - 10, 0) AS price_per_size,
+       TRY_CAST(SUBSTR(p_name, 1, 3) AS INTEGER) AS bad_cast,
+       TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER) AS brand_num,
+       CASE WHEN p_size - 10 = 0 THEN NULL ELSE p_retailprice / (p_size - 10) END IS NULL
+         AS division_was_null
+FROM part
+""",
+    tags=("function", "conditional", "ansi"),
+    doc="F7: try_divide/try_cast NULL-on-error semantics under ANSI mode.",
+)
+def try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    div = F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10)
+    return p.select(
+        "p_partkey",
+        div.alias("price_per_size"),
+        F.substring("p_name", 1, 3).try_cast("int").alias("bad_cast"),
+        F.substring("p_brand", 7, 100).try_cast("int").alias("brand_num"),
+        div.isNull().alias("division_was_null"),
+    )

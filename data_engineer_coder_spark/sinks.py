@@ -103,6 +103,28 @@ def write_partitioned_parquet(
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
+def write_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Small-files-safe sink: bound file sizes from above with
+    ``maxRecordsPerFile`` (Spark splits a task's output into multiple
+    files once the cap is hit) and, optionally, from below by coalescing
+    to ``num_partitions`` first.  At 100 TB the failure mode is millions
+    of KB-sized files (one per task of an over-parallel stage) — listing
+    and opening them dominates the NEXT job's runtime, so compaction
+    belongs in the sink, not in a cleanup pass."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    (
+        out.write.option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def render_report(title: str, summaries: dict[str, list[tuple]]) -> str:
     """S6: plain-text summary report (the email body of
     my_data_pipeline.py:199-216), rendered from already-collected rows —

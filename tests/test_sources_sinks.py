@@ -100,3 +100,27 @@ def test_jdbc_options_from_env(tmp_path):
 
     with _pytest.raises(KeyError):
         jdbc_options_from_env({"DB_HOST": "x"})  # missing required vars
+
+
+def test_write_compacted_parquet_bounds_file_count(spark, sf_dir):
+    """Both knobs: coalesce bounds files from below (no per-task dust),
+    maxRecordsPerFile splits oversized tasks from above."""
+    import glob
+    import tempfile
+
+    from data_engineer_coder_spark.sinks import write_compacted_parquet
+
+    li = table(spark, sf_dir, "lineitem").repartition(16)
+    n = li.count()
+
+    out = tempfile.mkdtemp(prefix="compact_") + "/t"
+    write_compacted_parquet(li, out, max_records_per_file=n, num_partitions=2)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 2, files
+
+    out2 = tempfile.mkdtemp(prefix="compact_") + "/t"
+    cap = n // 4 + 1
+    write_compacted_parquet(li, out2, max_records_per_file=cap, num_partitions=1)
+    files2 = glob.glob(out2 + "/*.parquet")
+    assert len(files2) == 4, files2
+    assert spark.read.parquet(out2).count() == n
