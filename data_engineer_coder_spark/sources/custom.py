@@ -47,6 +47,9 @@ class SyntheticDocsDataSource:
             def reader(self, schema):
                 return _reader(self.options)
 
+            def simpleStreamReader(self, schema):
+                return _stream_reader(self.options)
+
         return _SyntheticDocs
 
 
@@ -69,6 +72,41 @@ def _reader(options):
                 yield (doc_id, shard, (doc_id * _MULT) % 97 + 3)
 
     return _Reader()
+
+
+def _stream_reader(options):
+    """Micro-batch half of the source: offsets are plain row counters, a
+    batch is the deterministic rows in [start, min(start+batch, total)).
+    A FINITE total makes tests (and availableNow-style draining) exact:
+    once exhausted, every batch is empty with an unchanged offset.  The
+    offset dict is what Spark checkpoints — restart-safe for free."""
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def __init__(self):
+            self.batch = int(options.get("rows_per_batch", 50))
+            self.total = int(options.get("total_rows", 200))
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start):
+            off = int(start["offset"])
+            end = min(off + self.batch, self.total)
+            # materialized list, not a generator: the runtime caches and
+            # copies the returned iterator for readBetweenOffsets replay
+            rows = [(i, 0, (i * _MULT) % 97 + 3) for i in range(off, end)]
+            return iter(rows), {"offset": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [
+                    (i, 0, (i * _MULT) % 97 + 3)
+                    for i in range(int(start["offset"]), int(end["offset"]))
+                ]
+            )
+
+    return _StreamReader()
 
 
 @register(

@@ -124,3 +124,41 @@ def test_write_compacted_parquet_bounds_file_count(spark, sf_dir):
     files2 = glob.glob(out2 + "/*.parquet")
     assert len(files2) == 4, files2
     assert spark.read.parquet(out2).count() == n
+
+
+def test_custom_source_streams_deterministic_rows(spark):
+    """The Python DataSource's streaming half must drain its finite row
+    range through micro-batches and match the batch generator exactly."""
+    import time
+
+    from data_engineer_coder_spark.sources.custom import (
+        _MULT,
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource())
+    total = 120
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", "50")
+        .option("total_rows", str(total))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("custom_stream_sink")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("custom_stream_sink").count() >= total:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("custom_stream_sink").collect()))
+    want = sorted((i, 0, (i * _MULT) % 97 + 3) for i in range(total))
+    assert got == want
