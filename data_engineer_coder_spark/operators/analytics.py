@@ -399,3 +399,79 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.filter((n >= 10) & (var_num > 0)).select(
         "event_id", "user_id", "value", z.alias("z"), (F.abs(z) > 3.0).alias("is_anomaly")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-seen week, counted in every
+# week they return.  Two hash aggs + one equi-join on user_id — the
+# canonical retention-matrix shape; weeks are integer epochs (floor of
+# days-since-epoch / 7) so both engines bucket identically with no
+# locale/week-start semantics in play.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH w AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+SELECT f.cohort_wk,
+       a.wk - f.cohort_wk AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM (SELECT DISTINCT user_id, wk FROM w) a
+JOIN firsts f USING (user_id)
+GROUP BY f.cohort_wk, a.wk - f.cohort_wk
+""",
+    tags=("analytics", "cohort"),
+    doc="Retention matrix: distinct users per (first-seen week, weeks since).",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    w = ev.select("user_id", wk.alias("wk")).distinct()
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap presence aggregate: OR each user's events into a 7-bit weekday
+# bitmap, popcount for days-active.  The bitmap-index trick — presence
+# sets as machine ints, mergeable with OR (associative ⇒ partial-agg and
+# partition-order safe), the building block of roaring-bitmap audience
+# engines.  Weekday convention: Spark `weekday` == DuckDB `isodow - 1`
+# (Mon=0).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_bitmap",
+    oracle="""
+SELECT user_id,
+       CAST(BIT_OR(1 << (ISODOW(ts) - 1)) AS BIGINT) AS weekday_bitmap,
+       CAST(BIT_COUNT(BIT_OR(1 << (ISODOW(ts) - 1))) AS INTEGER) AS days_active,
+       BIT_OR(1 << (ISODOW(ts) - 1)) & 96 <> 0 AS any_weekend
+FROM events
+GROUP BY user_id
+""",
+    tags=("analytics", "bitmap", "agg"),
+    doc="Weekday-presence bitmap per user via bit_or + bit_count (mergeable set encoding).",
+)
+def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # python-API shiftleft only takes a literal shift; the SQL form shifts
+    # by a column expression
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), weekday(ts))")
+    bm = F.bit_or(bit)
+    return ev.groupBy("user_id").agg(
+        bm.alias("weekday_bitmap"),
+        F.bit_count(bm).cast("int").alias("days_active"),
+        (bm.bitwiseAND(F.lit(96)) != 0).alias("any_weekend"),
+    )
