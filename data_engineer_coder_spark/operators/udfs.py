@@ -140,3 +140,78 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(
         _TokenizeUdtf(F.col("doc_id").outer(), F.col("text").outer())
     ).select("doc_id", "pos", "token", "token_len")
+
+
+# --------------------------------------------------------------------------
+# D6: cogrouped-map — ``cogroup(...).applyInPandas`` hands BOTH sides'
+# rows for one key to a single pandas function (the Arrow twin of a
+# sort-merge join's per-key bucket).  The right tool when per-key logic
+# needs full frames from two inputs at once (custom as-of merges,
+# per-entity reconciliation) and a plain join + agg can't express it.
+# Here the logic is deliberately join-expressible so DuckDB can oracle
+# the plumbing: per user, event count + total value vs account balance.
+#
+# Scale posture: both sides shuffle once on the key; each key's pair of
+# pandas frames must fit one worker — the same contract as grouped-map.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cogroup_reconcile",
+    oracle="""
+SELECT c.c_custkey AS user_id,
+       COUNT(e.event_id) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       MAX(c.c_acctbal) AS acctbal,
+       COUNT(e.event_id) > 0 AND MAX(c.c_acctbal) < 0 AS active_but_negative
+FROM customer c
+LEFT JOIN events e ON e.user_id = c.c_custkey
+WHERE c.c_custkey < 150
+GROUP BY c.c_custkey
+""",
+    tags=("udf", "cogroup"),
+    doc="D6: cogroup().applyInPandas per-key reconciliation of events vs customer.",
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("user_id"), "c_acctbal")
+    )
+
+    def reconcile(events_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cust_pdf.empty:  # event users outside the customer slice
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "total_value", "acctbal", "active_but_negative"]
+            )
+        uid = int(cust_pdf["user_id"].iloc[0])
+        n = len(events_pdf)
+        # exact decimal-cent sum (values are 2dp), cast back to float once
+        total = float(int(events_pdf["value"].mul(100).round().sum())) / 100.0 if n else None
+        bal = float(cust_pdf["c_acctbal"].max())
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_events": n,
+                    "total_value": total,
+                    "acctbal": bal,
+                    "active_but_negative": bool(n > 0 and bal < 0),
+                }
+            ]
+        )
+
+    # Explicit pre-partitioning: AQE would otherwise coalesce the tiny
+    # cogroup shuffle to one partition and serialize every key through a
+    # single Python worker (see spark-engine gotchas).
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, "
+        "acctbal double, active_but_negative boolean"
+    )
+    return (
+        ev.repartition(32, "user_id")
+        .groupBy("user_id")
+        .cogroup(cust.repartition(32, "user_id").groupBy("user_id"))
+        .applyInPandas(reconcile, out_schema)
+    )
