@@ -421,3 +421,43 @@ def try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_brand", 7, 100).try_cast("int").alias("brand_num"),
         div.isNull().alias("division_was_null"),
     )
+
+
+# --------------------------------------------------------------------------
+# F4b: VARIANT semi-structured type (Spark 4's answer to string-typed
+# JSON columns): parse once into a binary-encoded variant, then typed
+# `variant_get` path extraction — repeated-extraction cost drops from
+# re-parsing the string per path to walking the encoded tree, the
+# open-format answer to JSON columns at 100 TB.  The query is also the
+# parameterized-SQL demo: the threshold arrives via spark.sql named
+# arguments, not string interpolation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "variant_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0 AS k_round,
+       json_extract(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+""",
+    tags=("function", "json", "variant"),
+    doc="F4: VARIANT parse_json + typed variant_get, threshold via parameterized SQL.",
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "props")
+    ev.createOrReplaceTempView("events_variant")
+    return spark.sql(
+        """
+        SELECT event_id,
+               variant_get(v, '$.k', 'int') AS k,
+               variant_get(v, '$.k', 'int') % 10 = 0 AS k_round,
+               variant_get(v, '$.missing', 'int') IS NULL AS missing_is_null
+        FROM (SELECT event_id, parse_json(props) AS v FROM events_variant)
+        WHERE variant_get(v, '$.k', 'int') >= :min_k
+        """,
+        args={"min_k": 50},
+    )
