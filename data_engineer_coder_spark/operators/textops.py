@@ -403,3 +403,59 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_bi.alias("dup_bigram_ratio"),
         (dup_bi > 0.5).alias("repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4i: unigram LM score — the perplexity-proxy quality signal (KenLM-style
+# but degree-0): score each document by the mean log-probability of its
+# tokens under the corpus unigram distribution.  Gibberish and
+# vocabulary-outlier documents score low; boilerplate scores high —
+# complementary to the rule-based quality_score.
+#
+# Scale posture: term frequencies are one hash agg; the LM is a
+# vocabulary-sized table joined to the exploded tokens (broadcast-able —
+# vocabularies are ≤ millions of terms, not corpus-sized); per-doc mean is
+# a second hash agg on doc_id.  Determinism: counts are exact ints; LN of
+# an int ratio is libm-identical in both engines only after 6dp rounding
+# of the FINAL mean (ARCHITECTURE.md float table).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT SUM(cnt) AS n FROM tf)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       -- logprobs floored to a 1e-9 grid: the sum is an exact integer
+       -- (order-independent), unlike a raw double SUM(LN(...))
+       ROUND(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / n) * 1e9) AS BIGINT)) / 1e9
+             / COUNT(*), 6) AS mean_logprob
+FROM tok JOIN tf USING (term) CROSS JOIN total
+GROUP BY doc_id
+""",
+    tags=("text", "llm", "quality"),
+    doc="L4: mean unigram log-probability per doc (perplexity-proxy quality signal).",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    # floor to a 1e-9 grid so the per-doc sum is an exact (order-
+    # independent) integer; a raw double SUM(LN(...)) would depend on
+    # accumulation order and could flip the 6dp rounding across engines
+    lp_q = F.floor(F.log(F.col("cnt").cast("double") / F.col("n")) * 1e9).cast("bigint")
+    return (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round((F.sum(lp_q) / 1e9) / F.count("*"), 6).alias("mean_logprob"),
+        )
+    )
