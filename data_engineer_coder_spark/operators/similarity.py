@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.tables import table
@@ -567,4 +567,100 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "dim").agg(
         F.count("*").alias("n_vecs"),
         (F.sum("qc").cast("double") / F.count("*") / _SCALE).alias("centroid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L3f: contrastive hard-pair mining — for each anchor, the hardest
+# positive (same label, most similar) and hardest negative (different
+# label, most similar).  This is the triplet-mining step of embedding-
+# model training data prep; "hard" pairs carry the gradient signal.
+#
+# Scale posture: identical to cosine_topk — broadcast the bounded anchor
+# set, one linear scored pass over the corpus, then two per-anchor
+# argmaxes via a window partitioned by (anchor, side).  Never an
+# all-pairs corpus join; at 100 TB the anchor set is the batch being
+# mined, the corpus pass is one scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, qv, {_SQL_NORM.format(a='qv')} AS nrm FROM q
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, label AS alabel, qv AS aqv, nrm AS anrm
+  FROM n WHERE vec_id < 20
+),
+scored AS (
+  SELECT anchor_id,
+         n.vec_id AS cand_id,
+         n.label = alabel AS is_pos,
+         CAST({_SQL_DOT.format(a='aqv', b='qv')} AS DOUBLE)
+           / (SQRT(CAST(anrm AS DOUBLE)) * SQRT(CAST(nrm AS DOUBLE))) AS cos_sim
+  FROM anchors JOIN n ON n.vec_id <> anchor_id
+),
+best AS (
+  SELECT anchor_id, cand_id, is_pos, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+                            ORDER BY cos_sim DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT p.anchor_id,
+       p.cand_id AS pos_id, p.cos_sim AS pos_sim,
+       ng.cand_id AS neg_id, ng.cos_sim AS neg_sim,
+       p.cos_sim - ng.cos_sim AS margin
+FROM (SELECT * FROM best WHERE is_pos AND rn = 1) p
+JOIN (SELECT * FROM best WHERE NOT is_pos AND rn = 1) ng USING (anchor_id)
+""",
+    tags=("similarity", "llm", "training"),
+    doc="L3: hardest positive + hardest negative per anchor (triplet mining).",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _qvec("embedding").alias("qv")
+    )
+    n = emb.select(
+        "vec_id", "label", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
+    )
+    anchors = n.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aqv"),
+        F.col("nrm").alias("anrm"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .join(n, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("alabel")).alias("is_pos"),
+            _cosine(
+                _dot(F.col("aqv"), F.col("qv")), F.col("anrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = best.filter(F.col("is_pos")).select(
+        "anchor_id", F.col("cand_id").alias("pos_id"), F.col("cos_sim").alias("pos_sim")
+    )
+    neg = best.filter(~F.col("is_pos")).select(
+        "anchor_id", F.col("cand_id").alias("neg_id"), F.col("cos_sim").alias("neg_sim")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
     )
