@@ -329,3 +329,81 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation battery (dbt-test / Great-Expectations shape):
+# each check is one aggregate over the data, unioned into a
+# (check_name, n_violations, passed) report.  The reference's only QA is
+# a describe() email (my_data_pipeline.py:199-231); this is that report
+# made *assertable*.  All checks are single-pass aggregates or one
+# broadcast anti-join (referential integrity) — nothing quadratic, and
+# the whole battery is one job.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+SELECT 'orders_pk_not_null' AS check_name,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_violations,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) = 0 AS passed
+UNION ALL
+SELECT 'orders_pk_unique',
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) = 0
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL
+SELECT 'lineitem_qty_range',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) = 0
+UNION ALL
+SELECT 'orders_price_positive',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+""",
+    tags=("quality", "pipeline"),
+    doc="Data-quality battery: PK null/unique, FK integrity, range checks → report.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    pk_null = o.filter(F.col("o_orderkey").isNull()).agg(
+        F.count("*").alias("n_violations")
+    )
+    pk_dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_violations"))
+    )
+    fk = o.join(
+        c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("n_violations"))
+    qty = li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+        F.count("*").alias("n_violations")
+    )
+    price = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count("*").alias("n_violations")
+    )
+    checks = [
+        ("orders_pk_not_null", pk_null),
+        ("orders_pk_unique", pk_dup),
+        ("orders_fk_customer", fk),
+        ("lineitem_qty_range", qty),
+        ("orders_price_positive", price),
+    ]
+    out = None
+    for name, df in checks:
+        branch = df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -162,3 +162,23 @@ def test_custom_source_streams_deterministic_rows(spark):
     got = sorted(map(tuple, spark.table("custom_stream_sink").collect()))
     want = sorted((i, 0, (i * _MULT) % 97 + 3) for i in range(total))
     assert got == want
+
+
+def test_merge_schema_read_across_evolved_writes(spark, sf_dir):
+    """Schema evolution: a second writer adds a column; mergeSchema reads
+    both generations with the union schema and NULLs for the old files —
+    the append-only data-lake contract."""
+    import glob
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="evolve_") + "/t"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.limit(100).write.mode("append").parquet(out)
+    o.limit(50).withColumn("o_discounted", F.col("o_totalprice") * 0.9).write.mode(
+        "append"
+    ).parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_discounted"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("o_discounted").isNull()).count() == 100
