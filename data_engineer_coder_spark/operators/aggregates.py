@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import davg, day_str, dsum, sql_davg, sql_dsum, with_global_pos
+from ._helpers import DEC, davg, day_str, dsum, sql_davg, sql_dsum, with_global_pos
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -687,3 +687,77 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.02 * F.greatest(F.abs(F.col("exact_p50")), F.lit(1.0))
     )
     return j.select("l_returnflag", "exact_p50", ok.alias("approx_within_tol"))
+
+
+# --------------------------------------------------------------------------
+# A1 extension: winsorized statistics — the ML-preprocessing clip: cap
+# each group's values at its own discrete p05/p95, then aggregate.
+# Discrete quantiles are actual data values (rank selection, the
+# group_quantiles contract) so the clip thresholds are bit-identical in
+# both engines, and the clipped mean is an exact decimal sum.  Shape: one
+# per-group window pass for ranks + one hash agg — distributes on the
+# group key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+cuts AS (
+  SELECT g,
+         MIN(CASE WHEN rn = CEIL(n * 0.05) THEN v END) AS lo,
+         MIN(CASE WHEN rn = CEIL(n * 0.95) THEN v END) AS hi
+  FROM r GROUP BY g
+)
+SELECT r.g AS l_returnflag,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN r.v < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+       SUM(CASE WHEN r.v > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(CAST(SUM(CAST(LEAST(GREATEST(r.v, c.lo), c.hi) AS DECIMAL(38,6))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS winsorized_mean
+FROM r JOIN cuts c USING (g)
+GROUP BY r.g
+""",
+    tags=("agg", "stats", "ml"),
+    doc="A1: per-group p05/p95 winsorized mean + clip counts (discrete cut points).",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("g").orderBy("v", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("g")
+    r = li.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    cuts = r.groupBy("g").agg(
+        F.min(F.when(F.col("rn") == F.ceil(F.col("n") * 0.05), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("v"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(cuts, "g")
+        .groupBy(F.col("g").alias("l_returnflag"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias("n_clipped_low"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0)).alias("n_clipped_high"),
+            (F.sum(clipped.cast(DEC)).cast("double") / F.count("*")).cast("double").alias(
+                "winsorized_mean"
+            ),
+        )
+    )
