@@ -119,3 +119,47 @@ def test_foreach_batch_merge_upsert_state(spark, sf_dir):
         .select("user_id", "latest.ts", "latest.event_id", "latest.value")
     )
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_checkpoint_resume_processes_new_data_exactly_once(spark, sf_dir):
+    """Durability: stop a checkpointed file-stream, add a new file, restart
+    with the same checkpoint — the old data must not be re-emitted and the
+    new file must be picked up (offset tracking across restarts)."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_loc_")
+    out = tempfile.mkdtemp(prefix="ckpt_out_") + "/data"
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.filter(F.col("event_id") < 500).write.parquet(src + "/part1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == ev.filter(F.col("event_id") < 500).count()
+
+    ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 800)).write.parquet(
+        src + "/part2"
+    )
+    run_once()
+    got = spark.read.parquet(out)
+    want = ev.filter(F.col("event_id") < 800)
+    assert got.count() == want.count()  # no duplicates, nothing missed
+    assert _sorted_rows(got) == _sorted_rows(want)
+    shutil.rmtree(src)
