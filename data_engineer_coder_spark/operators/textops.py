@@ -459,3 +459,88 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.sum(lp_q) / 1e9) / F.count("*"), 6).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L4j: span-corruption masking (T5-style denoising objective prep):
+# deterministically mask tokens, replace each with a numbered sentinel in
+# the input, and emit the (sentinel → original) sequence as the target.
+# Real pipelines sample spans; here the mask rule is content-deterministic
+# ((pos + doc_id) % 7 == 0) so the transform is reproducible and
+# oracle-checkable.  Pure per-row array expressions — zero shuffle, the
+# same scaling story as the other per-doc text ops.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "span_corruption_masks",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 100
+),
+m AS (
+  SELECT doc_id, ws,
+         list_filter(range(1, LEN(ws) + 1), i -> (i + doc_id) % 7 = 0) AS mpos
+  FROM w
+)
+SELECT doc_id,
+       LEN(mpos) AS n_masked,
+       array_to_string(
+         list_transform(range(1, LEN(ws) + 1),
+           i -> CASE WHEN (i + doc_id) % 7 = 0
+                     THEN '<extra_id_' || CAST(list_position(mpos, i) - 1 AS VARCHAR) || '>'
+                     ELSE ws[i] END),
+         ' ') AS input_text,
+       array_to_string(
+         list_transform(range(1, LEN(mpos) + 1),
+           k -> '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || ws[mpos[k]]),
+         ' ') AS target_text
+FROM m
+""",
+    tags=("text", "llm", "masking"),
+    doc="L4: T5-style span corruption — sentinel-masked input + sentinel target.",
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ws = F.split("text", " ")
+    w = docs.select("doc_id", ws.alias("ws"))
+    pos = F.sequence(F.lit(1), F.size("ws"))
+    m = w.select(
+        "doc_id",
+        "ws",
+        F.filter(
+            pos, lambda i: ((i + F.col("doc_id")) % 7) == 0
+        ).alias("mpos"),
+    )
+    sentinel_for = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"),
+        (F.array_position("mpos", i) - 1).cast("string"),
+        F.lit(">"),
+    )
+    input_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: F.when(((i + F.col("doc_id")) % 7) == 0, sentinel_for(i)).otherwise(
+                F.element_at("ws", i.cast("int"))
+            ),
+        ),
+        " ",
+    )
+    target_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size("mpos")),
+            lambda k: F.concat(
+                F.lit("<extra_id_"),
+                (k - 1).cast("string"),
+                F.lit("> "),
+                F.element_at("ws", F.element_at("mpos", k.cast("int")).cast("int")),
+            ),
+        ),
+        " ",
+    )
+    return m.select(
+        "doc_id",
+        F.size("mpos").alias("n_masked"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )
