@@ -60,6 +60,12 @@ HEADLINE = [
     "cdc_merge_upsert",
     "regional_supplier_volume",
     "dedup_keep_best",
+    # round 2 late additions: decontamination, time-series fill, VARIANT
+    # extraction, contrastive mining
+    "decontaminate_overlap",
+    "resample_daily_fill",
+    "variant_extract",
+    "contrastive_pair_mining",
 ]
 
 

@@ -560,8 +560,12 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode + broadcast join + doc_id hash agg (map-side combinable).
     """
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _shingles(_words(F.col("text"))).alias("shs")).where(
-        F.size("shs") >= 1
+    # repartition before the per-doc shingle arrays: the single-file scan
+    # otherwise pins the heavy transform to one task
+    sh = (
+        docs.repartition(32, F.col("doc_id"))
+        .select("doc_id", _shingles(_words(F.col("text"))).alias("shs"))
+        .where(F.size("shs") >= 1)
     )
     bench = (
         sh.where(F.col("doc_id") < 20).select(F.explode("shs").alias("s")).distinct()
