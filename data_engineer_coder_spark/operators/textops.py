@@ -544,3 +544,66 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4k: source-mix report — the corpus-composition step of training-data
+# prep (Pile/DoReMi-style source weighting, public practice): per source,
+# volume + mean quality + token share + a quality-proportional sampling
+# weight.  Two hash aggs (docs → sources, then a 20-row total) — trivially
+# distributed; the report is what a data-mixing scheduler consumes.
+# Determinism: token counts are ints; quality means go through the
+# decimal-sum contract; shares/weights are single divisions of identical
+# doubles.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_mix_report",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE},
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS mean_quality
+  FROM q GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(total_tokens) AS BIGINT) AS all_tokens,
+         CAST(SUM(CAST(mean_quality AS DECIMAL(38,6))) AS DOUBLE) AS qual_mass
+  FROM per_src
+)
+SELECT source, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / all_tokens AS token_share,
+       mean_quality,
+       CAST(CAST(mean_quality AS DECIMAL(38,6)) AS DOUBLE) / qual_mass AS sample_weight
+FROM per_src CROSS JOIN tot
+""",
+    tags=("text", "llm", "mixing"),
+    doc="L4: per-source corpus composition + quality-proportional sampling weights.",
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_quality(table(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum(F.col("quality").cast("decimal(38,6)")).cast("double") / F.count("*"))
+        .cast("double")
+        .alias("mean_quality"),
+    )
+    tot = per_src.agg(
+        F.sum("total_tokens").cast("bigint").alias("all_tokens"),
+        F.sum(F.col("mean_quality").cast("decimal(38,6)")).cast("double").alias("qual_mass"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("all_tokens")).alias("token_share"),
+        "mean_quality",
+        (
+            F.col("mean_quality").cast("decimal(38,6)").cast("double") / F.col("qual_mass")
+        ).alias("sample_weight"),
+    )
