@@ -761,3 +761,55 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A8: mergeable distinct-count sketches — the 100 TB counting pattern:
+# build an HLL sketch PER PARTITION SLICE (here per day), persist/ship the
+# ~KB sketches, and union them later for any rollup without touching raw
+# data again.  `approx_count_distinct` answers one fixed question;
+# sketch-agg + union answers every containing rollup.  Estimates are
+# engine-specific, so (like approx_distinct_check) the checked output is
+# the exact count + a tolerance verdict.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_union_check",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS union_within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "approx", "sketch"),
+    doc=(
+        "A8: per-day HLL sketches unioned per event type; union estimate "
+        "asserted within 5% of the exact distinct count."
+    ),
+)
+def hll_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("_daily_exact"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    j = merged.join(exact, "event_type")
+    rel_err = F.abs(F.col("_est") - F.col("exact_users")) / F.col("exact_users")
+    return j.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "exact_users",
+        (rel_err < 0.05).alias("union_within_5pct"),
+    )

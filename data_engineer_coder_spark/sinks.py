@@ -151,3 +151,24 @@ def send_report(
             "(credentials from env, never literals)"
         )
     transport(recipient, body)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized sink: range-partition on the cluster keys, sort
+    rows within each output task, write one file per range.  Each file
+    then holds a narrow, near-disjoint key range, so parquet row-group
+    min/max statistics prune most files for selective key-range scans —
+    the poor-engine's Z-order, and the difference between touching 1/N
+    and N/N of a 100 TB table on a range predicate."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

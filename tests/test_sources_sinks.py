@@ -182,3 +182,35 @@ def test_merge_schema_read_across_evolved_writes(spark, sf_dir):
     assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_discounted"}
     assert merged.count() == 150
     assert merged.filter(F.col("o_discounted").isNull()).count() == 100
+
+
+def test_clustered_write_enables_file_skipping(spark, sf_dir):
+    """Range-clustered files must hold near-disjoint key ranges: a
+    selective range predicate should find matching rows in only a few
+    files (row-group stats make the others skippable)."""
+    import glob
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="cluster_") + "/t"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from data_engineer_coder_spark.sinks import write_clustered_parquet
+
+    write_clustered_parquet(o, out, ["o_orderkey"], num_files=8)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) == 8, files
+
+    lo = o.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = o.agg(F.max("o_orderkey")).collect()[0][0]
+    probe_lo, probe_hi = lo, lo + (hi - lo) // 16  # bottom ~6% of the key range
+    files_with_hits = sum(
+        1
+        for f in files
+        if spark.read.parquet(f)
+        .filter(F.col("o_orderkey").between(probe_lo, probe_hi))
+        .limit(1)
+        .count()
+        > 0
+    )
+    assert files_with_hits <= 2, files_with_hits
+    got = spark.read.parquet(out).count()
+    assert got == o.count()
