@@ -728,6 +728,11 @@ GROUP BY r.g
     doc="A1: per-group p05/p95 winsorized mean + clip counts (discrete cut points).",
 )
 def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact variant: cut points via per-group rank windows, so
+    parallelism is bounded by group count (3 here) — the quantiles_exact
+    caveat.  Scale path at low-cardinality groups: percentile_approx cut
+    points (one mergeable sketch agg), identical clip/aggregate shape.
+    """
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").select(
