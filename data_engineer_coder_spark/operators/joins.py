@@ -370,3 +370,91 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders")
     )
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.k, "n_events", "n_orders")
+
+
+# --------------------------------------------------------------------------
+# J10: grid-blocked spatial join — the 2D analogue of the bucketized
+# interval join (J6): assign each point to an integer grid cell sized to
+# the search radius, explode each probe into its 3×3 neighborhood, and
+# equi-join on the cell before the exact distance check.  Candidates ∝
+# local density × 9, never O(n²) — the standard geohash/S2 pattern.
+#
+# Coordinates are derived deterministically from supplier keys (the
+# fixture has no geo columns; the OPERATOR is what matters), and the
+# distance is squared-euclidean on exact 1dp values — no trig, so no
+# libm divergence between engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spatial_blocked_join",
+    oracle="""
+WITH pts AS (
+  SELECT s_suppkey AS id,
+         CAST((s_suppkey * 37) % 1000 AS DOUBLE) / 10 AS x,
+         CAST((s_suppkey * 73) % 1000 AS DOUBLE) / 10 AS y
+  FROM supplier
+),
+cells AS (
+  SELECT *, CAST(FLOOR(x / 5) AS BIGINT) AS cx, CAST(FLOOR(y / 5) AS BIGINT) AS cy
+  FROM pts
+),
+probe AS (
+  SELECT c.*, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+  FROM cells c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM probe a
+JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy AND a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25.0
+""",
+    tags=("join", "spatial"),
+    doc="J10: radius self-join via integer grid cells + 3×3 neighbor probe.",
+)
+def spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select("s_suppkey")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        (((F.col("s_suppkey") * 37) % 1000).cast("double") / 10).alias("x"),
+        (((F.col("s_suppkey") * 73) % 1000).cast("double") / 10).alias("y"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / 5).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / 5).cast("bigint").alias("cy"),
+    )
+    offsets = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    probe = (
+        cells.select("*", offsets.alias("dx"))
+        .select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
+    return (
+        probe.join(
+            b,
+            (F.col("ncx") == F.col("cx"))
+            & (F.col("ncy") == F.col("cy"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a"), "id_b", d2.alias("dist2"))
+        .filter(F.col("dist2") <= 25.0)
+    )
