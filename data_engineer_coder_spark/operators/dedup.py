@@ -657,3 +657,60 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L2g: triangles in the near-dup graph — the classic graph-analytics
+# self-join: edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) with a < b < c.  Dense
+# near-dup triangles signal template families (three mutual near-dups are
+# almost never coincidence), and the 3-way ordered self-join is THE
+# benchmark shape for join planners on graph data.  Candidates are
+# bounded by Σ_v deg(v)² over the (sparse) pair graph, not corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "neardup_triangles",
+    oracle=_SHINGLE_SQL
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s NOT IN (SELECT s FROM freq)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+)
+SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+""",
+    tags=("dedup", "llm", "graph", "join"),
+    doc="L2: triangles in the near-dup pair graph (ordered 3-way self-join).",
+)
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+    )
