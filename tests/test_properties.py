@@ -103,3 +103,71 @@ def test_with_global_pos_matches_enumeration(spark, xs, n_parts):
         for pos, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
     }
     assert got == want
+
+
+# The grid-blocked spatial join must find EXACTLY the pairs a brute-force
+# O(n²) cross join finds — blocking is an optimization, never a filter.
+def test_spatial_blocked_join_matches_brute_force(spark):
+    from data_engineer_coder_spark.operators.joins import spatial_blocked_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in spatial_blocked_join(spark, sf_dir).collect()
+    )
+    from data_engineer_coder_spark.io.tables import table as t
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    pts = [
+        (r[0], ((r[0] * 37) % 1000) / 10.0, ((r[0] * 73) % 1000) / 10.0)
+        for r in s.collect()
+    ]
+    want = sorted(
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+        if a[0] < b[0] and (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 25.0
+    )
+    assert got == want
+
+
+# Repetition ratios are fractions of n-gram multiset sizes: always [0, 1),
+# and a document of all-distinct tokens has both ratios exactly 0.
+def test_repetition_ratio_bounds(spark):
+    from data_engineer_coder_spark.operators.textops import repetition_ratio
+
+    rows = repetition_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_unigram_ratio"] < 1.0
+        assert 0.0 <= r["dup_bigram_ratio"] < 1.0
+
+
+# Winsorized means must lie within [group p05 cut, group p95 cut] — the
+# clip bounds themselves.
+def test_winsorized_mean_within_clip_bounds(spark):
+    from data_engineer_coder_spark.operators.aggregates import winsorized_stats
+    from data_engineer_coder_spark.io.tables import table as t
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    import numpy as np
+
+    by_flag = {}
+    for r in li.collect():
+        by_flag.setdefault(r[0], []).append(r[1])
+    for row in winsorized_stats(spark, sf_dir).collect():
+        vs = sorted(by_flag[row["l_returnflag"]])
+        n = len(vs)
+        lo, hi = vs[int(np.ceil(n * 0.05)) - 1], vs[int(np.ceil(n * 0.95)) - 1]
+        assert lo <= row["winsorized_mean"] <= hi
+        assert row["n_rows"] == n
+
+
+# The source-mix sampling weights are a probability distribution.
+def test_source_mix_weights_sum_to_one(spark):
+    from data_engineer_coder_spark.operators.textops import source_mix_report
+
+    rows = source_mix_report(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert abs(sum(r["sample_weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
