@@ -458,3 +458,71 @@ def spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("id_a"), "id_b", d2.alias("dist2"))
         .filter(F.col("dist2") <= 25.0)
     )
+
+
+# --------------------------------------------------------------------------
+# J7b: tolerance-bounded as-of join — same union + running-max merge as
+# asof_join, plus the staleness bound every production as-of has
+# (pandas merge_asof's `tolerance`): a prior click only matches if it is
+# within 30 minutes of the purchase; older matches become NULL.  The
+# tolerance is a post-window filter on the matched timestamp, so the
+# plan is identical to J7 — still one shuffle on the key.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(click_ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_ts
+  FROM u
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CASE WHEN last_click_ts >= ts - INTERVAL 30 MINUTE
+            THEN strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') END AS asof_click_ts,
+       last_click_ts IS NOT NULL
+         AND last_click_ts < ts - INTERVAL 30 MINUTE AS match_too_old
+FROM w
+WHERE event_type = 'purchase'
+""",
+    tags=("join", "asof", "window"),
+    doc="J7: as-of join with a 30-minute staleness tolerance (merge_asof semantics).",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoff = F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    last = F.col("last_click_ts")
+    return (
+        u.withColumn("last_click_ts", F.max("click_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            F.when(last >= cutoff, ts_str("last_click_ts")).alias("asof_click_ts"),
+            (last.isNotNull() & (last < cutoff)).alias("match_too_old"),
+        )
+    )
