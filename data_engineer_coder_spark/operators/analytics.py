@@ -475,3 +475,73 @@ def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bm).cast("int").alias("days_active"),
         (bm.bitwiseAND(F.lit(96)) != 0).alias("any_weekend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capped sessionization — the production session rule (gap timeout AND a
+# hard duration cap, the web-analytics convention): first assign
+# gap-based sessions (gaps-and-islands), then split each at every
+# cap-multiple of elapsed time from its own start.  Three window passes
+# over the same (user_id) partitioning — one shuffle, the splits are
+# pure arithmetic.  epoch-second integers keep every derived value
+# exact across engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_capped",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+), anchored AS (
+  SELECT user_id, ts, event_id, sess,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+           - MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, sess) AS elapsed_s
+  FROM numbered
+)
+SELECT user_id,
+       sess AS session_no,
+       CAST(FLOOR(elapsed_s / 3600) AS BIGINT) AS subsession,
+       COUNT(*) AS n_events,
+       CAST(MAX(elapsed_s) - MIN(elapsed_s) AS BIGINT) AS span_s
+FROM anchored
+GROUP BY user_id, sess, CAST(FLOOR(elapsed_s / 3600) AS BIGINT)
+""",
+    tags=("window", "session", "events"),
+    doc="Sessionization with 30-min gap + 1-hour hard cap (subsession splits).",
+)
+def session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    marked = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    numbered = marked.withColumn("sess", F.sum("is_new").over(run))
+    ws = Window.partitionBy("user_id", "sess")
+    anchored = numbered.withColumn(
+        "elapsed_s",
+        F.col("ts").cast("long") - F.min(F.col("ts").cast("long")).over(ws),
+    )
+    return (
+        anchored.groupBy(
+            "user_id",
+            F.col("sess").alias("session_no"),
+            F.floor(F.col("elapsed_s") / 3600).cast("bigint").alias("subsession"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("elapsed_s") - F.min("elapsed_s")).cast("bigint").alias("span_s"),
+        )
+    )
