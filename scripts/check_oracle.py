@@ -3,7 +3,9 @@
 
 Runs every registry query on Spark and its oracle SQL on DuckDB over the
 same parquet fixtures; compares row count, schema, order-insensitive
-values (see data_engineer_coder_spark/testing.py).
+values through pandas materialization on BOTH sides — driver parity, so
+int-vs-float dtype splits (HUGEINT oracles etc.) fail here first (see
+data_engineer_coder_spark/testing.py).
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
@@ -18,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 from data_engineer_coder_spark import registry  # noqa: E402
 from data_engineer_coder_spark.session import get_spark  # noqa: E402
-from data_engineer_coder_spark.testing import compare, duck_connect  # noqa: E402
+from data_engineer_coder_spark.testing import compare_pandas, duck_connect  # noqa: E402
 
 
 def main() -> int:
@@ -34,29 +36,25 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        problems = compare(spark_rows, duck_rows, spark_cols, duck_cols)
+        problems = compare_pandas(spdf, dpdf)
         dt = time.time() - t0
         if not problems:
-            print(f"PASS {name}: {len(spark_rows)} rows [{dt:.1f}s]")
+            print(f"PASS {name}: {len(spdf)} rows [{dt:.1f}s]")
             n_pass += 1
         elif all(p.startswith("WARN") for p in problems):
             print(f"WARN {name}: {problems} [{dt:.1f}s]")
