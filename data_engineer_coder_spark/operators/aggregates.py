@@ -128,25 +128,82 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "summary_approx",
-    oracle=None,  # approximate by design → driver rows-only check
+    # Tolerance-boolean oracle (the approx_distinct_check pattern): the
+    # estimates themselves are engine-specific, so the CHECKED output is
+    # the exact reference values plus booleans asserting each estimate
+    # landed within tolerance — which the oracle asserts as TRUE.
+    oracle="""
+WITH s AS (
+  SELECT l_quantity AS x,
+         ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+q AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN x END) AS p25,
+         MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN x END) AS p50,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN x END) AS p75
+  FROM s
+),
+d AS (
+  SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+         COUNT(DISTINCT l_orderkey) AS exact_orders
+  FROM lineitem
+)
+SELECT d.exact_parts, d.exact_orders,
+       TRUE AS parts_within_5pct,
+       TRUE AS orders_within_5pct,
+       TRUE AS q25_within_2pct,
+       TRUE AS q50_within_2pct,
+       TRUE AS q75_within_2pct
+FROM d, q
+""",
     tags=("agg", "summary", "approx"),
-    doc="A1/100TB: approx quantiles + approx distinct (t-digest/HLL) — the scale path.",
+    doc=(
+        "A1/100TB: approx quantiles + approx distinct (t-digest/HLL) — the "
+        "scale path — asserted within tolerance of exact twins.  The approx "
+        "side is the one-pass mergeable-sketch plan that survives 100 TB; "
+        "the exact side here is verification scaffolding only."
+    ),
 )
 def summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    # Quantiles exploded to scalar columns: downstream harnesses (and the
-    # driver's pandas canonicalizer) choke on raw array<> cells.
-    agg = li.agg(
+    # One-pass sketch aggregates (quantiles exploded to scalars: the
+    # driver's pandas canonicalizer chokes on raw array<> cells).
+    approx = li.agg(
         F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("qs"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
     )
-    return agg.select(
-        F.element_at("qs", 1).alias("q25"),
-        F.element_at("qs", 2).alias("q50"),
-        F.element_at("qs", 3).alias("q75"),
-        "approx_parts",
-        "approx_orders",
+    exact_counts = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    # Exact discrete quantiles without a single-partition sort (range-
+    # partitioned global rank; see quantiles_exact).
+    ranked = with_global_pos(
+        li.select(F.col("l_quantity").alias("x")), [F.asc("x")], pos_name="rn"
+    )
+    n = li.agg(F.count("*").alias("n"))
+    sel = lambda qf: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(qf) * F.col("n")).cast("bigint"), F.col("x"))
+    )
+    exact_q = ranked.crossJoin(F.broadcast(n)).agg(
+        sel(0.25).alias("p25"), sel(0.50).alias("p50"), sel(0.75).alias("p75")
+    )
+    j = approx.crossJoin(F.broadcast(exact_counts)).crossJoin(F.broadcast(exact_q))
+
+    def within(est, exact, tol):
+        return F.abs(est - exact) <= tol * exact
+
+    return j.select(
+        "exact_parts",
+        "exact_orders",
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.05).alias("parts_within_5pct"),
+        within(F.col("approx_orders"), F.col("exact_orders"), 0.05).alias("orders_within_5pct"),
+        within(F.element_at("qs", 1), F.col("p25"), 0.02).alias("q25_within_2pct"),
+        within(F.element_at("qs", 2), F.col("p50"), 0.02).alias("q50_within_2pct"),
+        within(F.element_at("qs", 3), F.col("p75"), 0.02).alias("q75_within_2pct"),
     )
 
 
@@ -717,8 +774,8 @@ cuts AS (
 )
 SELECT r.g AS l_returnflag,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN r.v < c.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-       SUM(CASE WHEN r.v > c.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+       CAST(SUM(CASE WHEN r.v < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN r.v > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
        CAST(CAST(SUM(CAST(LEAST(GREATEST(r.v, c.lo), c.hi) AS DECIMAL(38,6))) AS DOUBLE)
             / COUNT(*) AS DOUBLE) AS winsorized_mean
 FROM r JOIN cuts c USING (g)

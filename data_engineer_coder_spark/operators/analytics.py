@@ -116,7 +116,10 @@ WITH marked AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
   FROM marked
 )
-SELECT user_id, sess AS session_no,
+SELECT user_id,
+       -- windowed SUM(int) is HUGEINT in DuckDB, which pandas materializes
+       -- as float64 and breaks the value hash vs Spark's bigint
+       CAST(sess AS BIGINT) AS session_no,
        COUNT(*) AS n_events,
        MAX(CASE WHEN event_type = 'signup' THEN TRUE ELSE FALSE END) AS has_signup,
        MAX(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END) AS has_purchase
@@ -155,8 +158,8 @@ def session_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priority",
     oracle="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_linestatus
@@ -510,7 +513,9 @@ WITH marked AS (
   FROM numbered
 )
 SELECT user_id,
-       sess AS session_no,
+       -- windowed SUM(int) is HUGEINT in DuckDB → float64 via pandas;
+       -- cast to match Spark's bigint in the value hash
+       CAST(sess AS BIGINT) AS session_no,
        CAST(FLOOR(elapsed_s / 3600) AS BIGINT) AS subsession,
        COUNT(*) AS n_events,
        CAST(MAX(elapsed_s) - MIN(elapsed_s) AS BIGINT) AS span_s
@@ -524,9 +529,18 @@ def session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    # Full-precision timestamp gap, identical to the oracle's
+    # `ts - LAG(ts) > INTERVAL 30 MINUTE` — a floor-seconds diff would
+    # disagree for gaps in (1800 s, 1801 s) whose fractional parts truncate
+    # to exactly 1800.
+    prev_ts = F.lag("ts").over(wo)
     marked = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "is_new",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
     )
     numbered = marked.withColumn("sess", F.sum("is_new").over(run))
     ws = Window.partitionBy("user_id", "sess")

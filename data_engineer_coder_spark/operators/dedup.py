@@ -390,6 +390,9 @@ allm AS (
 _RECURSIVE_SHINGLE_SQL = _SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+_CLUSTER_MAX_ROUNDS = 50  # hash-min rounds = max component diameter handled
+
+
 @register(
     "dedup_clusters",
     oracle=_RECURSIVE_SHINGLE_SQL
@@ -429,7 +432,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(20):  # safety bound; loop exits on convergence below
+    converged = False
+    for _ in range(_CLUSTER_MAX_ROUNDS):  # bound; loop exits on convergence
         nbr = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "label"
         )
@@ -445,7 +449,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels are WRONG answers (the oracle computes
+        # full transitive closure) — fail loudly rather than return them.
+        # A component with diameter > _CLUSTER_MAX_ROUNDS means the pair
+        # graph has an adversarial chain; the published fix at that shape
+        # is large-star/small-star (doubles reach per round → log rounds).
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{_CLUSTER_MAX_ROUNDS} rounds (component diameter exceeds the "
+            f"bound); raise _CLUSTER_MAX_ROUNDS or switch to star contraction"
+        )
     docs = table(spark, sf_dir, "documents").select("doc_id")
     members = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     singles = docs.join(members, "doc_id", "left_anti").select(

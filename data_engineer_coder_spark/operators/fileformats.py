@@ -102,7 +102,7 @@ _CSV_SCHEMA = T.StructType(
 @register(
     "csv_malformed_robustness",
     oracle="""
-SELECT id, name, qty, is_corrupt
+SELECT CAST(id AS BIGINT) AS id, name, CAST(qty AS BIGINT) AS qty, is_corrupt
 FROM (VALUES
   (1, 'alpha', 10, FALSE),
   (2, 'beta', CAST(NULL AS INTEGER), TRUE),

@@ -350,7 +350,7 @@ b AS (
   SELECT NULLIF(o_custkey % 7, 3) AS k, COUNT(*) AS n_orders
   FROM orders GROUP BY 1
 )
-SELECT a.k, a.n_events, b.n_orders
+SELECT CAST(a.k AS BIGINT) AS k, a.n_events, b.n_orders
 FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """,
     tags=("join", "semantics"),

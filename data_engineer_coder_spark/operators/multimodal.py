@@ -242,7 +242,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["n_digit"].append(int(((b >= ord("0")) & (b <= ord("9"))).sum()))
             rows["n_space"].append(int((b == ord(" ")).sum()))
             for t in range(4):
-                v = int(b[t * q]) if t * q < len(b) else -1
+                # out-of-range sentinel is 0, matching the oracle's
+                # ascii(substring(...)) = 0 for positions past end-of-string
+                v = int(b[t * q]) if t * q < len(b) else 0
                 rows[f"thumb_{t}"].append(v)
         yield pd.DataFrame(rows)
 

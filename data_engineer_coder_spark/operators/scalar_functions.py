@@ -371,7 +371,7 @@ WITH t AS (
   SELECT p_partkey, string_split(p_name, ' ')[4:] AS arr FROM part
 )
 SELECT p_partkey,
-       CASE WHEN LEN(arr) = 0 THEN NULL ELSE i - 1 END AS pos,
+       CAST(CASE WHEN LEN(arr) = 0 THEN NULL ELSE i - 1 END AS BIGINT) AS pos,
        CASE WHEN LEN(arr) = 0 THEN NULL ELSE arr[i] END AS tok
 FROM t, LATERAL (SELECT unnest(range(1, GREATEST(LEN(arr), 1) + 1)) AS i) u
 """,
@@ -402,8 +402,8 @@ def posexplode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        p_retailprice / NULLIF(p_size - 10, 0) AS price_per_size,
-       TRY_CAST(SUBSTR(p_name, 1, 3) AS INTEGER) AS bad_cast,
-       TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER) AS brand_num,
+       CAST(TRY_CAST(SUBSTR(p_name, 1, 3) AS INTEGER) AS BIGINT) AS bad_cast,
+       CAST(TRY_CAST(SUBSTR(p_brand, 7) AS INTEGER) AS BIGINT) AS brand_num,
        CASE WHEN p_size - 10 = 0 THEN NULL ELSE p_retailprice / (p_size - 10) END IS NULL
          AS division_was_null
 FROM part
@@ -417,8 +417,8 @@ def try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         div.alias("price_per_size"),
-        F.substring("p_name", 1, 3).try_cast("int").alias("bad_cast"),
-        F.substring("p_brand", 7, 100).try_cast("int").alias("brand_num"),
+        F.substring("p_name", 1, 3).try_cast("int").cast("bigint").alias("bad_cast"),
+        F.substring("p_brand", 7, 100).try_cast("int").cast("bigint").alias("brand_num"),
         div.isNull().alias("division_was_null"),
     )
 

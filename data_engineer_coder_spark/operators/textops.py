@@ -233,23 +233,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint_fast",
-    oracle=None,  # xxhash64 is engine-specific → rows-only check
+    # The raw xxhash64 value is engine-specific, so the CHECKED output is
+    # the *dedup structure it induces* — per-doc duplicate-group size and
+    # canonical member — which must equal the structure induced by exact
+    # text equality (what the oracle computes).  A hash collision would
+    # merge two text groups and split the counts → hash-fail, which is
+    # exactly the property the fast path must guarantee.
+    oracle="""
+WITH g AS (
+  SELECT text, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+  FROM documents GROUP BY text
+)
+SELECT d.doc_id, g.dup_count, g.canonical_doc_id, TRUE AS crc_agrees
+FROM documents d JOIN g USING (text)
+""",
     tags=("text", "llm", "hash"),
     doc=(
         "L4/100TB: engine-native xxhash64 fingerprint — one JVM intrinsic "
         "per row instead of a per-character Catalyst fold.  The production "
-        "dedup path; doc_fingerprint above is the cross-engine-deterministic "
-        "oracle twin."
+        "dedup path; checked via the duplicate-group structure the hash "
+        "induces (vs exact text equality in the oracle), with a second "
+        "independent hash (crc32) as the in-group collision detector."
     ),
 )
 def doc_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.select(
         "doc_id",
-        F.xxhash64("text").alias("fingerprint"),
+        F.xxhash64("text").alias("fp"),
         # Collision-check companion: two independent hashes make accidental
         # 64-bit collisions at corpus scale detectable.
-        F.crc32("text").alias("fingerprint_crc"),
+        F.crc32("text").alias("crc"),
+    )
+    groups = fp.groupBy("fp").agg(
+        F.count("*").alias("dup_count"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        (F.count_distinct("crc") == 1).alias("crc_agrees"),
+    )
+    return fp.join(groups, "fp").select(
+        "doc_id", "dup_count", "canonical_doc_id", "crc_agrees"
     )
 
 

@@ -1,0 +1,129 @@
+"""Unit tests for the oracle-differential harness and the registry's
+driver-rotation logic — the meta-machinery the correctness gate rests on.
+
+The round-2 postmortem (VERDICT.md) found two silent classes:
+1. a DuckDB windowed ``SUM(INTEGER)`` returns HUGEINT, which pandas
+   materializes as float64 and the driver hashes as ``5.0`` vs Spark's
+   ``5`` — the old ``fetchall()`` harness could not see it;
+2. the rotation counted any non-error CORRECTNESS row as "verified", so
+   a hash-MISMATCHED query was retired from future check prefixes.
+These tests pin both fixes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_engineer_coder_spark import registry
+from data_engineer_coder_spark.testing import compare_pandas
+
+
+# ---------------------------------------------------------------------------
+# Harness: dtype-kind sensitivity (driver parity)
+# ---------------------------------------------------------------------------
+
+
+def test_uncast_windowed_sum_is_caught():
+    """A HUGEINT-producing oracle (windowed SUM over INTEGER) must FAIL the
+    harness against a bigint Spark result even when the numbers agree."""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT SUM(i) OVER (ORDER BY i) AS s "
+        "FROM (SELECT CAST(range AS INTEGER) AS i FROM range(3))"
+    ).fetchdf()
+    assert duck["s"].dtype.kind == "f"  # HUGEINT → float64: the hazard exists
+    spark_like = pd.DataFrame({"s": pd.Series([0, 1, 3], dtype="int64")})
+    problems = compare_pandas(spark_like, duck)
+    assert problems, "int-vs-float64 materialization must be a harness failure"
+    assert "WARN" not in problems[0], "kind mismatch is fatal, never tol-equal"
+
+
+def test_cast_windowed_sum_passes():
+    """The prescribed fix — CAST(... AS BIGINT) — restores an exact match."""
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT CAST(SUM(i) OVER (ORDER BY i) AS BIGINT) AS s "
+        "FROM (SELECT CAST(range AS INTEGER) AS i FROM range(3))"
+    ).fetchdf()
+    spark_like = pd.DataFrame({"s": pd.Series([0, 1, 3], dtype="int64")})
+    assert compare_pandas(spark_like, duck) == []
+
+
+def test_float_near_miss_is_warn_not_fatal():
+    a = pd.DataFrame({"x": pd.Series([1.00000001], dtype="float64")})
+    b = pd.DataFrame({"x": pd.Series([1.0], dtype="float64")})
+    problems = compare_pandas(a, b)
+    assert problems and problems[0].startswith("WARN")
+
+
+def test_null_vs_nan_collapse():
+    """pandas cannot distinguish NULL-float from NaN, so neither can the
+    driver — the harness must treat them as equal, not as a mismatch."""
+    a = pd.DataFrame({"x": pd.Series([1.5, None], dtype="float64")})
+    b = pd.DataFrame({"x": pd.Series([1.5, float("nan")], dtype="float64")})
+    assert compare_pandas(a, b) == []
+
+
+# ---------------------------------------------------------------------------
+# Registry rotation: what counts as "driver-verified"
+# ---------------------------------------------------------------------------
+
+
+def _write_rows(tmp_path, fname, rows):
+    (tmp_path / fname).write_text(json.dumps(rows))
+
+
+def test_hash_mismatch_is_not_retired(tmp_path):
+    """A row that ran but hash-mismatched must NOT count as green — it has
+    to stay eligible for future check prefixes (ADVICE round 2, high)."""
+    _write_rows(
+        tmp_path,
+        "CORRECTNESS_r01.json",
+        {
+            "good": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            "bad": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+            "errored": {"rows_match": None, "hash_match": None, "err": "boom"},
+        },
+    )
+    seen = registry._driver_checked(root=str(tmp_path))
+    assert seen["good"] is True
+    assert seen["bad"] is False
+    assert seen["errored"] is False
+
+
+def test_no_oracle_rows_are_retired(tmp_path):
+    """Oracle-less (rows-only-by-design) queries can never hash-match; they
+    must count as seen so they stop eating prefix slots every round."""
+    _write_rows(
+        tmp_path,
+        "CORRECTNESS_r01.json",
+        {"approx": {"rows_match": None, "hash_match": None, "err": "no_oracle"}},
+    )
+    assert registry._driver_checked(root=str(tmp_path))["approx"] is True
+
+
+def test_green_in_any_round_wins(tmp_path):
+    """A later green row retires a query even if an earlier round errored."""
+    _write_rows(tmp_path, "CORRECTNESS_r01.json", {"q": {"hash_match": False, "err": None}})
+    _write_rows(tmp_path, "CORRECTNESS_r02.json", {"q": {"hash_match": True, "err": None}})
+    assert registry._driver_checked(root=str(tmp_path))["q"] is True
+
+
+def test_check_prefix_is_all_unverified():
+    """Every slot of the 50-query driver prefix must go to a query that has
+    no green row yet (rotation efficiency: no slot wasted on a green one),
+    as long as enough unverified queries remain."""
+    names = list(registry.queries())
+    seen = registry._driver_checked()
+    unverified = [n for n in names if not seen.get(n, False)]
+    prefix = names[: min(50, len(unverified))]
+    # _FORCE_RECHECK names are deliberate re-verifications (implementation
+    # or oracle changed after their last row) — not wasted slots.
+    wasted = [
+        n for n in prefix if seen.get(n, False) and n not in registry._FORCE_RECHECK
+    ]
+    assert not wasted, f"green queries occupying prefix slots: {wasted}"
