@@ -39,10 +39,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which the
-    Spark vectorized reader rejects; we read nanos as long and convert
-    to a microsecond timestamp (integer ``div`` — double math would lose
-    precision above 2^53), matching DuckDB's nanos→micros truncation.
+    ``events.ts`` has shifted physical type across fixture generations:
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects →
+    read nanos as long, truncate to micros) and currently plain
+    ``timestamp[us]`` with no timezone, which Spark 4 reads as
+    TIMESTAMP_NTZ.  Downstream operators use ``unix_micros`` / interval
+    arithmetic that requires TIMESTAMP_LTZ, so we normalize every
+    variant to LTZ here.  The session timezone is pinned to UTC
+    (``session.py``), so NTZ→LTZ is value-preserving and matches the
+    DuckDB oracle's naive ``epoch(ts)`` exactly.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -50,8 +55,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         with _nanos_as_long(spark):
             df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

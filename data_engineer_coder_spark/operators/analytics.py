@@ -544,9 +544,14 @@ def session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     numbered = marked.withColumn("sess", F.sum("is_new").over(run))
     ws = Window.partitionBy("user_id", "sess")
+    # Epoch seconds per row (floor), matching the oracle's FLOOR(EPOCH(ts));
+    # unix_micros requires LTZ, which io/tables.py guarantees, and avoids the
+    # timestamp→bigint cast Spark 4 ANSI mode rejects.  Micros < 2^53 so the
+    # double division is exact before floor.
+    epoch_s = F.floor(F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
     anchored = numbered.withColumn(
         "elapsed_s",
-        F.col("ts").cast("long") - F.min(F.col("ts").cast("long")).over(ws),
+        epoch_s - F.min(epoch_s).over(ws),
     )
     return (
         anchored.groupBy(

@@ -51,8 +51,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks/event-time require TIMESTAMP_LTZ; session tz is UTC so
+        # this cast is value-preserving (same normalization as io.tables).
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
