@@ -151,8 +151,8 @@ d AS (
   FROM lineitem
 )
 SELECT d.exact_parts, d.exact_orders,
-       TRUE AS parts_within_5pct,
-       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_8pct,
+       TRUE AS orders_within_8pct,
        TRUE AS q25_within_2pct,
        TRUE AS q50_within_2pct,
        TRUE AS q75_within_2pct
@@ -196,11 +196,15 @@ def summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     def within(est, exact, tol):
         return F.abs(est - exact) <= tol * exact
 
+    # Count tolerance is 4 sigma over rsd=0.02 (8%): the driver's recorded
+    # row carries only booleans, so a tolerance trip must MEAN a logic bug
+    # (wrong column, lost dedup — errors >>8%), not sketch variance.  At
+    # 2.5 sigma (the old 5%) a legitimate HLL estimate trips ~1% of runs.
     return j.select(
         "exact_parts",
         "exact_orders",
-        within(F.col("approx_parts"), F.col("exact_parts"), 0.05).alias("parts_within_5pct"),
-        within(F.col("approx_orders"), F.col("exact_orders"), 0.05).alias("orders_within_5pct"),
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.08).alias("parts_within_8pct"),
+        within(F.col("approx_orders"), F.col("exact_orders"), 0.08).alias("orders_within_8pct"),
         within(F.element_at("qs", 1), F.col("p25"), 0.02).alias("q25_within_2pct"),
         within(F.element_at("qs", 2), F.col("p50"), 0.02).alias("q50_within_2pct"),
         within(F.element_at("qs", 3), F.col("p75"), 0.02).alias("q75_within_2pct"),
@@ -523,16 +527,17 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_8pct
 FROM events
 GROUP BY event_type
 """,
     tags=("agg", "approx", "sketch"),
     doc=(
         "HyperLogLog++ distinct-user estimate per event type, asserted "
-        "within 5% of the exact count (rsd=0.02).  The exact count and "
-        "the tolerance verdict are the checked output; the estimate "
-        "itself is engine-specific."
+        "within 8% (4 sigma over rsd=0.02; ~10 groups each get a trial, "
+        "so the per-group gate must be far out in the tail for a trip to "
+        "mean a logic bug).  The exact count and the tolerance verdict "
+        "are the checked output; the estimate itself is engine-specific."
     ),
 )
 def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,7 +547,7 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
     rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
-    return g.select("event_type", "exact_users", (rel_err < 0.05).alias("approx_within_5pct"))
+    return g.select("event_type", "exact_users", (rel_err < 0.08).alias("approx_within_8pct"))
 
 
 # --------------------------------------------------------------------------
@@ -842,14 +847,14 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
        COUNT(DISTINCT user_id) AS exact_users,
-       TRUE AS union_within_5pct
+       TRUE AS union_within_8pct
 FROM events
 GROUP BY event_type
 """,
     tags=("agg", "approx", "sketch"),
     doc=(
         "A8: per-day HLL sketches unioned per event type; union estimate "
-        "asserted within 5% of the exact distinct count."
+        "asserted within 8% (4 sigma at lgConfigK=14) of the exact count."
     ),
 )
 def hll_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,5 +878,5 @@ def hll_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_days").cast("bigint").alias("n_days"),
         "exact_users",
-        (rel_err < 0.05).alias("union_within_5pct"),
+        (rel_err < 0.08).alias("union_within_8pct"),
     )

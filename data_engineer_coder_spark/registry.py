@@ -80,6 +80,8 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "range_join_events",
     "funnel_conversion",
     "stream_stream_join",
+    # round 4: count tolerance widened 5%→8% (4 sigma), columns renamed
+    "summary_approx",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything
