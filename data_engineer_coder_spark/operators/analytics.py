@@ -564,3 +564,221 @@ def session_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("elapsed_s") - F.min("elapsed_s")).cast("bigint").alias("span_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users per day.  Spark has no COUNT(DISTINCT) OVER,
+# and the naive rewrite (collect_set over a running frame) holds the
+# whole keyspace per row.  The scale-safe rewrite: each user counts once
+# on their FIRST day (one shuffle on user_id), then a running sum over
+# the ≤ n_days daily rows.  The oracle uses the identical rewrite, so
+# the check is engine-exact, not estimate-vs-estimate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       new_users,
+       -- windowed SUM(int) is HUGEINT in DuckDB → float64 via pandas;
+       -- cast to match Spark's bigint in the value hash
+       CAST(SUM(new_users) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+""",
+    tags=("analytics", "window", "distinct"),
+    doc="Running distinct-user count via the first-seen-day rewrite (no COUNT(DISTINCT) OVER).",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    # ≤ ~30 daily rows: a single-partition running window here is fine at
+    # any SF because the cardinality is bounded by the calendar, not the data.
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue growth: monthly agg + LAG.  The window runs
+# over ≤ n_months rows (bounded by the calendar), so the unpartitioned
+# ordering is scale-safe; all the data-sized work is in the groupBy.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_growth_monthly",
+    oracle=f"""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+)
+SELECT month, revenue,
+       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER (ORDER BY month) IS NOT NULL
+            THEN ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                       / LAG(revenue) OVER (ORDER BY month), 6) END AS growth
+FROM m
+""",
+    tags=("analytics", "window", "timeseries"),
+    doc="Monthly revenue with LAG-based growth rate (calendar-bounded window).",
+)
+def revenue_growth_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(), F.round((F.col("revenue") - prev) / prev, 6)
+        ).alias("growth"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line concurrency: max number of simultaneously-open 1-hour event
+# windows per event type.  Classic interval problem with no native
+# operator in either engine: emit +1/-1 boundary rows, running-sum in
+# boundary order.  Partitioned by event_type, so each window handles one
+# type's boundaries; at 100 TB you'd sub-partition by (type, day) and
+# carry opening counts across — noted, not needed at fixture scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "max_concurrent_events",
+    oracle="""
+WITH b AS (
+  SELECT event_type, ts AS bts, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events
+),
+r AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY bts, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+  FROM b
+)
+SELECT event_type, CAST(MAX(open_now) AS BIGINT) AS max_concurrent
+FROM r GROUP BY event_type
+""",
+    tags=("analytics", "window", "interval"),
+    doc="Max simultaneously-open 1h windows per type via +1/-1 sweep line.",
+)
+def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select("event_type", F.col("ts").alias("bts"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("bts"),
+        F.lit(-1).alias("delta"),
+    )
+    b = starts.unionAll(ends)
+    # Order ties (delta -1 before +1) so a window closing exactly when
+    # another opens never overstates concurrency — both engines identically.
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.withColumn("open_now", F.sum("delta").over(w))
+    return r.groupBy("event_type").agg(F.max("open_now").alias("max_concurrent"))
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs appearing in the same order.
+# The self-join explodes quadratically in per-order basket size, so the
+# pair space is generated per-order (k·(k−1)/2, not k²) with p1 < p2;
+# at 100 TB the same plan holds because baskets are small and the join
+# key (orderkey) is the natural shuffle key — the quadratic term is
+# per-basket, never per-partition.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_item_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT p1, p2, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY p1, p2
+HAVING COUNT(*) >= 2
+""",
+    tags=("analytics", "join", "basket"),
+    doc="Part pairs co-occurring in ≥2 orders (market-basket self-join).",
+)
+def order_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Windowed dedup: keep the first event per (user, type) per 10-minute
+# tumbling window — the batch twin of streaming dropDuplicates-with-
+# watermark (stream_dedup), sharing its key+window bucketing.  One
+# shuffle on the composite key; ties broken by event_id for determinism.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_within_window",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type,
+                        CAST(FLOOR(EPOCH(ts) / 600) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, value
+FROM w WHERE rn = 1
+""",
+    tags=("analytics", "dedup", "window", "events"),
+    doc="First event per (user, type, 10-min bucket) — batch twin of stream_dedup.",
+)
+def dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros(F.col("ts")) / F.lit(600_000_000)).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )

@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.udfs",
     "data_engineer_coder_spark.operators.analytics",
     "data_engineer_coder_spark.operators.multijoin",
+    "data_engineer_coder_spark.operators.tpch_extra",
     "data_engineer_coder_spark.operators.dedup",
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.textops",
