@@ -116,3 +116,42 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n"),
         F.sum("_sv").cast("double").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# L6b: deterministic train/test split — the hash-bucket split every
+# training pipeline needs to be reproducible across runs AND engines
+# (no rand(): re-running on a re-shuffled 100 TB corpus must yield the
+# SAME membership).  md5(doc_id) first byte < 0xE6 (230/256 ≈ 90%) →
+# train.  Checked output is the per-(lang, split) contract: counts and
+# char volume; the splits are disjoint and exhaustive by construction.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "train_test_split",
+    oracle="""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < 230
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split
+""",
+    tags=("sampling", "llm", "split"),
+    doc="L6: reproducible ~90/10 train/test split via md5 hash bucket, per-lang accounting.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    s = docs.withColumn(
+        "split", F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test"))
+    )
+    return s.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

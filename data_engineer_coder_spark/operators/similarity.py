@@ -664,3 +664,119 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# L3g: int8 quantization quality check — the compression step before
+# shipping embeddings to an ANN index (per-vector symmetric scale =
+# max|x|/127).  Reconstruction error is aggregated as nano-unit
+# integers (round(err·1e9) → BIGINT) so the sums are exact in both
+# engines; only the final divisions run in (identical-op) double.
+# One linear pass, one hash agg on label — any-scale safe.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_check",
+    oracle="""
+WITH e AS (
+  SELECT label,
+         CAST(embedding AS DOUBLE[]) AS x,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), v -> ABS(v))) AS vmax
+  FROM embeddings
+),
+q AS (
+  SELECT label,
+         len(x) AS n_dims,
+         CAST(list_sum(list_transform(
+           x, v -> CAST(ROUND(ABS(v - ROUND(v / (vmax / 127.0)) * (vmax / 127.0)) * 1e9) AS BIGINT)
+         )) AS BIGINT) AS err_n,
+         CAST(list_max(list_transform(
+           x, v -> CAST(ROUND(ABS(v - ROUND(v / (vmax / 127.0)) * (vmax / 127.0)) * 1e9) AS BIGINT)
+         )) AS BIGINT) AS max_err_n
+  FROM e
+  WHERE vmax > 0
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(err_n) AS BIGINT) AS total_err_nano,
+       CAST(MAX(max_err_n) AS BIGINT) AS max_err_nano
+FROM q GROUP BY label
+""",
+    tags=("similarity", "llm", "quantization"),
+    doc=(
+        "L3: per-label int8 reconstruction error of symmetric per-vector "
+        "quantization (scale = max|x|/127), exact via nano-int sums."
+    ),
+)
+def embedding_quantize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    vmax = F.array_max(F.transform(F.col("x"), lambda v: F.abs(v)))
+    e = emb.withColumn("vmax", vmax).filter(F.col("vmax") > 0)
+    scale = F.col("vmax") / 127.0
+    err_nano = lambda v: F.round(  # noqa: E731
+        F.abs(v - F.round(v / scale) * scale) * 1e9
+    ).cast("bigint")
+    q = e.select(
+        "label",
+        F.aggregate(
+            F.transform(F.col("x"), err_nano),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("err_n"),
+        F.array_max(F.transform(F.col("x"), err_nano)).alias("max_err_n"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("err_n").cast("bigint").alias("total_err_nano"),
+        F.max("max_err_n").cast("bigint").alias("max_err_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L3h: L2-norm distribution per label — the pre-normalization sanity
+# check every embedding pipeline runs (catches unnormalized or collapsed
+# batches).  Norms come from the exact int64 self-dot, so bucketing is
+# engine-exact; output is one row per (label, bucket).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_buckets",
+    oracle=f"""
+WITH q AS (
+  SELECT label, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (
+  SELECT label,
+         SQRT(CAST({_SQL_NORM.format(a='qv')} AS DOUBLE)) / {_SCALE} AS nrm
+  FROM q
+)
+SELECT label,
+       CAST(FLOOR(nrm * 4) AS BIGINT) AS bucket,
+       COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label, CAST(FLOOR(nrm * 4) AS BIGINT)
+""",
+    tags=("similarity", "llm", "agg", "quality"),
+    doc="L3: per-label L2-norm histogram (0.25-wide buckets) from exact int self-dots.",
+)
+def embedding_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", _qvec("embedding").alias("qv")
+    )
+    n = emb.select(
+        "label",
+        (F.sqrt(_dot(F.col("qv"), F.col("qv")).cast("double")) / _SCALE).alias("nrm"),
+    )
+    return (
+        n.groupBy("label", F.floor(F.col("nrm") * 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
