@@ -731,16 +731,28 @@ HAVING COUNT(*) >= 2
     doc="Part pairs co-occurring in ≥2 orders (market-basket self-join).",
 )
 def order_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
-        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # One shuffle on l_orderkey (collect_set IS the distinct), then the
+    # k·(k−1)/2 combinations are generated array-side per basket — no
+    # self-join, no second scan, everything in whole-stage codegen.
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pair")
+    ).select("pair.p1", "pair.p2")
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count("*").alias("n_orders"))
@@ -781,4 +793,167 @@ def dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: quartile scores for recency/frequency/monetary per
+# customer, then segment population counts.  ntile windows run over the
+# customer AGGREGATE (one row per customer), not the fact table, and
+# each is made deterministic with a custkey tiebreak.  At 100 TB the
+# aggregate is the shuffle; three global ntiles over ~customers rows is
+# window work on the reduced set (range-partitioned sort, not 1 task).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency, o_custkey)  AS f_score,
+         NTILE(4) OVER (ORDER BY monetary, o_custkey)   AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+    tags=("analytics", "window", "segmentation"),
+    doc="RFM quartile segmentation of customers with deterministic ntile tiebreaks.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shipping-delay distribution: week-bucketed histogram of order→ship
+# lag over the fact-fact join.  Day arithmetic runs on DATEs in both
+# engines (timestamp day-boundary semantics differ); the join shuffles
+# on the order key once, the histogram agg is map-side combinable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "shipping_delay_distribution",
+    oracle=f"""
+SELECT CAST(FLOOR(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 7) AS BIGINT) AS delay_weeks,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CAST(FLOOR(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) / 7) AS BIGINT)
+""",
+    tags=("analytics", "join", "histogram"),
+    doc="Histogram of order→ship delay in weeks with revenue mass per bucket.",
+)
+def shipping_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_d")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    bucket = F.floor(F.datediff(F.col("ship_d"), F.col("order_d")) / 7).cast("bigint")
+    return j.groupBy(bucket.alias("delay_weeks")).agg(
+        F.count("*").alias("n_lines"),
+        dsum("rev").alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outliers via MAD: median and median-absolute-deviation per
+# event type (both exact lower-median order statistics — no engine
+# interpolation), flag |v − med| > 3·1.4826·MAD.  Two per-group window
+# passes; both partition by event_type, so the sorts distribute.  The
+# rank-selection median is the same trick as group_quantiles but
+# type-1 (no interpolation) so every intermediate is a raw input value.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "robust_outlier_counts",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS med
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT r.event_type, r.value, med.med, ABS(r.value - med.med) AS dev,
+         ROW_NUMBER() OVER (PARTITION BY r.event_type ORDER BY ABS(r.value - med.med), r.rn) AS drn,
+         COUNT(*) OVER (PARTITION BY r.event_type) AS n
+  FROM r JOIN med ON r.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN drn = CEIL(n * 0.5) THEN dev END) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MIN(d.med) AS median_value,
+       MIN(mad.mad) AS mad_value,
+       CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+""",
+    tags=("analytics", "stats", "robust"),
+    doc="MAD-based outlier counts per event type (exact order-statistic medians).",
+)
+def robust_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wp)
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("value"))
+        ).alias("med")
+    )
+    d = r.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "rn")
+    d2 = d.withColumn("drn", F.row_number().over(wd))
+    mad = d2.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("drn") == F.ceil(F.col("n") * 0.5), F.col("dev"))
+        ).alias("mad")
+    )
+    j = d2.join(mad, "event_type")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad_value"),
+        F.sum(
+            F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
     )

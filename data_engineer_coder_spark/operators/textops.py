@@ -629,3 +629,55 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_quality").cast("decimal(38,6)").cast("double") / F.col("qual_mass")
         ).alias("sample_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4g: length-percentile quality filter — drop each language's shortest
+# 10% and longest 10% of documents, the standard outlier trim before
+# training.  Cut points are exact per-lang order statistics (type-1, no
+# interpolation), so membership is engine-exact; the window partitions
+# by lang and therefore distributes.  At 100 TB the rank window over
+# each language is the only sort, and it shards across executors.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_percentile_filter",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN rn = CEIL(n * 0.1) THEN n_chars END) AS lo,
+         MIN(CASE WHEN rn = CEIL(n * 0.9) THEN n_chars END) AS hi
+  FROM r GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.n_chars
+FROM r JOIN cuts ON r.lang = cuts.lang
+WHERE r.n_chars > cuts.lo AND r.n_chars < cuts.hi
+""",
+    tags=("text", "llm", "quality", "quantile"),
+    doc="L4: keep docs strictly inside each lang's (p10, p90) length band.",
+)
+def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wo = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wp = Window.partitionBy("lang")
+    r = docs.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wp)
+    )
+    cuts = r.groupBy("lang").agg(
+        F.min(F.when(F.col("rn") == F.ceil(F.col("n") * 0.1), F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("n_chars"))).alias("hi"),
+    )
+    return (
+        r.join(cuts, "lang")
+        .filter((F.col("n_chars") > F.col("lo")) & (F.col("n_chars") < F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
