@@ -66,6 +66,13 @@ HEADLINE = [
     "resample_daily_fill",
     "variant_extract",
     "contrastive_pair_mining",
+    # round 4 additions: Q9-shape 5-way profit join, basket pair mining,
+    # sweep-line concurrency, embedding quantization, MAD outliers
+    "product_type_profit",
+    "order_item_pairs",
+    "max_concurrent_events",
+    "embedding_quantize_check",
+    "robust_outlier_counts",
 ]
 
 

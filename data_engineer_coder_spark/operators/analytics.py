@@ -798,11 +798,13 @@ def dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # RFM segmentation: quartile scores for recency/frequency/monetary per
-# customer, then segment population counts.  ntile windows run over the
-# customer AGGREGATE (one row per customer), not the fact table, and
-# each is made deterministic with a custkey tiebreak.  At 100 TB the
-# aggregate is the shuffle; three global ntiles over ~customers rows is
-# window work on the reduced set (range-partitioned sort, not 1 task).
+# customer, then segment population counts.  A naive global NTILE window
+# is a single-partition sort over every customer — fine in the oracle,
+# wrong at 100 TB.  Instead each metric gets a range-partitioned global
+# rank (with_global_pos) and NTILE's bucket assignment is applied as its
+# closed form: with n = q·k + m, the first m buckets take q+1 rows —
+# bucket(rn) = ceil(rn/(q+1)) while rn ≤ m·(q+1), else
+# m + ceil((rn − m·(q+1))/q).  Bit-identical to NTILE, fully distributed.
 # --------------------------------------------------------------------------
 
 
@@ -829,17 +831,39 @@ FROM scored GROUP BY r_score, f_score, m_score
     doc="RFM quartile segmentation of customers with deterministic ntile tiebreaks.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import with_global_pos
+
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    scored = cust.select(
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
-    )
+
+    def ntile4(rn, n):
+        q = F.floor(n / 4)
+        m = n % 4
+        head = m * (q + 1)
+        return (
+            F.when(rn <= head, F.ceil(rn / (q + 1)))
+            .otherwise(m + F.ceil((rn - head) / q))
+            .cast("int")
+        )
+
+    n_total = cust.agg(F.count("*").alias("_n"))
+    scored = cust
+    for metric, tiebreak, out in (
+        ("last_order", "o_custkey", "r_score"),
+        ("frequency", "o_custkey", "f_score"),
+        ("monetary", "o_custkey", "m_score"),
+    ):
+        # pos_name must avoid with_global_pos's internal _rn/_pid/_off names
+        scored = with_global_pos(
+            scored, [F.asc(metric), F.asc(tiebreak)], pos_name="_gpos"
+        )
+        scored = scored.crossJoin(F.broadcast(n_total)).withColumn(
+            out, ntile4(F.col("_gpos"), F.col("_n"))
+        ).drop("_gpos", "_n")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers")
     )
