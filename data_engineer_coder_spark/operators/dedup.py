@@ -730,3 +730,36 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.doc_b").alias("doc_c"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L1c: duplicate-group size histogram — the dedup AUDIT query: how much
+# of the corpus is singleton vs 2× vs heavy-duplicated?  Hash-group on
+# content (never the raw text as a key at 100 TB — fixed-width digest),
+# then a bounded histogram over group sizes.  Map-side combinable end
+# to end; answers "what will dedup save?" before running it.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_group_size_histogram",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, COUNT(*) AS group_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT group_size,
+       COUNT(*) AS n_groups,
+       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY group_size
+""",
+    tags=("dedup", "llm", "audit"),
+    doc="L1: histogram of exact-duplicate group sizes (md5 content digest).",
+)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    g = docs.groupBy("h").agg(F.count("*").alias("group_size"))
+    return g.groupBy("group_size").agg(
+        F.count("*").alias("n_groups"),
+        (F.col("group_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

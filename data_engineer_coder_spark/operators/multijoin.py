@@ -417,3 +417,53 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(cond)
         .agg(dsum("rev").alias("revenue"), F.count("*").alias("n_items"))
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue.  The
+# share window runs over the ~25-row (region, nation) AGGREGATE, so
+# partitioning by region is cosmetic at fixture scale but exactly right
+# at 100 TB: the heavy work is the one lineitem shuffle into the agg;
+# the window never touches fact rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share_within_region",
+    oracle=f"""
+WITH a AS (
+  SELECT r_name, n_name, {sql_dsum(_SQL_REV)} AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+FROM a
+""",
+    tags=("join", "window", "ratio"),
+    doc="Ratio-to-report: nation revenue share within region (window over the aggregate).",
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", _rev().alias("rev"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    a = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum("rev").alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return a.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("region_share"),
+    )

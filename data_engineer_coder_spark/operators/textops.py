@@ -681,3 +681,30 @@ def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") > F.col("lo")) & (F.col("n_chars") < F.col("hi")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# L4h: token-length histogram — the tokenizer-sanity profile (spikes at
+# huge "tokens" mean markup/encoding garbage).  Split is a literal
+# single-space split in BOTH engines (identical empty-token semantics
+# for runs of spaces), explode stays in codegen, and the two-level agg
+# is map-side combinable — a linear corpus pass at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+SELECT len(tok) AS tok_len, COUNT(*) AS n_tokens
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY len(tok)
+""",
+    tags=("text", "llm", "tokens", "histogram"),
+    doc="L4: corpus histogram of whitespace-token lengths (tokenizer sanity).",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ", -1)).alias("tok"))
+    return toks.groupBy(F.length("tok").cast("bigint").alias("tok_len")).agg(
+        F.count("*").alias("n_tokens")
+    )
