@@ -981,3 +981,132 @@ def robust_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-transition bigrams: LAG over each user's ordered event stream,
+# then count (prev → curr) transitions — the Markov-chain estimation
+# step behind "what do users do next".  One user-partitioned window
+# (distributes on user_id) + one map-side-combinable count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_counts",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS curr_type, COUNT(*) AS n_transitions
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    tags=("analytics", "window", "sequence"),
+    doc="Markov transition counts over per-user ordered event streams.",
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto cut: the smallest set of customers covering 80% of each
+# nation's revenue.  Running-share window per nation over the customer
+# aggregate (two shuffles total: fact→customer agg, agg→nation window);
+# the "keep until the running share crosses the cut" predicate keeps
+# the first row PAST the threshold so the output truly covers ≥80%.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_revenue_customers",
+    oracle=f"""
+WITH ca AS (
+  SELECT c_nationkey, c_custkey, {sql_dsum('o_totalprice')} AS revenue
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey
+),
+r AS (
+  SELECT c_nationkey, c_custkey, revenue,
+         CAST(SUM(revenue) OVER (PARTITION BY c_nationkey
+              ORDER BY revenue DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev,
+         CAST(SUM(revenue) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS tot_rev
+  FROM ca
+)
+SELECT c_nationkey, COUNT(*) AS n_top_customers,
+       ROUND(MAX(run_rev / tot_rev), 6) AS covered_share
+FROM r
+WHERE run_rev - revenue < 0.8 * tot_rev
+GROUP BY c_nationkey
+""",
+    tags=("analytics", "window", "pareto"),
+    doc="Smallest customer set covering 80% of each nation's revenue (running share).",
+)
+def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ca = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    wrun = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("c_nationkey")
+    r = ca.withColumn("run_rev", F.sum("revenue").over(wrun).cast("double")).withColumn(
+        "tot_rev", F.sum("revenue").over(wtot).cast("double")
+    )
+    return (
+        r.filter(F.col("run_rev") - F.col("revenue") < 0.8 * F.col("tot_rev"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_top_customers"),
+            F.round(F.max(F.col("run_rev") / F.col("tot_rev")), 6).alias("covered_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Calendar heatmap: event volume by day-of-week × hour — the ops
+# dashboard staple.  DOW is ISO (Mon=1) in both engines to dodge the
+# locale-dependent numbering (Spark dayofweek() is Sun=1, DuckDB
+# dayofweek() is Sun=0 — both avoided).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "weekday_hour_heatmap",
+    oracle="""
+SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(HOUR(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("analytics", "agg", "calendar"),
+    doc="Event volume heatmap by ISO day-of-week × hour.",
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek(F.date_sub(F.col("ts"), 1)).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -407,3 +407,53 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+# --------------------------------------------------------------------------
+# Column profiling: per-column null/distinct/row counts in ONE scan —
+# the schema-drift tripwire run before every load.  All metrics come
+# out of a single aggregate row (count+count_distinct per column,
+# partial-aggregated map-side), then pivot tall via stack(); the
+# UNION-of-scans alternative reads the table once per column.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "column_profile",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_custkey) AS nn_custkey, COUNT(DISTINCT o_custkey) AS nd_custkey,
+         COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS nd_status,
+         COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
+         COUNT(o_orderpriority) AS nn_priority, COUNT(DISTINCT o_orderpriority) AS nd_priority
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, n_rows, n_rows - nn_custkey AS n_nulls, nd_custkey AS n_distinct FROM m
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn_status, nd_status FROM m
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - nn_price, nd_price FROM m
+UNION ALL
+SELECT 'o_orderpriority', n_rows, n_rows - nn_priority, nd_priority FROM m
+""",
+    tags=("quality", "profiling", "agg"),
+    doc="Single-scan per-column null/distinct profile of orders (stack to tall).",
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    m = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in cols
+    )
+    return m.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

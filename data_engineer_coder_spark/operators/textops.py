@@ -708,3 +708,45 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy(F.length("tok").cast("bigint").alias("tok_len")).agg(
         F.count("*").alias("n_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# L4i: per-language min-max feature scaling of document length — the
+# normalize-before-mixing step when length feeds a quality model.  Min
+# and max are per-lang window aggregates over ints (exact), the scale
+# is one identical double division per row; degenerate groups (max ==
+# min) emit 0.5 in both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "feature_scale_minmax",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         MIN(n_chars) OVER (PARTITION BY lang) AS lo,
+         MAX(n_chars) OVER (PARTITION BY lang) AS hi
+  FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(CASE WHEN hi = lo THEN 0.5
+                  ELSE CAST(n_chars - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+             END, 6) AS scaled_len
+FROM m
+""",
+    tags=("text", "llm", "scaling"),
+    doc="L4: per-lang min-max scaled document length (exact int extremes).",
+)
+def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang")
+    m = docs.withColumn("lo", F.min("n_chars").over(w)).withColumn(
+        "hi", F.max("n_chars").over(w)
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        (F.col("n_chars") - F.col("lo")).cast("double")
+        / (F.col("hi") - F.col("lo")).cast("double")
+    )
+    return m.select("doc_id", "lang", F.round(scaled, 6).alias("scaled_len"))
