@@ -1,0 +1,95 @@
+"""Semantics tests for round-4 operators beyond the oracle-parity gate:
+the closed-form NTILE used by rfm_segmentation, sweep-line concurrency
+vs a brute-force interval count, split-contract invariants, and the
+array-side basket pair generation vs a naive self-join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.operators.analytics import (
+    max_concurrent_events,
+    order_item_pairs,
+)
+from data_engineer_coder_spark.operators.sampling import train_test_split
+from data_engineer_coder_spark.io.tables import table
+
+
+def test_ntile_closed_form_matches_builtin(spark):
+    """rfm_segmentation's closed-form bucket assignment must be
+    bit-identical to F.ntile for every n (including n % k != 0)."""
+    for n in (1, 2, 3, 4, 5, 7, 8, 10, 97):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+        builtin = df.withColumn(
+            "want", F.ntile(4).over(Window.orderBy("rn"))
+        )
+        # mirror of analytics.rfm_segmentation.ntile4
+        q = F.floor(F.lit(n) / 4)
+        m = F.lit(n) % 4
+        head = m * (q + 1)
+        got = (
+            F.when(F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1)))
+            .otherwise(m + F.ceil((F.col("rn") - head) / q))
+            .cast("int")
+        )
+        rows = builtin.withColumn("got", got).collect()
+        assert all(r.want == r.got for r in rows), f"ntile mismatch at n={n}"
+
+
+def test_max_concurrent_matches_bruteforce(spark, sf_dir):
+    """Sweep-line result == brute-force 'count open intervals at every
+    start boundary' (the max is always attained at a start)."""
+    got = {
+        r.event_type: r.max_concurrent
+        for r in max_concurrent_events(spark, sf_dir).collect()
+    }
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "ts")
+        .toPandas()
+    )
+    hour = pd.Timedelta(hours=1)
+    for etype, grp in ev.groupby("event_type"):
+        ts = grp["ts"].sort_values().to_numpy()
+        want = max(
+            ((ts >= t - hour + pd.Timedelta(microseconds=1)) & (ts <= t)).sum()
+            for t in ts
+        )
+        assert got[etype] == want, f"{etype}: {got[etype]} != {want}"
+
+
+def test_train_test_split_contract(spark, sf_dir):
+    """Splits are disjoint, exhaustive, deterministic across runs, and
+    the global train share sits near 230/256."""
+    out = train_test_split(spark, sf_dir).toPandas()
+    total_docs = table(spark, sf_dir, "documents").count()
+    assert out["n_docs"].sum() == total_docs
+    again = train_test_split(spark, sf_dir).toPandas()
+    merged = out.merge(again, on=["lang", "split"], suffixes=("", "_2"))
+    assert (merged["n_docs"] == merged["n_docs_2"]).all()
+    train_share = out.loc[out["split"] == "train", "n_docs"].sum() / total_docs
+    assert abs(train_share - 230 / 256) < 0.05
+
+
+def test_order_item_pairs_matches_naive_join(spark, sf_dir):
+    """Array-side combination generation == naive distinct self-join."""
+    got = order_item_pairs(spark, sf_dir)
+    items = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    want = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
