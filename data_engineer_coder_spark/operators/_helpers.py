@@ -71,6 +71,17 @@ def with_global_pos(df, order_cols, pos_name: str = "pos", num_partitions: int =
     local = parts.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
     )
+    # CRITICAL: `local` is referenced twice below (ranked rows + offsets).
+    # Without a shared physical lineage each branch plans its OWN
+    # repartitionByRange, whose range boundaries come from a fresh random
+    # sample — the two `_pid` spaces then disagree and the offsets join
+    # silently corrupts ranks.  Exchange reuse happens to save simple
+    # scan-shaped inputs, but provably fails once the input subtree
+    # contains joins (observed: chained with_global_pos calls returned
+    # different ranks per run).  A lazy localCheckpoint pins both
+    # branches to one materialized partitioning; shuffle files make
+    # eviction-recomputation read the same boundaries.
+    local = local.localCheckpoint(eager=False)
     offsets = (
         local.groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))

@@ -834,10 +834,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._helpers import with_global_pos
 
     o = table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        dsum("o_totalprice").alias("monetary"),
+    # Checkpoint the customer aggregate: each of the three rank passes
+    # references its input twice (ranked rows + per-partition offsets),
+    # so chaining them would otherwise re-derive the orders scan+agg
+    # 2^3 times (same pattern as dedup_clusters' per-round checkpoint).
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .localCheckpoint()
     )
 
     def ntile4(rn, n):

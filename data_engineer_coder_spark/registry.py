@@ -83,6 +83,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "stream_stream_join",
     # round 4: count tolerance widened 5%→8% (4 sigma), columns renamed
     "summary_approx",
+    # round 4: with_global_pos gained the lazy-checkpoint determinism fix;
+    # re-prove its green-row callers under the gate
+    "sort_global",
+    "quantiles_exact",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything

@@ -86,12 +86,21 @@ def test_shingle_df_cap_recall_unchanged(spark, sf_dir, monkeypatch):
 def test_sort_global_no_data_sized_single_partition_window(spark, sf_dir):
     """The global-rank plan must not push all data rows through one
     window task: the only single-partition window allowed is the
-    #partitions-sized offset aggregate."""
+    #partitions-sized offset aggregate.
+
+    Since with_global_pos lazily checkpoints its ranked rows (the
+    determinism fix — see _helpers.py), the row_number window lives in
+    the CHECKPOINT's plan, not the final query's: the final plan scans
+    an ExistingRDD that already carries _rn/_pid from the range-
+    partitioned window.  Assert that shape, and that no data-sized
+    single-partition window appears anywhere."""
     plan = _Q["sort_global"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    # The data-sized window partitions by _pid (range-partitioned), never
-    # an empty partition spec over the orders rows.
-    assert "row_number()" in plan
-    assert "rangepartitioning" in plan.lower()
+    # Ranked rows come from the checkpointed range-partitioned window
+    assert "_rn" in plan and "_pid" in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    # No window over the full data with an empty partition spec: the only
+    # Window node left (offset cumsum) partitions a #partitions-sized input.
+    assert "windowspecdefinition(o_" not in plan.replace(" ", "")
 
 
 def test_ivf_recall_against_exact(spark, sf_dir):

@@ -74,6 +74,34 @@ def test_train_test_split_contract(spark, sf_dir):
     assert abs(train_share - 230 / 256) < 0.05
 
 
+def test_chained_global_pos_is_deterministic(spark, sf_dir):
+    """Regression: two chained with_global_pos calls must give identical
+    ranks across executions.  Before the lazy-localCheckpoint fix the
+    helper's two internal references each planned their OWN
+    repartitionByRange with independently-sampled boundaries once the
+    input subtree contained a join, silently corrupting ranks."""
+    from data_engineer_coder_spark.operators._helpers import with_global_pos
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_custkey")
+    checksums = set()
+    for _ in range(3):
+        r1 = with_global_pos(o, [F.asc("o_totalprice"), F.asc("o_orderkey")], pos_name="p1")
+        r2 = with_global_pos(r1, [F.asc("o_custkey"), F.asc("o_orderkey")], pos_name="p2")
+        s = r2.agg(
+            F.sum(F.col("o_orderkey") * (F.col("p1") + 2 * F.col("p2")))
+        ).collect()[0][0]
+        checksums.add(s)
+    assert len(checksums) == 1, f"nondeterministic ranks: {checksums}"
+
+
+def test_rfm_segmentation_deterministic(spark, sf_dir):
+    from data_engineer_coder_spark.operators.analytics import rfm_segmentation
+
+    a = sorted(map(tuple, rfm_segmentation(spark, sf_dir).collect()))
+    b = sorted(map(tuple, rfm_segmentation(spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_order_item_pairs_matches_naive_join(spark, sf_dir):
     """Array-side combination generation == naive distinct self-join."""
     got = order_item_pairs(spark, sf_dir)
