@@ -138,17 +138,36 @@ def render_report(title: str, summaries: dict[str, list[tuple]]) -> str:
     return "\n".join(lines)
 
 
+def file_transport(directory: str) -> Callable[[str, str], None]:
+    """S6 dev-default transport: each report lands as a file named after
+    the recipient under ``directory`` (mkdir'd on first use) — the
+    maildir-style stand-in for the reference's SMTP send
+    (my_data_pipeline.py:190-194) in environments with no mail relay.
+    Production injects an smtplib/API closure instead."""
+    import os as _os
+    import re as _re
+
+    def _send(recipient: str, body: str) -> None:
+        _os.makedirs(directory, exist_ok=True)
+        fname = _re.sub(r"[^A-Za-z0-9_.@-]", "_", recipient) + ".txt"
+        with open(_os.path.join(directory, fname), "w") as fh:
+            fh.write(f"To: {recipient}\n\n{body}")
+
+    return _send
+
+
 def send_report(
     body: str,
     recipient: str,
     transport: Callable[[str, str], None] | None = None,
 ) -> None:
     """S6: transport is injected (tests pass a collector; production
-    passes an smtplib closure with env-sourced credentials)."""
+    passes an smtplib closure with env-sourced credentials;
+    ``file_transport`` is the no-relay dev default)."""
     if transport is None:
         raise NotImplementedError(
-            "no default transport: inject an smtplib/API closure "
-            "(credentials from env, never literals)"
+            "no default transport: inject an smtplib/API closure or "
+            "file_transport(dir) (credentials from env, never literals)"
         )
     transport(recipient, body)
 

@@ -214,3 +214,48 @@ def test_clustered_write_enables_file_skipping(spark, sf_dir):
     assert files_with_hits <= 2, files_with_hits
     got = spark.read.parquet(out).count()
     assert got == o.count()
+
+
+def test_jdbc_roundtrip_via_embedded_derby(spark, sf_dir):
+    """S4 end-to-end: a REAL JDBC write + read-back through the embedded
+    Derby engine Spark already ships (the sandbox has no network DB).
+    Exercises the same codepath as the reference's postgres load
+    (my_data_pipeline.py:91-116): Spark derives DDL from
+    createTableColumnTypes, batches inserts, one txn per partition."""
+    import tempfile
+
+    from data_engineer_coder_spark.sinks import write_jdbc
+
+    db = tempfile.mkdtemp(prefix="derby_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    write_jdbc(src, url, "nation_sink", mode="overwrite", properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_sink")
+        .options(**props)
+        .load()
+    )
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+
+def test_file_transport_writes_report(tmp_path):
+    """S6 end-to-end with the dev-default transport: render → send →
+    file lands with recipient header and body."""
+    from data_engineer_coder_spark.sinks import file_transport, render_report, send_report
+
+    body = render_report("Daily summary", {"events": [(1, "click"), (2, "purchase")]})
+    send_report(body, "data-team@example.com", transport=file_transport(str(tmp_path)))
+    out = tmp_path / "data-team@example.com.txt"
+    assert out.exists()
+    text = out.read_text()
+    assert text.startswith("To: data-team@example.com\n\n")
+    assert "Daily summary" in text and "purchase" in text
