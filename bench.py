@@ -73,6 +73,14 @@ HEADLINE = [
     "max_concurrent_events",
     "embedding_quantize_check",
     "robust_outlier_counts",
+    # round 4: the heavy families the round-2 advice asked to bench —
+    # 3-way neardup triangles, blocked edit-distance, Lloyd-iterated IVF,
+    # grid-blocked spatial join, and the fused L8 pipeline
+    "neardup_triangles",
+    "fuzzy_name_pairs",
+    "ivf_kmeans_topk",
+    "spatial_blocked_join",
+    "training_data_prep",
 ]
 
 

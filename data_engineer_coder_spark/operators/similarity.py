@@ -415,22 +415,47 @@ _KMEANS_ITERS = 2
 _DIMS = 64
 
 
-def _assign(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """corpus (vec_id, qv, nrm) × centroids (centroid_id, cqv, cnrm) →
-    per-vector best centroid, map-side partial argmax."""
-    cos = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    scores = n.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qv", "nrm", "centroid_id", cos.alias("c_sim")
+def _cent_state(spark: SparkSession, cents_local: list) -> DataFrame:
+    """Centroid state (K×64 driver-side ints) as a ONE-ROW DataFrame
+    holding the sorted struct array — broadcast-crossJoined onto the
+    corpus so the argmax fold is a compact expression over a column,
+    not a K×64-literal tree (which blows up analysis/codegen)."""
+    return spark.createDataFrame(
+        [([(cid, cqv, cnrm) for cid, cqv, cnrm in sorted(cents_local)],)],
+        "cents array<struct<centroid_id:bigint,cqv:array<bigint>,cnrm:bigint>>",
+    )
+
+
+def _assign(n: DataFrame, cent_state: DataFrame) -> DataFrame:
+    """corpus (vec_id, qv, nrm) → per-vector best centroid.
+
+    Map-only: the one-row centroid-array state is broadcast, and the
+    per-row argmax folds over it (K×64 multiply-adds JVM-side).  The
+    corpus is never shuffled or crossJoin-expanded to K rows per
+    vector, so one Lloyd iteration costs zero corpus shuffles at any
+    scale.  Fold iterates ascending centroid_id and replaces only on
+    strictly-greater sim — ties keep the lowest centroid_id, matching
+    max_by(struct(sim, -centroid_id))."""
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(-1).cast("bigint").alias("centroid_id"),
+            F.lit(float("-inf")).alias("c_sim"),
+        ),
+        lambda acc, c: F.when(
+            _cosine(_dot(F.col("qv"), c["cqv"]), F.col("nrm"), c["cnrm"])
+            > acc["c_sim"],
+            F.struct(
+                c["centroid_id"].alias("centroid_id"),
+                _cosine(
+                    _dot(F.col("qv"), c["cqv"]), F.col("nrm"), c["cnrm"]
+                ).alias("c_sim"),
+            ),
+        ).otherwise(acc),
     )
     return (
-        scores.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+        n.crossJoin(F.broadcast(cent_state))
+        .select("vec_id", best["centroid_id"].alias("centroid_id"), "qv", "nrm")
     )
 
 
@@ -472,27 +497,27 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = (
-        n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("qv").alias("cqv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    # Iteration state (K×64 integer cells) is materialized to the driver
-    # and re-broadcast as literal rows each round — the MLlib-KMeans
+    # Iteration state (K×64 integer cells) lives on the driver and is
+    # re-injected as literal columns each round — the MLlib-KMeans
     # pattern for iterative algorithms.  Without it the lazy lineage
     # nests one full assign+recenter subtree per iteration (exponential
     # recompute).  This is algorithm state, not a data collect: the
-    # corpus never leaves the executors.
+    # corpus never leaves the executors, and the only per-iteration
+    # shuffle is the K×64-cell recenter aggregate.
+    cents_local = [
+        (r.vec_id, list(r.qv), r.nrm)
+        for r in n.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
+        ).collect()
+    ]
     for _ in range(_KMEANS_ITERS):
-        rows = _recenter(_assign(n, cents)).collect()
-        cents = spark.createDataFrame(
-            [(r.centroid_id, list(r.cqv), r.cnrm) for r in rows],
-            "centroid_id long, cqv array<bigint>, cnrm long",
-        )
-    assigned = _assign(n, cents)
+        rows = _recenter(_assign(n, _cent_state(spark, cents_local))).collect()
+        cents_local = [(r.centroid_id, list(r.cqv), r.cnrm) for r in rows]
+    assigned = _assign(n, _cent_state(spark, cents_local))
+    cents = spark.createDataFrame(
+        [(cid, cqv, cnrm) for cid, cqv, cnrm in cents_local],
+        "centroid_id long, cqv array<bigint>, cnrm long",
+    )
 
     cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
     w_cent = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
