@@ -713,7 +713,15 @@ JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
     doc="L2: triangles in the near-dup pair graph (ordered 3-way self-join).",
 )
 def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the edge list ONCE: the three self-join sides otherwise
+    # each re-execute the full shingle/inverted-index pipeline (the join
+    # keys differ per side, so exchange reuse can't cover it).  The pair
+    # graph is ∝ true near-dups — tiny next to the corpus — and the
+    # checkpoint also gives AQE real sizes, so it broadcasts the
+    # triangle joins instead of shuffling.
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
