@@ -880,3 +880,136 @@ def hll_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (rel_err < 0.08).alias("union_within_8pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# A8b: count-min sketch — the mergeable frequency sketch next to HLL
+# (cardinality) above.  Unlike hll_sketch_agg there is no Spark builtin,
+# so the sketch is built from first principles as a (row, bucket) hash
+# aggregate: d=4 deterministic md5-derived hash rows × w=1024 buckets.
+# The cells table is 4096 counts REGARDLESS of corpus size and is
+# map-side combinable end to end — the whole point of the sketch at
+# 100 TB (counts merge by cell-wise addition across partitions/days).
+# Hashes are md5-hex-prefix mod w, the repo's established cross-engine
+# pattern (sampling.py train_test_split), so the DuckDB oracle builds
+# the IDENTICAL sketch and the estimates compare exactly.
+# --------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 1024
+_CM_TOPN = 30
+
+
+def _cm_bucket_spark(j: int, key) -> "F.Column":
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), key)), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(_CM_W),
+    )
+
+
+def _cm_bucket_sql(j: int, col: str) -> str:
+    return (
+        f"(('0x' || substring(md5('{j}|' || {col}), 1, 8))::BIGINT % {_CM_W})"
+    )
+
+
+@register(
+    "countmin_token_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT j, bucket, COUNT(*) AS cell
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_bucket_sql(j, 'w')} AS bucket FROM toks"
+        for j in range(_CM_D)
+    )}
+  )
+  GROUP BY j, bucket
+),
+exact AS (
+  SELECT w AS token, COUNT(*) AS exact_cnt FROM toks GROUP BY w
+  ORDER BY exact_cnt DESC, token ASC LIMIT {_CM_TOPN}
+),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT token, exact_cnt, {j} AS j, "
+      f"{_cm_bucket_sql(j, 'token')} AS bucket FROM exact"
+      for j in range(_CM_D)
+  )}
+)
+SELECT token, exact_cnt, MIN(cell) AS cm_estimate,
+       MIN(cell) >= exact_cnt AS never_underestimates
+FROM probes JOIN cells USING (j, bucket)
+GROUP BY token, exact_cnt
+""",
+    tags=("agg", "approx", "sketch", "text", "llm"),
+    doc=(
+        "A8: count-min sketch (d=4 x w=1024, md5-derived rows) over the "
+        "corpus token stream; estimates for the top-30 tokens vs exact "
+        "counts, asserting the one-sided error guarantee."
+    ),
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the 30 most frequent tokens.
+
+    One explode over the token stream feeds BOTH the 4096-cell sketch
+    (hash aggregate, map-side combinable) and the exact top-30; probes
+    then broadcast-join the cells.  At scale only the sketch build
+    touches the corpus — probing is O(top-n x d) against 4096 cells.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    rows = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket_spark(j, F.col("w")).alias("bucket"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jb")
+    )
+    cells = (
+        rows.select("jb.j", "jb.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    exact = (
+        toks.groupBy(F.col("w").alias("token"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(_CM_TOPN)
+    )
+    probes = exact.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cm_bucket_spark(j, F.col("token")).alias("bucket"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "exact_cnt", "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .withColumn(
+            "never_underestimates", F.col("cm_estimate") >= F.col("exact_cnt")
+        )
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.multijoin",
     "data_engineer_coder_spark.operators.tpch_extra",
     "data_engineer_coder_spark.operators.dedup",
+    "data_engineer_coder_spark.operators.graph",
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.textops",
     "data_engineer_coder_spark.operators.multimodal",

@@ -121,3 +121,40 @@ def test_order_item_pairs_matches_naive_join(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Rank mass: every node's rank >= teleport floor; suppliers (degree
+    ~ O(customers)) must out-rank customers at the top; two runs are
+    bit-identical (exact integer arithmetic)."""
+    from data_engineer_coder_spark.operators.graph import pagerank_trade_graph
+
+    rows = pagerank_trade_graph(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.rank_micro >= 150_000 for r in rows)
+    # the trade graph is bipartite with |supp| << |cust|: every supplier
+    # in the top-20 out-ranks every customer in it (at sf0.001 only 10
+    # suppliers exist, so customers fill the tail of the list)
+    supp = [r.rank_micro for r in rows if r.node_type == "supplier"]
+    cust = [r.rank_micro for r in rows if r.node_type == "customer"]
+    assert supp and min(supp) > (max(cust) if cust else 0)
+    again = pagerank_trade_graph(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_countmin_one_sided_error(spark, sf_dir):
+    """CM guarantee: estimate >= exact for every probed token, and with
+    w=1024 >> distinct tokens at sf0.001 the overestimate stays within
+    eps*N (eps = e/w) of the exact count."""
+    from data_engineer_coder_spark.operators.aggregates import countmin_token_freq
+
+    rows = countmin_token_freq(spark, sf_dir).collect()
+    assert len(rows) == 30
+    assert all(r.never_underestimates for r in rows)
+    n_stream = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    eps_bound = 2.72 * n_stream / 1024  # e/w * N
+    assert all(r.cm_estimate - r.exact_cnt <= eps_bound for r in rows)
