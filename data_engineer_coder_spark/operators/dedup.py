@@ -473,6 +473,120 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L2d': the escalation path dedup_clusters documents — alternating
+# large-star / small-star connected components (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14).  Hash-min
+# above needs O(component diameter) rounds; star contraction doubles
+# reach per round and converges in O(log n) on ANY graph shape, so
+# adversarial deep chains (diameter > 50) stop being a failure mode.
+# Per round each star op is one groupBy-min + one co-partitioned join
+# over the edge set — the same per-round wire cost as hash-min.
+# --------------------------------------------------------------------------
+
+_BIGSTAR_MAX_ROUNDS = 20  # ≥ log2(nodes) + slack; loop exits on fixed point
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(src,dst) edge set → edges connecting every neighbor v > u to
+    m = min(Γ(u) ∪ {u}).  Neighborhood mins come from a groupBy — no
+    collect_list, so hot (high-degree) nodes never materialize their
+    adjacency in one task."""
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    mins = (
+        und.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("_mn", F.col("src")).alias("m"))
+    )
+    return (
+        und.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low, then connect every low neighbor (and u
+    itself) to m = min(Γ(u)); drops the (m,m) self-loop."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return relink.unionByName(self_edge).distinct()
+
+
+@register(
+    "dedup_clusters_bigstar",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _CLUSTER_CTES
+    + "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM allm",
+    tags=("dedup", "llm", "iterative", "graph"),
+    doc=(
+        "L2: connected components over the exact-Jaccard pair graph via "
+        "alternating large-star/small-star contraction — O(log n) rounds "
+        "regardless of component diameter (the 100 TB-adversarial path "
+        "hash-min dedup_clusters escalates to).  Identical output "
+        "contract: cluster_id = min doc_id of the component."
+    ),
+)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction transitive closure → (doc_id, cluster_id).
+
+    Fixed point: the edge set stabilizes as a star forest rooted at each
+    component's minimum node (Kiveris et al. Thm 1-3), checked per round
+    with an exact exceptAll probe (edge sets are ∝ true near-dup pairs —
+    tiny next to the corpus).  Partial results never escape: like
+    dedup_clusters, non-convergence raises."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = pairs.localCheckpoint()  # pair mining runs once
+    converged = False
+    for _ in range(_BIGSTAR_MAX_ROUNDS):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        same = (
+            new.count() == edges.count()
+            and new.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_bigstar: star contraction did not reach a "
+            f"fixed point within {_BIGSTAR_MAX_ROUNDS} rounds"
+        )
+    # Fixed-point edges are (node → component-min root); roots appear
+    # only on the dst side.  groupBy-min is a safety net, not load-bearing.
+    members = edges.groupBy("src").agg(F.min("dst").alias("cluster_id")).select(
+        F.col("src").alias("doc_id"), "cluster_id"
+    )
+    roots = (
+        edges.select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .join(members, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    members = members.unionByName(roots)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    singles = docs.join(members, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return members.unionByName(singles).select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2e: fuzzy entity matching — blocked Levenshtein pairs.  The string-
 # distance complement to the token-set (Jaccard) near-dup family: catches
 # typo-level variants token methods miss entirely.

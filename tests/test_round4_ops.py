@@ -158,3 +158,45 @@ def test_countmin_one_sided_error(spark, sf_dir):
     )
     eps_bound = 2.72 * n_stream / 1024  # e/w * N
     assert all(r.cm_estimate - r.exact_cnt <= eps_bound for r in rows)
+
+
+def test_bigstar_equals_hashmin_clusters(spark, sf_dir):
+    """Star contraction and hash-min label propagation must produce the
+    identical (doc_id, cluster_id) map on the real pair graph."""
+    from data_engineer_coder_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_bigstar,
+    )
+
+    a = sorted(map(tuple, dedup_clusters(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_clusters_bigstar(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_bigstar_deep_chain(spark):
+    """The adversarial case hash-min cannot do in bounded rounds: a
+    1000-node path (diameter 999) must collapse to one cluster rooted at
+    the minimum node within the O(log n) round bound."""
+    from data_engineer_coder_spark.operators.dedup import (
+        _BIGSTAR_MAX_ROUNDS,
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "src long, dst long"
+    ).localCheckpoint()
+    rounds = 0
+    for _ in range(_BIGSTAR_MAX_ROUNDS):
+        new = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        if (
+            new.count() == edges.count()
+            and new.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new
+            break
+        edges = new
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {(i, 0) for i in range(1, 1000)}, "not a star rooted at 0"
+    assert rounds <= 15, f"took {rounds} rounds for diameter 999"
