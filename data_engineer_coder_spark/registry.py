@@ -88,6 +88,9 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # re-prove its green-row callers under the gate
     "sort_global",
     "quantiles_exact",
+    # round 4 (late): edge list now localCheckpoint'ed before the 3-way
+    # self-join — green r3 row predates the change
+    "neardup_triangles",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything
