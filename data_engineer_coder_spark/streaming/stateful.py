@@ -133,3 +133,82 @@ def streaming_user_counters_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(
         streaming_user_counters(stream_events(spark, sf_dir)), "update", shuffle_partitions=8
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming T7 (Spark 4 API): the same per-user counters via
+# transformWithStateInPandas — the successor to applyInPandasWithState:
+# named, independently-evolvable state variables (value/list/map) on a
+# StatefulProcessorHandle, explicit timers, and initial-state bootstrap.
+# ENVIRONMENT GATE: the Spark-internal state-server protocol for this
+# API needs `google.protobuf` on the PYTHONPATH, which this container
+# lacks (and installs are out of scope) — so the operator is a library
+# surface with an import-gated test (tests/test_streaming.py), NOT a
+# registered query: registering it would hard-crash the driver gate on
+# any host without protobuf.  `tws_available()` is the gate.
+# --------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can actually run here (its
+    driver worker imports protobuf-generated state-protocol messages)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _make_user_counter_processor():
+    """StatefulProcessor: running (n_events, sum_value) per user.  The
+    ABC import stays inside the factory so batch-only use of this
+    module never touches the streaming processor machinery."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class P(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._counters = handle.getValueState("counters", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = (
+                self._counters.get() if self._counters.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._counters.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return P()
+
+
+def streaming_user_counters_tws(ev_stream: DataFrame) -> DataFrame:
+    """T7 via the Spark 4 transformWithState API (value state, no timers)."""
+    return (
+        ev_stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_user_counter_processor(),
+            outputStructType=_STATE_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def streaming_user_counters_tws_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runner for the transformWithState counters (not registry-exposed;
+    see the ENVIRONMENT GATE note above — call only when
+    ``tws_available()``)."""
+    from .core import run_to_memory, stream_events
+
+    return run_to_memory(
+        streaming_user_counters_tws(stream_events(spark, sf_dir)),
+        "update",
+        shuffle_partitions=8,
+    )

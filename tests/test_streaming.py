@@ -163,3 +163,28 @@ def test_checkpoint_resume_processes_new_data_exactly_once(spark, sf_dir):
     assert got.count() == want.count()  # no duplicates, nothing missed
     assert _sorted_rows(got) == _sorted_rows(want)
     shutil.rmtree(src)
+
+
+def test_tws_counters_match_batch_agg(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of the GroupState
+    counters.  Import-gated: the API's state-server protocol needs
+    google.protobuf, absent in some environments (including this
+    container) — the operator itself must still build a valid streaming
+    plan either way."""
+    import pytest
+
+    from data_engineer_coder_spark.streaming.stateful import (
+        streaming_user_counters_tws,
+        tws_available,
+    )
+
+    sdf = streaming_user_counters_tws(stream_events(spark, sf_dir))
+    assert sdf.isStreaming and set(sdf.columns) == {"user_id", "n_events", "sum_value"}
+    if not tws_available():
+        pytest.skip("google.protobuf not installed: transformWithState "
+                    "driver worker cannot start in this environment")
+    got = _sorted_rows(run_to_memory(sdf, "update").select("user_id", "n_events"))
+    want = _sorted_rows(
+        table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    assert got == want
