@@ -261,3 +261,149 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape — suppliers who kept orders waiting: the hardest planner
+# shape in TPC-H (correlated EXISTS + NOT EXISTS over the same table).
+# Adapted: "late" := shipped > 90 days after the order date (fixture
+# has no commitdate/receiptdate).  The Spark plan uses the per-order
+# AGGREGATE rewrite — one groupBy over the order's lineitems computes
+# (distinct suppliers, distinct late suppliers) and the two correlated
+# subqueries become predicates on those counts.  One shuffle on
+# l_orderkey instead of two self-joins; the oracle runs the textbook
+# EXISTS/NOT-EXISTS form, proving the rewrite.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+    tags=("tpch", "join", "subquery", "agg"),
+    doc=(
+        "Q21 shape: sole-late-supplier detection on multi-supplier "
+        "finished orders.  Spark side: per-order aggregate rewrite of "
+        "the EXISTS/NOT-EXISTS pair; oracle side: the textbook "
+        "correlated form."
+    ),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias(
+            "late"
+        ),
+    )
+    # Per-order supplier profile: the EXISTS ("some other supplier") and
+    # NOT EXISTS ("no other supplier late") collapse into two distinct
+    # counts.  A late row qualifies iff its order has >= 2 suppliers and
+    # exactly one late supplier (necessarily this row's).
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qualifying = (
+        l.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — cheapest supplier per part (argmin-per-group with a
+# deterministic tie-break).  Adapted: no partsupp/supplycost in the
+# fixture, so observed min unit price from lineitem stands in.  The
+# classic correlated scalar-MIN subquery becomes a window argmin over
+# the (part, supplier) aggregate — one shuffle on partkey.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rn
+  FROM cost
+)
+SELECT p_partkey, p_name, s_name,
+       CAST(FLOOR(unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+FROM ranked
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1 AND p_size <= 15
+""",
+    tags=("tpch", "join", "window"),
+    doc=(
+        "Q2 shape: per-part argmin supplier by observed min unit price "
+        "(window row_number over the (part,supp) aggregate; supplier-key "
+        "tie-break)."
+    ),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey", "p_name")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.floor(F.col("unit_cost") * 10000).cast("bigint").alias("unit_cost_e4"),
+        )
+    )
