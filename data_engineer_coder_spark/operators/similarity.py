@@ -210,26 +210,41 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("ev"),
-        _qvec("embedding").alias("qv"),
+    # The 32 hyperplanes ride along as a ONE-ROW broadcast column
+    # (array<array<double>>), folded per row — not as 32×64 literal
+    # nodes, which made plan analysis alone cost more than execution
+    # (the same fix as the k-means centroid state above).  Fold order
+    # matches the literal version exactly, so buckets are unchanged.
+    planes_row = spark.createDataFrame(
+        [([list(p) for p in _PLANES],)], "planes array<array<double>>"
+    )
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("ev"),
+            _qvec("embedding").alias("qv"),
+        )
+        .crossJoin(F.broadcast(planes_row))
     )
 
-    def plane_bit(i: int, weight: int) -> Column:
-        plane = F.array(*[F.lit(v) for v in _PLANES[i]])
-        dot = F.aggregate(
-            F.zip_with(F.col("ev"), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot > 0, F.lit(weight)).otherwise(F.lit(0))
+    _WEIGHTS = F.array(*[F.lit(2**j) for j in range(_LSH_BITS)])
 
     def table_key(t: int) -> Column:
-        sig = None
-        for j in range(_LSH_BITS):
-            bit = plane_bit(t * _LSH_BITS + j, 2**j)
-            sig = bit if sig is None else sig + bit
+        def bit(j: Column) -> Column:
+            plane = F.get(F.col("planes"), F.lit(t * _LSH_BITS) + j)
+            dot = F.aggregate(
+                F.zip_with(F.col("ev"), plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.get(_WEIGHTS, j)).otherwise(F.lit(0))
+
+        sig = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_LSH_BITS - 1)),
+            F.lit(0),
+            lambda acc, j: acc + bit(j),
+        )
         return F.concat_ws(":", F.lit(str(t)), sig.cast("string"))
 
     sigs = emb.select(
