@@ -429,8 +429,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # pair mining runs once, not per round
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # Seed labels with min(u ∪ Γ(u)) straight off the edge list: this IS
+    # round 1 of hash-min from identity labels, computed as one groupBy
+    # instead of a join+aggregate round — one fewer iteration (each
+    # costs a shuffle, a checkpoint job, and a convergence probe).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("_mn"), F.col("src")).alias("label"),
+        )
     )
     converged = False
     for _ in range(_CLUSTER_MAX_ROUNDS):  # bound; loop exits on convergence

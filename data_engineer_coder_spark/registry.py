@@ -91,6 +91,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # round 4 (late): edge list now localCheckpoint'ed before the 3-way
     # self-join — green r3 row predates the change
     "neardup_triangles",
+    # round 4 (late): hash-min labels now seeded with min(u ∪ Γ(u)) off
+    # the edge list (one fewer propagation round); keep_best consumes it
+    "dedup_clusters",
+    "dedup_keep_best",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything
