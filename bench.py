@@ -81,6 +81,13 @@ HEADLINE = [
     "ivf_kmeans_topk",
     "spatial_blocked_join",
     "training_data_prep",
+    # round 4 late additions: unrolled PageRank, Q21 aggregate rewrite,
+    # count-min sketch build+probe, star-contraction CC, Q2 argmin
+    "pagerank_trade_graph",
+    "waiting_suppliers",
+    "countmin_token_freq",
+    "dedup_clusters_bigstar",
+    "cheapest_supplier_per_part",
 ]
 
 
