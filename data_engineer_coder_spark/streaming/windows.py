@@ -214,3 +214,46 @@ GROUP BY ALL
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return dedup_replays(ev.unionByName(ev))
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       value
+FROM (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events
+)
+GROUP BY ALL
+""",
+    tags=("streaming", "dedup", "real-stream"),
+    doc=(
+        "T6 real stream, bounded state: replayed feed (two file-stream "
+        "sources of the same events) deduped by event_id via "
+        "dropDuplicatesWithinWatermark — unlike plain dropDuplicates, "
+        "state for an id is dropped once the watermark passes it, so "
+        "state size tracks the watermark horizon instead of the full "
+        "stream history (the only viable posture on an unbounded feed).  "
+        "Replay duplicates carry identical timestamps, so they always "
+        "land within the watermark and the result equals exact dedup."
+    ),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import run_to_memory, stream_events
+
+    replay = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    out = (
+        replay.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_str("ts").alias("ts_s"),
+            "value",
+        )
+    )
+    return run_to_memory(out, "append", shuffle_partitions=8)
