@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..io.tables import table
 from ..registry import register
 from ._helpers import DEC, sql_dsum
+from .textops import _QUALITY_SQL_CTE, with_quality
 
 _SALTS = 16
 
@@ -154,4 +155,53 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L6b: quality-weighted (importance) sampling — the training-mix step
+# between scoring and tokenization: each document survives with
+# probability equal to its quality score, via a deterministic
+# content-hash acceptance test (md5 unit-interval draw < quality).
+# Reproducible under repartitioning, re-runs, and engine swap — a
+# seeded Bernoulli sample is none of those.  One map-side filter: no
+# shuffle at any corpus size; the per-lang report is the audit surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE},
+s AS (
+  SELECT doc_id, lang, quality
+  FROM q
+  WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         / 4294967296.0) < quality
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(FLOOR(SUM(quality) * 10000) AS BIGINT) AS quality_mass_e4
+FROM s GROUP BY lang
+""",
+    tags=("sampling", "llm", "quality"),
+    doc=(
+        "L6: importance sampling by quality score — P(keep) = quality, "
+        "decided by md5(doc_id) unit draw (deterministic, shuffle-free); "
+        "per-lang sampled counts + retained quality mass."
+    ),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_quality(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "quality"
+    )
+    unit = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    s = docs.filter(unit < F.col("quality"))
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.floor(F.sum("quality") * 10000).cast("bigint").alias("quality_mass_e4"),
     )
