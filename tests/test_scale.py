@@ -116,3 +116,49 @@ def test_moment_agg_is_partial_aggregated(spark, sf_dir):
     plan = _plan(corr_regression_by_flag(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan  # agg shuffle (+AQE read)
     assert "HashAggregate" in plan, plan
+
+
+def test_kmeans_assign_is_map_only(spark, sf_dir):
+    """One Lloyd assign pass must not shuffle the corpus: the centroid
+    state rides in as a broadcast one-row array and the argmax folds
+    per row.  Exchanges in the assign subplan would mean the corpus is
+    being moved per iteration."""
+    from data_engineer_coder_spark.operators.similarity import (
+        _assign,
+        _cent_state,
+        _dot,
+        _qvec,
+    )
+    from data_engineer_coder_spark.io.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = [(i, [1] * 64, 64) for i in range(4)]
+    plan = _plan(_assign(n, _cent_state(spark, cents)))
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+
+
+def test_countmin_sketch_is_partial_aggregated(spark, sf_dir):
+    """The 4096-cell sketch build must partial-aggregate map-side (the
+    exchange carries cells, not the token stream) and probe it via
+    broadcast."""
+    from data_engineer_coder_spark.operators.aggregates import countmin_token_freq
+
+    plan = _plan(countmin_token_freq(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_pagerank_unrolls_without_jobs(spark, sf_dir):
+    """The 3 fixed power iterations must build ONE lazy plan (no driver
+    loop jobs beyond the edge-list checkpoint): the returned frame's
+    plan contains all three per-round aggregates."""
+    from data_engineer_coder_spark.operators.graph import pagerank_trade_graph
+
+    df = pagerank_trade_graph(spark, sf_dir)
+    plan = _plan(df)
+    # three rounds → three sum-aggregate pairs over the contribution col
+    assert plan.lower().count("partial_sum") >= 3, plan
