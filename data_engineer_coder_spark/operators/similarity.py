@@ -511,7 +511,13 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
-    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    # Explicit repartition before the per-row argmax folds: the fixture
+    # is one parquet file, which would pin every K×64 fold of every
+    # iteration to a single task (same pitfall/fix as the dedup
+    # shingle pipelines).
+    n = emb.repartition(32, F.col("vec_id")).select(
+        "vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
+    )
     # Iteration state (K×64 integer cells) lives on the driver and is
     # re-injected as literal columns each round — the MLlib-KMeans
     # pattern for iterative algorithms.  Without it the lazy lineage
