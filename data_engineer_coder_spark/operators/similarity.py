@@ -220,6 +220,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = (
         table(spark, sf_dir, "embeddings")
+        # spread the 32-plane signature folds across tasks — the fixture
+        # is one parquet file (one task otherwise)
+        .repartition(32, F.col("vec_id"))
         .select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("ev"),
