@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import dsum, sql_davg, sql_dsum
+from ._helpers import DEC, dsum, sql_davg, sql_dsum
 
 # --------------------------------------------------------------------------
 # Funnel: users whose first signup precedes their first purchase, with
@@ -1047,7 +1047,12 @@ r AS (
          CAST(SUM(revenue) OVER (PARTITION BY c_nationkey
               ORDER BY revenue DESC, c_custkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev,
-         CAST(SUM(revenue) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS tot_rev
+         -- run_rev accumulates in the same explicit order in both engines so
+         -- a double sum is safe; the UNORDERED partition total is not — cast
+         -- back to decimal (lossless: revenue is an exact 6dp value) so the
+         -- 80% boundary can't flip on a last-ulp drift (ADVICE r4)
+         CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (PARTITION BY c_nationkey)
+              AS DOUBLE) AS tot_rev
   FROM ca
 )
 SELECT c_nationkey, COUNT(*) AS n_top_customers,
@@ -1073,8 +1078,10 @@ def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wtot = Window.partitionBy("c_nationkey")
+    # run_rev: ordered accumulation, identical sequence in both engines.
+    # tot_rev: unordered — sum through decimal (see oracle comment).
     r = ca.withColumn("run_rev", F.sum("revenue").over(wrun).cast("double")).withColumn(
-        "tot_rev", F.sum("revenue").over(wtot).cast("double")
+        "tot_rev", F.sum(F.col("revenue").cast(DEC)).over(wtot).cast("double")
     )
     return (
         r.filter(F.col("run_rev") - F.col("revenue") < 0.8 * F.col("tot_rev"))

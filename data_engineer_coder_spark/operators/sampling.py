@@ -180,7 +180,10 @@ s AS (
          / 4294967296.0) < quality
 )
 SELECT lang, COUNT(*) AS n_sampled,
-       CAST(FLOOR(SUM(quality) * 10000) AS BIGINT) AS quality_mass_e4
+       -- exact decimal sum: double SUM is accumulation-order-dependent and a
+       -- last-ulp drift can flip the floored e4 bucket (ADVICE r4)
+       CAST(FLOOR(SUM(CAST(quality AS DECIMAL(38,6))) * 10000) AS BIGINT)
+         AS quality_mass_e4
 FROM s GROUP BY lang
 """,
     tags=("sampling", "llm", "quality"),
@@ -203,5 +206,8 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.filter(unit < F.col("quality"))
     return s.groupBy("lang").agg(
         F.count("*").alias("n_sampled"),
-        F.floor(F.sum("quality") * 10000).cast("bigint").alias("quality_mass_e4"),
+        # exact decimal sum before scaling/flooring — see oracle comment
+        F.floor(F.sum(F.col("quality").cast(DEC)) * 10000)
+        .cast("bigint")
+        .alias("quality_mass_e4"),
     )

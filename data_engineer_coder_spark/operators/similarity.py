@@ -580,6 +580,117 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality-gate twins for the approximate ANN ops (VERDICT r4 item 4).
+# The approx results themselves are engine-specific (no SQL replay of LSH
+# folds / Lloyd iterations), but their QUALITY against the exact
+# brute-force ground truth is a deterministic fact this job can assert:
+# Spark computes BOTH sides, emits exact-derived scalars plus tolerance
+# booleans, and the DuckDB oracle independently derives the exact scalars
+# and asserts the booleans TRUE — the approx_distinct_check pattern.
+#
+# Thresholds (measured r5 at sf0.001/sf0.01, gate ≈ half the observed):
+# - ann_lsh: recall@3 is honestly low (~0.07 — the fixture embeddings are
+#   near-random, exact top-3 cosines ~0.34, and 8-bit hyperplane buckets
+#   only surface high-cosine pairs), so the meaningful gate is the
+#   COMPETITIVE RATIO mean(found cos)/mean(optimal cos): observed
+#   0.53–0.61 vs ~0 for random neighbors; gate ≥ 0.35.
+# - ivf_kmeans: recall@3 observed 0.58–0.63, gate ≥ 0.40; ratio observed
+#   ~0.94, gate ≥ 0.80.
+# --------------------------------------------------------------------------
+
+
+def _ann_quality_row(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """One-row quality summary: exact-side scalars + approx-vs-exact stats.
+
+    All inputs are ≤ 20·k rows (the probe fan-out), so the single-row
+    aggregates are driver-trivial at any corpus scale — the heavy lifting
+    happened inside the two top-k plans.
+    """
+    ex = exact.select("probe_id", "neighbor_id", "cos_sim")
+    ap = approx.select("probe_id", "neighbor_id", "cos_sim")
+    hits = ap.join(ex.select("probe_id", "neighbor_id"), ["probe_id", "neighbor_id"])
+    ex_agg = ex.agg(
+        F.count_distinct("probe_id").alias("n_probes"),
+        F.count("*").alias("n_exact"),
+        F.avg("cos_sim").alias("_mean_exact"),
+    )
+    ap_agg = ap.agg(
+        F.count("*").alias("_n_found"),
+        F.avg("cos_sim").alias("_mean_found"),
+        F.count_distinct("probe_id").alias("_probes_covered"),
+    )
+    hit_agg = hits.agg(F.count("*").alias("_n_hits"))
+    return (
+        ex_agg.crossJoin(ap_agg)
+        .crossJoin(hit_agg)
+        .withColumn("k", F.lit(k).cast("int"))
+        .withColumn("recall", F.col("_n_hits") / F.col("n_exact"))
+        .withColumn("ratio", F.col("_mean_found") / F.col("_mean_exact"))
+    )
+
+
+@register(
+    "ann_lsh_recall_check",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_exact,
+       CAST(3 AS INT) AS k,
+       TRUE AS all_probes_covered,
+       TRUE AS competitive_ge_35pct
+FROM embeddings WHERE vec_id < 20
+""",
+    tags=("similarity", "llm", "approx", "quality"),
+    doc=(
+        "L3 quality gate: ann_lsh_topk vs exact cosine_topk ground truth — "
+        "every probe must yield k candidates and the mean found cosine must "
+        "reach ≥35% of the optimal mean (random neighbors score ~0)."
+    ),
+)
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3)
+    q = _ann_quality_row(exact, ann_lsh_topk(spark, sf_dir), k=3)
+    return q.select(
+        "n_probes",
+        "n_exact",
+        "k",
+        (
+            (F.col("_probes_covered") == F.col("n_probes"))
+            & (F.col("_n_found") == F.col("n_probes") * F.col("k"))
+        ).alias("all_probes_covered"),
+        (F.col("ratio") >= 0.35).alias("competitive_ge_35pct"),
+    )
+
+
+@register(
+    "ivf_kmeans_recall_check",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_exact,
+       CAST(3 AS INT) AS k,
+       TRUE AS recall_ge_40pct,
+       TRUE AS competitive_ge_80pct
+FROM embeddings WHERE vec_id < 20
+""",
+    tags=("similarity", "llm", "approx", "ann", "quality"),
+    doc=(
+        "L3 quality gate: ivf_kmeans_topk (2 Lloyd rounds, nprobe=4) vs the "
+        "exact ground truth — recall@3 ≥ 0.40 and mean-cosine competitive "
+        "ratio ≥ 0.80 (observed ~0.6 / ~0.94)."
+    ),
+)
+def ivf_kmeans_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3)
+    q = _ann_quality_row(exact, ivf_kmeans_topk(spark, sf_dir), k=3)
+    return q.select(
+        "n_probes",
+        "n_exact",
+        "k",
+        (F.col("recall") >= 0.40).alias("recall_ge_40pct"),
+        (F.col("ratio") >= 0.80).alias("competitive_ge_80pct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # L3e: per-label embedding centroids — the reduce side of k-means and the
 # build side of IVF lists, as a standalone checked op.  Same quantized-
 # int determinism as cosine_topk: component sums are exact int64, the

@@ -139,7 +139,10 @@ WITH v AS (
 )
 SELECT l_partkey, value
 FROM v
-WHERE value > (SELECT SUM(value) * 0.001 FROM v)
+-- each value is an exact 6dp decimal carried in a double, so the re-cast is
+-- lossless and the total is order-independent (ADVICE r4: a raw double SUM
+-- could flip parts sitting within 1 ulp of the share gate)
+WHERE value > (SELECT {sql_dsum('value')} * 0.001 FROM v)
 """,
     tags=("join", "tpch", "subquery", "having"),
     doc="Q11 shape: per-part value share gate via broadcast scalar total.",
@@ -159,7 +162,8 @@ def important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum("rev").alias("value"))
     )
-    total = v.agg((F.sum("value") * 0.001).alias("_thresh"))
+    # decimal-exact total (see oracle comment): dsum, not a raw double sum
+    total = v.agg((dsum("value") * 0.001).alias("_thresh"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("_thresh"))

@@ -71,30 +71,13 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # round 4: events.ts became parquet timestamp[us] → TIMESTAMP_NTZ; the
-    # loader (io/tables.py) + stream source (streaming/core.py) now normalize
-    # NTZ→LTZ and session_capped's elapsed_s was rewritten on unix_micros.
-    # These six either had red r3 rows or stale r1/r2 greens predating the
-    # fixture change — re-prove them under the driver gate.
-    "session_capped",
-    "window_time_range",
-    "window_lag_lead",
-    "range_join_events",
-    "funnel_conversion",
-    "stream_stream_join",
-    # round 4: count tolerance widened 5%→8% (4 sigma), columns renamed
-    "summary_approx",
-    # round 4: with_global_pos gained the lazy-checkpoint determinism fix;
-    # re-prove its green-row callers under the gate
-    "sort_global",
-    "quantiles_exact",
-    # round 4 (late): edge list now localCheckpoint'ed before the 3-way
-    # self-join — green r3 row predates the change
-    "neardup_triangles",
-    # round 4 (late): hash-min labels now seeded with min(u ∪ Γ(u)) off
-    # the edge list (one fewer propagation round); keep_best consumes it
-    "dedup_clusters",
-    "dedup_keep_best",
+    # (round-4 NTZ/plan-change cohort of 12 pruned: all re-proven green in
+    # CORRECTNESS_r04.)
+    # round 5: order-dependent double sums replaced with decimal accumulation
+    # per ADVICE r4 — threshold/boundary math changed in both engines, so the
+    # r4 greens are stale.
+    "important_stock_value",
+    "pareto_revenue_customers",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything

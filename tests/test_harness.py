@@ -113,6 +113,120 @@ def test_green_in_any_round_wins(tmp_path):
     assert registry._driver_checked(root=str(tmp_path))["q"] is True
 
 
+# ---------------------------------------------------------------------------
+# Fixture schema contract (VERDICT r4 item 3 / r3 item 8)
+# ---------------------------------------------------------------------------
+
+# As-read dtypes AFTER the loader's normalization (io/tables.py:table()).
+# The round-3/4 NTZ incident: events.ts silently shifted physical parquet
+# type between fixture generations and a full round was lost to red driver
+# rows before anyone looked at a schema.  This contract makes the NEXT
+# drift cost one loud test failure instead.
+_SCHEMA_CONTRACT = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    # ts MUST come out as LTZ "timestamp" — unix_micros/watermarks depend on
+    # it; the loader normalizes NANOS-as-long and NTZ variants.
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+_SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+@pytest.mark.parametrize("fixture_dir", _SF_DIRS)
+def test_fixture_schema_contract(spark, fixture_dir):
+    """Every fixture table's as-read dtypes must match the pinned contract
+    at every scale factor the driver touches (schema-only: no data read)."""
+    import os
+
+    from data_engineer_coder_spark.io.tables import TABLES, table
+
+    if not os.path.isdir(fixture_dir):
+        pytest.skip(f"{fixture_dir} absent")
+    assert set(TABLES) == set(_SCHEMA_CONTRACT), "TABLES/contract drifted apart"
+    drift = {}
+    for name in TABLES:
+        got = table(spark, fixture_dir, name).dtypes
+        if got != _SCHEMA_CONTRACT[name]:
+            drift[name] = {"expected": _SCHEMA_CONTRACT[name], "got": got}
+    assert not drift, (
+        f"fixture schema drift at {fixture_dir}: {drift}\n"
+        "REMEDIATION: the fixture generator changed a physical parquet type "
+        "(it has before: events.ts TIMESTAMP(NANOS) -> timestamp[us]/NTZ). "
+        "Normalize the new variant at the single loader choke point "
+        "data_engineer_coder_spark/io/tables.py:table() (and "
+        "streaming/core.py:stream_events() if it reads events), then update "
+        "this contract. Do NOT patch individual queries — round 3 died that "
+        "way. Stale driver greens predating the drift are invalid: add the "
+        "affected names to registry._FORCE_RECHECK."
+    )
+
+
 def test_check_prefix_is_all_unverified():
     """Every slot of the 50-query driver prefix must go to a query that has
     no green row yet (rotation efficiency: no slot wasted on a green one),
