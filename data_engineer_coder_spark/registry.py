@@ -78,6 +78,9 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # r4 greens are stale.
     "important_stock_value",
     "pareto_revenue_customers",
+    # round 5: grouped-map now receives unix_micros bigints instead of a
+    # timestamp column (Arrow-hop cost); same output, changed plan.
+    "user_session_stats",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything

@@ -23,12 +23,17 @@ from pyspark.sql import DataFrame
 # Spark equivalent: per-column overrides for the JDBC writer.  We widen
 # VARCHAR(50) → VARCHAR(256): silent 50-char truncation is a reference
 # bug, not a feature.
+#
+# NOTE: createTableColumnTypes is parsed by SPARK's DDL parser before the
+# JDBC dialect translates it for the target database — entries must be
+# valid Spark SQL types ("DOUBLE", not the ANSI "DOUBLE PRECISION";
+# r5 fix, caught by the Derby e2e once a double column was exercised).
 _SPARK_TO_SQL = {
     "bigint": "BIGINT",
     "int": "INTEGER",
     "smallint": "SMALLINT",
     "float": "REAL",
-    "double": "DOUBLE PRECISION",
+    "double": "DOUBLE",
     "string": "VARCHAR(256)",
     "boolean": "BOOLEAN",
     "timestamp": "TIMESTAMP",

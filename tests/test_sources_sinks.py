@@ -48,7 +48,7 @@ def test_jdbc_column_types_mapping(spark, sf_dir):
     df = table(spark, sf_dir, "orders")
     ddl = jdbc_column_types(df)
     assert "o_orderkey BIGINT" in ddl
-    assert "o_totalprice DOUBLE PRECISION" in ddl
+    assert "o_totalprice DOUBLE" in ddl  # Spark DDL type (parser rejects ANSI "DOUBLE PRECISION")
     assert "o_orderstatus VARCHAR(256)" in ddl
     assert "o_orderdate TIMESTAMP" in ddl
 
@@ -245,6 +245,88 @@ def test_jdbc_roundtrip_via_embedded_derby(spark, sf_dir):
     got = sorted(map(tuple, back.collect()))
     want = sorted(map(tuple, src.collect()))
     assert got == want
+
+
+def test_jdbc_partitioned_write_and_read_via_derby(spark, sf_dir):
+    """S4 at scale (VERDICT r4 item 7): the parallel JDBC paths.
+
+    Write side: one transaction PER DATAFRAME PARTITION — a 4-partition
+    source writes through 4 concurrent connections (the reference is
+    single-connection sequential, my_data_pipeline.py:135,173-175); the
+    ``numPartitions`` writer option caps the fan-in for databases with
+    connection limits.  Read side: partitionColumn/lowerBound/upperBound/
+    numPartitions splits the table scan into parallel range queries —
+    the only way a 100 TB JDBC ingest isn't a single-cursor bottleneck.
+    Also pins the createTableColumnTypes DDL mapping (the reference's
+    dtype→SQL map, my_data_pipeline.py:101-106, with VARCHAR widened
+    50→256) against Derby's own catalog."""
+    import tempfile
+
+    from data_engineer_coder_spark.sinks import jdbc_column_types, write_jdbc
+
+    db = tempfile.mkdtemp(prefix="derby_part_") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    # DDL map sanity before it hits the database
+    ddl = jdbc_column_types(src)
+    assert "c_custkey BIGINT" in ddl
+    assert "c_name VARCHAR(256)" in ddl  # reference's VARCHAR(50) widened
+    assert "c_nationkey INTEGER" in ddl
+    assert "c_acctbal DOUBLE" in ddl  # Spark DDL type, not ANSI "DOUBLE PRECISION"
+
+    # parallel write: 4 source partitions, capped to 2 concurrent
+    # connections by the writer option
+    write_jdbc(
+        src.repartition(4, F.col("c_custkey")),
+        url,
+        "customer_sink",
+        mode="overwrite",
+        properties={**props, "numPartitions": "2"},
+    )
+
+    lo = src.agg(F.min("c_custkey")).collect()[0][0]
+    hi = src.agg(F.max("c_custkey")).collect()[0][0]
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_sink")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "4")
+        .options(**props)
+        .load()
+    )
+    # the bounded read really is split into parallel range scans
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+    # the DDL the writer issued is what Derby actually created
+    cols = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "query",
+            # Derby folds the unquoted table name up but Spark's writer
+            # quotes COLUMN identifiers, so those stay lowercase
+            "SELECT c.columnname, CAST(c.columndatatype AS VARCHAR(64)) AS dt "
+            "FROM sys.syscolumns c JOIN sys.systables t ON c.referenceid = t.tableid "
+            "WHERE t.tablename = 'CUSTOMER_SINK'",
+        )
+        .options(**props)
+        .load()
+        .collect()
+    )
+    types = {r[0]: r[1] for r in cols}
+    assert types["c_custkey"].startswith("BIGINT")
+    assert types["c_name"].startswith("VARCHAR(256)")
+    assert types["c_nationkey"].startswith("INTEGER")
+    assert types["c_acctbal"].startswith("DOUBLE")
 
 
 def test_file_transport_writes_report(tmp_path):
