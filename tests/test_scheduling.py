@@ -1,0 +1,95 @@
+"""Run-semantics tests: retry posture, notifications, chain ordering,
+and catchup=False ledger behavior (reference parity:
+/root/reference/dags/airflow_dag.py:13-18,27-29,62)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_coder_spark.scheduling import (
+    RetryPolicy,
+    RunLedger,
+    TaskFailed,
+    run_chain,
+    run_task,
+)
+
+
+def _collector():
+    sent: list[tuple[str, str]] = []
+    return sent, lambda subject, body: sent.append((subject, body))
+
+
+def test_retry_then_success_notifies_once():
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("transient")
+        return "ok"
+
+    sent, notify = _collector()
+    out = run_task("fetch", flaky, RetryPolicy(retries=1, delay_s=30), notify, slept.append)
+    assert out == "ok"
+    assert calls["n"] == 2
+    assert slept == [30]  # the reference's retry_delay
+    assert len(sent) == 1 and sent[0][0] == "retry: fetch"
+
+
+def test_exhausted_retries_raise_with_failure_notification():
+    sent, notify = _collector()
+
+    def broken():
+        raise RuntimeError("boom")
+
+    with pytest.raises(TaskFailed) as ei:
+        run_task("load", broken, RetryPolicy(retries=1, delay_s=0), notify, lambda s: None)
+    assert ei.value.attempts == 2
+    assert isinstance(ei.value.cause, RuntimeError)
+    subjects = [s for s, _ in sent]
+    assert subjects == ["retry: load", "FAILED: load"]
+
+
+def test_chain_stops_at_first_terminal_failure():
+    ran: list[str] = []
+
+    def ok(name):
+        def f():
+            ran.append(name)
+            return name
+
+        return f
+
+    def bad():
+        raise RuntimeError("down")
+
+    with pytest.raises(TaskFailed):
+        run_chain(
+            [("t1", ok("t1")), ("t2", bad), ("t3", ok("t3"))],
+            RetryPolicy(retries=0, delay_s=0),
+            sleep=lambda s: None,
+        )
+    assert ran == ["t1"]  # t3 never ran: upstream failed
+
+
+def test_ledger_catchup_false_runs_only_latest(tmp_path):
+    led = RunLedger(str(tmp_path), "air_quality")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # three missed days, catchup=False → only the newest is due
+    assert led.due(days) == ["2024-01-03"]
+    led.mark_done("2024-01-03")
+    assert led.due(days) == ["2024-01-02"]  # next call: newest remaining
+    # catchup=True replays everything missed, oldest first
+    assert led.due(days, catchup=True) == ["2024-01-01", "2024-01-02"]
+    led.mark_done("2024-01-01")
+    led.mark_done("2024-01-02")
+    assert led.due(days) == []
+    # at-most-once: a re-offered completed date is never due again
+    assert led.due(["2024-01-02"]) == []
+
+
+def test_ledger_survives_reopen(tmp_path):
+    RunLedger(str(tmp_path), "p").mark_done("2024-02-01")
+    assert RunLedger(str(tmp_path), "p").due(["2024-02-01"]) == []
