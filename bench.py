@@ -88,6 +88,10 @@ HEADLINE = [
     "countmin_token_freq",
     "dedup_clusters_bigstar",
     "cheapest_supplier_per_part",
+    # round 5 additions: segment-level dedup audit + boilerplate density
+    # (two new explode→DF-join→rollup text families)
+    "segment_dedup_report",
+    "boilerplate_ngram_density",
 ]
 
 

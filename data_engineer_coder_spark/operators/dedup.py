@@ -956,3 +956,83 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_groups"),
         (F.col("group_size") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# L2f: segment-level dedup report — the line/paragraph dedup step of
+# C4/RefinedWeb-style pipelines, on a corpus with no newlines: docs are
+# cut into consecutive non-overlapping 8-word segments and a segment is
+# "duplicated" when its exact text occurs in more than one document.
+# Per-source counts quantify how much boilerplate a source contributes.
+#
+# Scale shape: one explode (segments stay in codegen arrays until then),
+# one hash-agg on the segment text for document frequency, one shuffle
+# join back on the same key (co-partitioned — no extra exchange), one
+# per-source agg.  At 100 TB the segment key would be a fixed-width
+# digest rather than raw text (same as dedup_group_size_histogram);
+# raw text keeps the fixture oracle trivially comparable.
+# --------------------------------------------------------------------------
+
+_SEG_WORDS = 8
+
+
+@register(
+    "segment_dedup_report",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+seg AS (
+  -- integer division (//): CAST(x/8 AS INT) ROUNDS in DuckDB and would
+  -- invent a trailing partial segment
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, CAST(len(ws) // {_SEG_WORDS} AS INT) + 1),
+                               i -> array_to_string(ws[(i-1)*{_SEG_WORDS}+1:i*{_SEG_WORDS}], ' '))) AS seg
+  FROM w
+),
+df AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY seg
+)
+SELECT source,
+       COUNT(*) AS n_segments,
+       COUNT(CASE WHEN n_docs > 1 THEN 1 END) AS n_dup_segments,
+       CAST(FLOOR(10000.0 * COUNT(CASE WHEN n_docs > 1 THEN 1 END) / COUNT(*)) AS BIGINT)
+         AS dup_rate_e4
+FROM seg JOIN df USING (seg)
+GROUP BY source
+""",
+    tags=("dedup", "llm", "segments", "audit"),
+    doc=(
+        "L2: per-source segment-duplication report — 8-word non-overlapping "
+        "segments, duplicated iff the exact segment occurs in >1 document "
+        "(the line-level dedup audit of C4-style cleaning)."
+    ),
+)
+def segment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # single-file fixture: repartition before the per-row segment arrays
+    w = docs.repartition(32, F.col("doc_id")).select(
+        "doc_id", "source", _words(F.col("text")).alias("ws")
+    )
+    k = _SEG_WORDS
+    n_full = F.floor(F.size("ws") / k).cast("int")
+    segs_arr = F.transform(
+        # guard: sequence(1, 0) counts DOWN in Spark — short docs must
+        # yield an empty array, not bogus [1, 0] segments
+        F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_join(F.slice(F.col("ws"), (i - 1) * k + 1, k), " "),
+    )
+    seg = w.select("doc_id", "source", F.explode(segs_arr).alias("seg"))
+    df_ = seg.groupBy("seg").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup_occ = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
+    return (
+        seg.join(df_, "seg")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_segments"),
+            dup_occ.alias("n_dup_segments"),
+            F.floor(10000.0 * dup_occ / F.count("*")).cast("bigint").alias("dup_rate_e4"),
+        )
+    )

@@ -211,3 +211,48 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quality_mass_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# L6c: stratified deterministic top-k sample — exactly k docs per
+# (lang, source) stratum, selected by content-independent hash order
+# (md5 of the id), so the carve-out is stable under repartitioning,
+# re-runs, and engine swap.  This is the eval-holdout pattern: the
+# quality_weighted_sample keeps a rate, this keeps a COUNT per cell.
+# One shuffle (the per-stratum window); at 100 TB k rows per stratum
+# bound both the state and the output.
+# --------------------------------------------------------------------------
+
+_STRAT_K = 5
+
+
+@register(
+    "stratified_topk_sample",
+    oracle=f"""
+SELECT lang, source, doc_id, rn
+FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {_STRAT_K}
+""",
+    tags=("sampling", "llm", "stratified"),
+    doc=(
+        "L6: deterministic stratified sample — k=5 docs per (lang, source) "
+        "cell by md5(doc_id) hash order (stable holdout carve-out)."
+    ),
+)
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("lang", "source", "doc_id", "rn")
+    )

@@ -750,3 +750,76 @@ def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("hi") - F.col("lo")).cast("double")
     )
     return m.select("doc_id", "lang", F.round(scaled, 6).alias("scaled_len"))
+
+
+# --------------------------------------------------------------------------
+# L4j: boilerplate 3-gram density — how much of each source is corpus-
+# wide boilerplate (navigation chrome, headers, license blurbs in real
+# crawls)?  A 3-gram OCCURRENCE is boilerplate when the gram appears in
+# at least _BOILER_DF documents.  Reported per source from exact integer
+# sums; the only doubles are one identical final division per group.
+#
+# Scale shape: gram document-frequency is one explode + hash-agg; the
+# join back is co-partitioned on the gram key (the ngram_jaccard
+# pattern); per-source rollup is map-side combinable.  The same
+# _SHINGLE_DF_CAP-style cap would bound a skewed gram's fan-in at crawl
+# scale — unnecessary at fixture DF ≤ 9.
+# --------------------------------------------------------------------------
+
+_BOILER_DF = 5  # fixture 3-gram DF tops out at 9; >=5 marks the hot tail
+
+
+@register(
+    "boilerplate_ngram_density",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+occ AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w
+),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM occ GROUP BY g
+)
+SELECT source,
+       COUNT(*) AS n_gram_occurrences,
+       COUNT(CASE WHEN n_docs >= {_BOILER_DF} THEN 1 END) AS n_boilerplate_occ,
+       CAST(FLOOR(10000.0 * COUNT(CASE WHEN n_docs >= {_BOILER_DF} THEN 1 END)
+                  / COUNT(*)) AS BIGINT) AS boiler_rate_e4
+FROM occ JOIN df USING (g)
+GROUP BY source
+""",
+    tags=("text", "llm", "quality", "boilerplate"),
+    doc=(
+        "L4: per-source boilerplate density — share of 3-gram occurrences "
+        "whose gram appears in >= 5 documents (crawl-cleaning audit)."
+    ),
+)
+def boilerplate_ngram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # single-file fixture: spread the per-row gram arrays across tasks
+    w = (
+        docs.repartition(32, F.col("doc_id"))
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.array_join(F.slice(F.col("ws"), i, 3), " "),
+    )
+    occ = w.select("doc_id", "source", F.explode(grams).alias("g"))
+    df_ = occ.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
+    boiler = F.count(F.when(F.col("n_docs") >= _BOILER_DF, F.lit(1)))
+    return (
+        occ.join(df_, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_gram_occurrences"),
+            boiler.alias("n_boilerplate_occ"),
+            F.floor(10000.0 * boiler / F.count("*")).cast("bigint").alias("boiler_rate_e4"),
+        )
+    )
