@@ -940,3 +940,60 @@ def embedding_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L3i: per-dimension variance audit — the collapsed-dimension check run
+# before trusting an embedding space (a dim whose variance ~0 carries no
+# signal; a batch of them means a broken encoder or truncated export).
+# All moments are exact int64 sums over the 1e7-quantized components
+# (n·q² ≤ 6e14·n « 2^63 at fixture scale; a 100 TB run would widen to
+# DECIMAL(38,0) cells, same plan), so mean/variance are one identical
+# double op-sequence in both engines.  Shape: posexplode → (dim) hash
+# agg, map-side combinable — one linear pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_variance",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+e AS (
+  SELECT i AS dim, qv[i] AS qc
+  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+)
+SELECT dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(qc) AS BIGINT) AS sum_q,
+       CAST(SUM(qc * qc) AS BIGINT) AS sumsq_q,
+       ROUND((CAST(SUM(qc * qc) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(qc) AS DOUBLE) / COUNT(*)) * (CAST(SUM(qc) AS DOUBLE) / COUNT(*)))
+             / ({_SCALE}.0 * {_SCALE}.0), 9) AS variance,
+       ((CAST(SUM(qc * qc) AS DOUBLE) / COUNT(*)
+         - (CAST(SUM(qc) AS DOUBLE) / COUNT(*)) * (CAST(SUM(qc) AS DOUBLE) / COUNT(*)))
+        / ({_SCALE}.0 * {_SCALE}.0)) < 0.0001 AS is_collapsed
+FROM e GROUP BY dim
+""",
+    tags=("similarity", "llm", "audit", "quality"),
+    doc=(
+        "L3: per-dimension embedding variance from exact quantized-int "
+        "moments; flags near-zero-variance (collapsed) dimensions."
+    ),
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(_qvec("embedding").alias("qv"))
+    ex = emb.select(F.posexplode("qv").alias("pos", "qc")).select(
+        (F.col("pos") + 1).alias("dim"), "qc"
+    )
+    mean = F.sum("qc").cast("double") / F.count("*")
+    meansq = F.sum(F.col("qc") * F.col("qc")).cast("double") / F.count("*")
+    var = (meansq - mean * mean) / (float(_SCALE) * float(_SCALE))
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("qc").cast("bigint").alias("sum_q"),
+        F.sum(F.col("qc") * F.col("qc")).cast("bigint").alias("sumsq_q"),
+        F.round(var, 9).alias("variance"),
+        (var < 0.0001).alias("is_collapsed"),
+    )

@@ -823,3 +823,51 @@ def boilerplate_ngram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * boiler / F.count("*")).cast("bigint").alias("boiler_rate_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L4k: language-label confusion matrix — labeled lang × heuristic
+# prediction with counts.  The contamination audit every multilingual
+# corpus needs before per-language sampling quotas: a hot off-diagonal
+# cell means a source is mislabeling its language metadata.  One
+# map-side expression per row + one tiny hash agg; linear at any scale.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+SELECT lang AS labeled_lang,
+       CASE
+         WHEN CAST(LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE) / LEN(ws) >= 0.05
+         THEN 'en' ELSE 'other'
+       END AS predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(ws)) AS BIGINT) AS n_tokens
+FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+GROUP BY 1, 2
+""",
+    tags=("text", "llm", "quality", "audit"),
+    doc=(
+        "L4: labeled-vs-predicted language confusion counts (metadata "
+        "contamination audit over the stopword-ratio heuristic)."
+    ),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    ratio = (
+        F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS))).cast("double") / F.size(ws)
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+            F.size(ws).alias("_n_tokens"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
