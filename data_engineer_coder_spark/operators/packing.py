@@ -1,0 +1,285 @@
+"""Training-data assembly: sequence packing, chunking, token budgeting.
+
+The last mile of an LLM data pipeline turns scored, deduplicated
+documents into fixed-shape training sequences.  Three operations
+dominate that stage at 100 TB:
+
+- **concat-and-chunk packing** (``sequence_packing``): stream documents
+  in a deterministic order, concatenate, and cut every ``_PACK_BUDGET``
+  tokens.  The industry-standard packing used by GPT/LLaMA-style
+  pretraining — no bin-packing search, one pass, and the window
+  assignment is a pure function of the running token sum, so it is
+  reproducible across engines and re-runs.
+- **strided chunking** (``chunk_long_docs``): split long documents into
+  overlapping windows (width ``_CHUNK_W``, stride ``_CHUNK_S``) — the
+  long-context variant where document boundaries must be respected.
+- **token-budget selection** (``token_budget_sample``): per-source
+  greedy knapsack — take the highest-quality documents until the
+  source's token budget is exhausted.  The "data mix" step that turns
+  quality scores into an actual corpus.
+- **temperature weighting** (``domain_temperature_weights``): the
+  multinomial-mix weights w_s ∝ tokens_s^0.5 (XLM-R / mT5 style
+  temperature sampling at alpha = 0.5).
+
+Scale notes: every op here is a window function partitioned by
+``source`` plus a hash aggregate — no joins, no driver loops.  At 100 TB
+a single giant source would make its packing window one straggler task;
+production would salt the partition key into ``(source, shard)`` with a
+content-hash shard and pack shards independently (the window ids stay
+deterministic because the shard is content-derived, exactly like
+``deterministic_sample``'s md5 gate).  The per-source form here keeps
+the oracle readable; the salting pattern is proven separately by
+``skew_salted_agg``.
+
+All arithmetic is integer (token counts, running sums, floor division)
+— bit-identical across Spark and DuckDB by construction.  The only
+doubles are ``quality`` (already proven hash-stable by
+``quality_score``) used as a sort key, and one IEEE-correctly-rounded
+``sqrt`` on an exact bigint.
+
+The reference (a ~300-line pandas ETL, /root/reference/dags/
+my_data_pipeline.py) has no packing stage; this module is part of the
+mandated LLM-pipeline extension surface (SURVEY.md §2 L-block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io.tables import table
+from ..registry import register
+from .textops import _QUALITY_SQL_CTE, with_quality
+
+# Context-window token budget for concat-and-chunk packing.  Real
+# pipelines use 2k-8k; 512 keeps the tiny fixtures producing multiple
+# windows per source at every SF.
+_PACK_BUDGET = 512
+
+# Strided-chunking geometry: width 32, stride 24 (25% overlap).
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+# Per-source token budget for the greedy quality knapsack.
+_SRC_TOKEN_BUDGET = 600
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Attach the whitespace token count (the engine's canonical
+    tokenizer proxy, same LEN(string_split(...)) the oracles use)."""
+    return docs.withColumn("n_tok", F.size(F.split("text", " ")).cast("bigint"))
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+  FROM t
+), w AS (
+  SELECT source, CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT) AS window_id,
+         doc_id, n_tok
+  FROM r
+)
+SELECT source, window_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS window_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM w GROUP BY source, window_id
+""",
+    tags=("packing", "llm", "window"),
+    doc=(
+        "Concat-and-chunk sequence packing: deterministic per-source doc "
+        "order, running token sum, window = floor(start/512).  One window "
+        "function + one hash agg; no joins."
+    ),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to its pretraining context window.
+
+    A document belongs to the window in which its FIRST token lands
+    (documents spanning a boundary are attributed to the window they
+    start in — the accounting convention that keeps window assignment a
+    pure prefix-sum function).  The report aggregates per window so the
+    output is a compact packing manifest, not a row per document.
+    """
+    docs = _with_tokens(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = docs.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    # floor() on BOTH sides: DuckDB CAST(double AS BIGINT) rounds while
+    # Spark's cast truncates — an explicit floor removes the divergence.
+    win = r.withColumn(
+        "window_id", F.floor(F.col("start_tok") / _PACK_BUDGET).cast("bigint")
+    )
+    return win.groupBy("source", "window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("window_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "chunk_long_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok, CAST(i AS BIGINT) AS chunk_id,
+         CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+         LEAST(CAST(i * {_CHUNK_S} + {_CHUNK_W} AS BIGINT), n_tok) AS end_tok
+  FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+  WHERE i * {_CHUNK_S} < n_tok
+)
+SELECT doc_id, chunk_id, start_tok, end_tok,
+       end_tok - start_tok AS chunk_len
+FROM c
+""",
+    tags=("packing", "llm", "chunking"),
+    doc=(
+        "Strided chunking (width 32, stride 24): one row per overlapping "
+        "window of each document.  Pure per-row explode — embarrassingly "
+        "parallel, no shuffle."
+    ),
+)
+def chunk_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    The chunk index sequence is generated per-row (``sequence`` +
+    ``explode``) — no join, no shuffle; output size is input tokens /
+    stride.  The oracle mirrors it with a bounded ``range(0, 64)``
+    cross join (fixture docs are < 64 * 24 tokens; the Spark side
+    computes the exact count so it has no such bound).
+    """
+    docs = _with_tokens(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_chunks = (
+        F.floor((F.col("n_tok") - 1) / _CHUNK_S) + 1
+    )  # chunks whose start (i * S) is < n_tok
+    c = docs.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * _CHUNK_S).cast("bigint")
+    end = F.least(start + _CHUNK_W, F.col("n_tok"))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("chunk_len"),
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE},
+r AS (
+  SELECT source, doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM q
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+       ROUND(MIN(quality), 6) AS min_kept_quality
+FROM r WHERE cum_tok <= {_SRC_TOKEN_BUDGET}
+GROUP BY source
+""",
+    tags=("packing", "llm", "sampling"),
+    doc=(
+        "Greedy per-source token-budget selection: highest-quality docs "
+        "first until 600 tokens/source.  The data-mix step between scoring "
+        "and tokenization."
+    ),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best documents per source within a token budget.
+
+    Sort key is (quality DESC, doc_id) — quality doubles are
+    bit-identical across engines (proven by ``quality_score``'s hash
+    match), and doc_id breaks ties totally, so the running sum and the
+    budget cut agree exactly.  The budget test is on exact bigint
+    cumulative tokens; no float boundary exists.
+    """
+    docs = with_quality(table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = docs.withColumn("cum_tok", F.sum("n_tokens").over(w))
+    return (
+        r.filter(F.col("cum_tok") <= _SRC_TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.round(F.min("quality"), 6).alias("min_kept_quality"),
+        )
+    )
+
+
+@register(
+    "domain_temperature_weights",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+), g AS (
+  SELECT *, CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens FROM t
+)
+SELECT source, n_docs, tokens,
+       CAST(FLOOR(tokens * 10000 / total_tokens) AS BIGINT) AS share_e4,
+       CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         AS temp_weight_e6
+FROM g
+""",
+    tags=("packing", "llm", "mix"),
+    doc=(
+        "Temperature-sampling mix weights: w_s ∝ tokens_s^0.5 (alpha=0.5, "
+        "XLM-R style), emitted as exact integers (share in 1e-4 units, "
+        "weight in 1e-6 units)."
+    ),
+)
+def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting + temperature-sampling weight.
+
+    ``sqrt`` on an exact bigint is IEEE-754 correctly rounded in both
+    engines, so ``floor(sqrt(t) * 1e6)`` is deterministic; the token
+    share uses exact integer math under an explicit floor.  The global
+    total is attached via the repo's broadcast-scalar idiom (one-row
+    aggregate, broadcast cross join) — no single-partition window.
+    """
+    docs = _with_tokens(table(spark, sf_dir, "documents").select("source", "text"))
+    t = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    tot = t.agg(F.sum("tokens").cast("bigint").alias("total_tokens"))
+    g = t.crossJoin(F.broadcast(tot))
+    return g.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.floor(F.col("tokens") * 10000 / F.col("total_tokens"))
+        .cast("bigint")
+        .alias("share_e4"),
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("temp_weight_e6"),
+    )

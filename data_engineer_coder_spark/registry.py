@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.textops",
     "data_engineer_coder_spark.operators.multimodal",
     "data_engineer_coder_spark.operators.sampling",
+    "data_engineer_coder_spark.operators.packing",
     "data_engineer_coder_spark.operators.fileformats",
     "data_engineer_coder_spark.operators.pipelines",
     "data_engineer_coder_spark.operators.cdc",
