@@ -1013,3 +1013,130 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates", F.col("cm_estimate") >= F.col("exact_cnt")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A8c: bloom-filter membership — the third mergeable sketch next to HLL
+# (cardinality) and count-min (frequency): approximate set membership.
+# The 100 TB use case is join pruning / decontamination probes where
+# shipping the exact key set is too big but a few MB of bloom bits
+# broadcast to every executor is free.  Spark 4's builtin
+# bloom_filter_agg is not SQL-registered, so — exactly like the
+# count-min build above — the sketch is constructed from first
+# principles: k=4 md5-derived hash positions into m=131072 bits, the
+# "set bits" relation is a distinct over positions (bitwise-OR
+# mergeability = set union, map-side combinable), and probes join
+# against it.  Because the construction is pure md5 integer math, the
+# DuckDB oracle rebuilds the IDENTICAL filter and the false-positive
+# count is exact-hash-checkable — a stronger check than a
+# TRUE-constant gate.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 131_072  # bits; ~9 bits/key at sf0.1 => theoretical FP ~1.8%
+_BLOOM_K = 4  # hash functions
+
+
+@register(
+    "bloom_membership_gate",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+), pos AS (
+  SELECT k, j,
+         ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS p
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j)
+), bits AS (
+  SELECT DISTINCT p FROM pos
+), mprobe AS (
+  SELECT k, COUNT(b.p) AS c
+  FROM pos LEFT JOIN bits b USING (p) GROUP BY k
+), fpos AS (
+  SELECT k, j,
+         ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k + 1000000000 AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS p
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j)
+), fprobe AS (
+  SELECT k, COUNT(b.p) AS c
+  FROM fpos LEFT JOIN bits b USING (p) GROUP BY k
+)
+SELECT (SELECT COUNT(*) FROM keys) AS n_members,
+       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+       (SELECT COUNT(CASE WHEN c = {_BLOOM_K} THEN 1 END) FROM mprobe) AS n_member_hits,
+       (SELECT COUNT(CASE WHEN c = {_BLOOM_K} THEN 1 END) FROM fprobe) AS n_false_positives,
+       (SELECT COUNT(CASE WHEN c = {_BLOOM_K} THEN 1 END) FROM fprobe) * 50
+         < (SELECT COUNT(*) FROM keys) AS fp_rate_lt_2pct
+""",
+    tags=("agg", "approx", "sketch", "quality"),
+    doc=(
+        "A8: first-principles bloom filter (k=4 md5 hashes, m=131072 bits) "
+        "over customer keys — member probes must all hit, and the exact "
+        "false-positive count on a disjoint shifted key set is "
+        "hash-checked against the oracle's identical rebuild."
+    ),
+)
+def bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + probe a deterministic bloom filter, cross-engine exact.
+
+    The set-bits relation plays the role of the bit array; `distinct`
+    is the set union that makes the sketch mergeable across partitions.
+    Probes LEFT-join their k positions against it: a key "hits" iff all
+    k rows matched.  Every count in the output is exact integer math on
+    md5 values both engines compute identically.
+    """
+
+    def positions(key_col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(j), key_col.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _BLOOM_M
+                for j in range(_BLOOM_K)
+            ]
+        )
+
+    keys = (
+        table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    )
+    pos = keys.select("k", F.explode(positions(F.col("k"))).alias("p"))
+    bits = pos.select("p").distinct().withColumn("_set", F.lit(1))
+    mhit = (
+        pos.join(bits, "p", "left")
+        .groupBy("k")
+        .agg(F.count("_set").alias("c"))
+    )
+    fpos = keys.select(
+        "k", F.explode(positions(F.col("k") + 1_000_000_000)).alias("p")
+    )
+    fhit = (
+        fpos.join(bits, "p", "left")
+        .groupBy("k")
+        .agg(F.count("_set").alias("c"))
+    )
+    n_members = keys.agg(F.count("*").alias("n_members"))
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    m = mhit.agg(
+        F.count(F.when(F.col("c") == _BLOOM_K, F.lit(1))).alias("n_member_hits")
+    )
+    f = fhit.agg(
+        F.count(F.when(F.col("c") == _BLOOM_K, F.lit(1))).alias("n_false_positives")
+    )
+    return (
+        n_members.crossJoin(n_bits)
+        .crossJoin(m)
+        .crossJoin(f)
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_member_hits",
+            "n_false_positives",
+            (F.col("n_false_positives") * 50 < F.col("n_members")).alias(
+                "fp_rate_lt_2pct"
+            ),
+        )
+    )

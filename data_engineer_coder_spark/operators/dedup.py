@@ -1036,3 +1036,70 @@ def segment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * dup_occ / F.count("*")).cast("bigint").alias("dup_rate_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L1c: incremental (batch-vs-corpus) dedup — the production shape of
+# exact dedup at 100 TB: the corpus is already deduplicated, and each
+# ingest batch must be checked (a) against the existing corpus and
+# (b) within itself, WITHOUT re-deduplicating the corpus.  The corpus
+# side reduces to a distinct-hash index (one narrow column), the batch
+# probes it with a semi-join, and the within-batch pass is a hash
+# group-by over the batch alone — corpus-sized work never repeats.
+# --------------------------------------------------------------------------
+
+_NEW_MOD = 10  # doc_id % 10 == 7 plays the role of "today's ingest batch"
+
+
+@register(
+    "incremental_dedup_report",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h, doc_id % {_NEW_MOD} = 7 AS is_new
+  FROM documents
+), old_h AS (
+  SELECT DISTINCT h FROM d WHERE NOT is_new
+), newd AS (
+  SELECT * FROM d WHERE is_new
+), grp AS (
+  SELECT h, COUNT(*) AS c FROM newd GROUP BY h
+)
+SELECT source,
+       COUNT(*) AS n_new,
+       COUNT(CASE WHEN h IN (SELECT h FROM old_h) THEN 1 END) AS n_dup_vs_corpus,
+       COUNT(CASE WHEN c > 1 THEN 1 END) AS n_dup_within_batch
+FROM newd JOIN grp USING (h)
+GROUP BY source
+""",
+    tags=("dedup", "llm", "incremental", "audit"),
+    doc=(
+        "L1: incremental exact-dedup audit — an ingest batch (doc_id % 10 "
+        "== 7) checked against the standing corpus hash index and within "
+        "itself, per source.  Corpus work is one distinct over a narrow "
+        "hash column; the batch never forces a corpus re-dedup."
+    ),
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus exact-duplicate accounting.
+
+    At scale the ``old_hashes`` distinct is the standing dedup index a
+    real pipeline would keep materialized (bucketed by ``h``); here it
+    is derived inline from the same table so the oracle can replay it.
+    The probe is a left-semi-shaped join kept as a left join with a
+    marker so one pass also counts the misses.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        (F.col("doc_id") % _NEW_MOD == 7).alias("is_new"),
+    )
+    old_h = d.filter(~F.col("is_new")).select("h").distinct().withColumn("_old", F.lit(1))
+    newd = d.filter("is_new")
+    grp = newd.groupBy("h").agg(F.count("*").alias("c"))
+    joined = newd.join(grp, "h").join(old_h, "h", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.count(F.col("_old")).alias("n_dup_vs_corpus"),
+        F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_within_batch"),
+    )

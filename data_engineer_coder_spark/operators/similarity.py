@@ -997,3 +997,82 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 9).alias("variance"),
         (var < 0.0001).alias("is_collapsed"),
     )
+
+
+# --------------------------------------------------------------------------
+# L3j: off-diagonal covariance top-k — the redundant-dimension audit
+# that complements embedding_dim_variance: a pair of dimensions with
+# large |covariance| carries duplicated signal (the PCA-lite health
+# check run before trusting a space for dedup/ANN).  Same exact-int
+# moment machinery: all sums are int64 over 1e7-quantized components
+# (|x·y| ≤ 1e14 per row — a petabyte-scale run widens the cells to
+# DECIMAL(38,0), same plan), the covariance doubles are one identical
+# op-sequence per engine, and the top-k boundary is tie-broken by
+# (dim_i, dim_j) so the LIMIT cut is engine-independent.  Shape:
+# chained posexplode → 2016 pair-groups, map-side combinable; the sort
+# ranks 2016 rows, not data.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_covariance_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+e AS (
+  SELECT i AS dim_i, j AS dim_j, qv[i] AS x, qv[j] AS y
+  FROM q
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS j)
+  WHERE i < j
+),
+s AS (
+  SELECT dim_i, dim_j, COUNT(*) AS n_vecs,
+         CAST(SUM(x * y) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS cov_q
+  FROM e GROUP BY dim_i, dim_j
+)
+SELECT dim_i, dim_j, n_vecs,
+       ROUND(cov_q / ({_SCALE}.0 * {_SCALE}.0), 9) AS covariance
+FROM s
+ORDER BY ABS(cov_q) DESC, dim_i, dim_j
+LIMIT 20
+""",
+    tags=("similarity", "llm", "audit", "quality"),
+    doc=(
+        "L3: top-20 |covariance| dimension pairs from exact quantized-int "
+        "moments — the redundant-dimension health check of the embedding "
+        "space."
+    ),
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(_qvec("embedding").alias("qv"))
+    a = emb.select("qv", F.posexplode("qv").alias("pi", "x"))
+    b = a.select("pi", "x", F.posexplode("qv").alias("pj", "y")).filter(
+        F.col("pi") < F.col("pj")
+    )
+    pairs = b.select(
+        (F.col("pi") + 1).alias("dim_i"), (F.col("pj") + 1).alias("dim_j"), "x", "y"
+    )
+    cov_q = (
+        F.sum(F.col("x") * F.col("y")).cast("double") / F.count("*")
+        - (F.sum("x").cast("double") / F.count("*"))
+        * (F.sum("y").cast("double") / F.count("*"))
+    )
+    s = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").alias("n_vecs"), cov_q.alias("cov_q")
+    )
+    return (
+        s.orderBy(F.abs(F.col("cov_q")).desc(), "dim_i", "dim_j")
+        .limit(20)
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            F.round(F.col("cov_q") / (float(_SCALE) * float(_SCALE)), 9).alias(
+                "covariance"
+            ),
+        )
+    )

@@ -871,3 +871,193 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L4l: n-gram eval-set decontamination — the standard pretraining hygiene
+# step (GPT-3 13-gram, PaLM/LLaMA 8-10-gram): a training document is
+# contaminated if it shares ANY 8-gram with the held-out eval set.
+# The eval n-gram set is tiny relative to the corpus (~1% of docs), so
+# the probe is a BROADCAST semi-join against a distinct n-gram set —
+# at 100 TB the corpus streams map-side past an in-memory eval index,
+# no corpus-sized shuffle.  (decontaminate_overlap does the same at
+# whole-document granularity; this is the n-gram refinement that also
+# catches partial inclusion.)
+# --------------------------------------------------------------------------
+
+_DECON_N = 8  # n-gram width
+_DECON_MOD = 97  # doc_id % 97 == 0 marks the held-out eval docs
+
+
+@register(
+    "ngram_decontaminate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, doc_id % {_DECON_MOD} = 0 AS is_eval,
+         string_split(text, ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, source, is_eval,
+         array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ') AS g
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_DECON_N - 1} <= LEN(ws)
+), ev AS (
+  SELECT DISTINCT g FROM g WHERE is_eval
+), contam AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE NOT is_eval AND g IN (SELECT g FROM ev)
+)
+SELECT source,
+       COUNT(*) AS n_train,
+       COUNT(c.doc_id) AS n_contaminated,
+       CAST(FLOOR(10000.0 * COUNT(c.doc_id) / COUNT(*)) AS BIGINT)
+         AS contam_rate_e4
+FROM (SELECT doc_id, source FROM t WHERE NOT is_eval) tr
+LEFT JOIN contam c USING (doc_id)
+GROUP BY source
+""",
+    tags=("text", "llm", "decontamination", "quality"),
+    doc=(
+        "L4: 8-gram eval-set decontamination report — training docs "
+        "sharing any 8-gram with the held-out slice (doc_id % 97 == 0), "
+        "per source, via broadcast n-gram semi-join."
+    ),
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that leak eval-set n-grams.
+
+    The eval n-gram index is ``distinct``-ed then broadcast — the train
+    side never shuffles.  Contaminated doc_ids come back from a
+    ``left_semi`` join, then one hash agg produces the per-source audit.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ws = F.split("text", " ")
+    n = _DECON_N
+    grams = F.transform(
+        # guard: sequence(1, 0) counts DOWN in Spark — short docs must
+        # yield an empty array (same guard as segment_dedup_report)
+        F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _DECON_MOD == 0).alias("is_eval"),
+        grams.alias("grams"),
+    )
+    occ = base.select("doc_id", "is_eval", F.explode("grams").alias("g"))
+    ev = occ.filter("is_eval").select("g").distinct()
+    contam = (
+        occ.filter(~F.col("is_eval"))
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = base.filter(~F.col("is_eval")).select("doc_id", "source")
+    hit = F.count(F.col("_hit"))
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            hit.alias("n_contaminated"),
+            F.floor(10000.0 * hit / F.count("*")).cast("bigint").alias("contam_rate_e4"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L4m: Gopher/C4-style hard-rule audit — the pass/fail rule family
+# (length window, mean word length, stopword floor, type-token floor,
+# max-token-share cap) with EVERY comparison done in cross-multiplied
+# integers, so no ratio ever touches a float boundary.  One map-side
+# expression block + one hash agg; linear at any corpus size.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_rules_report",
+    oracle=f"""
+WITH t AS (
+  SELECT source, LENGTH(text) AS n_chars_t, string_split(text, ' ') AS ws
+  FROM documents
+), m AS (
+  SELECT source,
+         LEN(ws) AS n_tok,
+         n_chars_t - LEN(ws) + 1 AS sum_wlen,
+         LEN(list_filter(ws, w -> w IN ({_SQL_STOPWORDS}))) AS n_stop,
+         LEN(list_distinct(ws)) AS n_distinct,
+         list_max(list_transform(list_distinct(ws),
+                                 w -> LEN(list_filter(ws, x -> x = w)))) AS max_tok
+  FROM t
+), r AS (
+  SELECT source,
+         (n_tok BETWEEN 20 AND 1000) AS ok_len,
+         (sum_wlen >= 2 * n_tok AND sum_wlen <= 12 * n_tok) AS ok_wordlen,
+         (n_stop * 50 >= n_tok) AS ok_stop,
+         (n_distinct * 10 >= n_tok * 3) AS ok_ttr,
+         (max_tok * 5 <= n_tok) AS ok_maxtok
+  FROM m
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_ttr AND ok_maxtok
+                  THEN 1 END) AS n_pass_all,
+       COUNT(CASE WHEN NOT ok_len THEN 1 END) AS n_fail_len,
+       COUNT(CASE WHEN NOT ok_wordlen THEN 1 END) AS n_fail_wordlen,
+       COUNT(CASE WHEN NOT ok_stop THEN 1 END) AS n_fail_stop,
+       COUNT(CASE WHEN NOT ok_ttr THEN 1 END) AS n_fail_ttr,
+       COUNT(CASE WHEN NOT ok_maxtok THEN 1 END) AS n_fail_maxtok
+FROM r GROUP BY source
+""",
+    tags=("text", "llm", "quality", "audit"),
+    doc=(
+        "L4: Gopher-style hard-rule pass/fail audit per source — five "
+        "rules, all integer cross-multiplication (no float ratios): "
+        "20<=tokens<=1000, 2<=mean word len<=12, stopwords>=2%, "
+        "distinct/total>=30%, top-token share<=20%."
+    ),
+)
+def quality_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    ws = F.split("text", " ")
+    n_tok = F.size(ws)
+    sum_wlen = F.length("text") - n_tok + 1
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(ws))
+    max_tok = F.array_max(
+        F.transform(F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w)))
+    )
+    m = docs.select(
+        "source",
+        ((n_tok >= 20) & (n_tok <= 1000)).alias("ok_len"),
+        ((sum_wlen >= 2 * n_tok) & (sum_wlen <= 12 * n_tok)).alias("ok_wordlen"),
+        (n_stop * 50 >= n_tok).alias("ok_stop"),
+        (n_distinct * 10 >= n_tok * 3).alias("ok_ttr"),
+        (max_tok * 5 <= n_tok).alias("ok_maxtok"),
+    )
+
+    def fails(c: str):
+        return F.count(F.when(~F.col(c), F.lit(1)))
+
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(
+            F.when(
+                F.col("ok_len")
+                & F.col("ok_wordlen")
+                & F.col("ok_stop")
+                & F.col("ok_ttr")
+                & F.col("ok_maxtok"),
+                F.lit(1),
+            )
+        ).alias("n_pass_all"),
+        fails("ok_len").alias("n_fail_len"),
+        fails("ok_wordlen").alias("n_fail_wordlen"),
+        fails("ok_stop").alias("n_fail_stop"),
+        fails("ok_ttr").alias("n_fail_ttr"),
+        fails("ok_maxtok").alias("n_fail_maxtok"),
+    )
