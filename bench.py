@@ -92,6 +92,12 @@ HEADLINE = [
     # (two new explode→DF-join→rollup text families)
     "segment_dedup_report",
     "boilerplate_ngram_density",
+    # round 5 additions: packing/assembly family, n-gram decontamination,
+    # pair-covariance audit, first-principles bloom probe
+    "sequence_packing",
+    "ngram_decontaminate",
+    "embedding_covariance_topk",
+    "bloom_membership_gate",
 ]
 
 
