@@ -1103,3 +1103,60 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("_old")).alias("n_dup_vs_corpus"),
         F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_within_batch"),
     )
+
+
+# --------------------------------------------------------------------------
+# L2h: cluster-aware train/test split — the leakage-proof version of
+# train_test_split: hashing doc_ids sends near-duplicates of one
+# document into DIFFERENT splits (eval contamination); hashing the
+# dedup CLUSTER id sends whole duplicate families to one side.  Reuses
+# dedup_clusters' labels (hash-min over the exact-Jaccard pair graph)
+# and the md5-bucket split gate from sampling.train_test_split, so the
+# only new machinery is the audit aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cluster_aware_split",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _CLUSTER_CTES
+    + """,
+sp AS (
+  SELECT a.doc_id, a.cluster_id, d.n_chars,
+         CASE WHEN ('0x' || substring(md5(CAST(a.cluster_id AS VARCHAR)), 1, 2))::INT < 230
+              THEN 'train' ELSE 'test' END AS split
+  FROM allm a JOIN documents d USING (doc_id)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split
+""",
+    tags=("dedup", "llm", "split", "iterative"),
+    doc=(
+        "L2/L6: near-dup-safe train/test split — the md5 ~90/10 bucket is "
+        "taken on the dedup cluster_id, so a whole duplicate family lands "
+        "in one split and cannot leak train text into eval."
+    ),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split by cluster, account by document.
+
+    By construction a cluster cannot straddle the split (its id hashes
+    once); the per-split report is what a mix audit consumes.  Cost on
+    top of dedup_clusters is one broadcast-sized join + one hash agg.
+    """
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sp = cl.join(docs, "doc_id").withColumn(
+        "split", F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test"))
+    )
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1061,3 +1061,57 @@ def quality_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails("ok_ttr").alias("n_fail_ttr"),
         fails("ok_maxtok").alias("n_fail_maxtok"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4n: BPE merge candidates — the first step of byte-pair-encoding
+# vocabulary induction: count adjacent symbol pairs (here: character
+# bigrams inside whitespace tokens) across the corpus and rank the top
+# merge candidates.  At 100 TB this is the canonical two-explode
+# map-side pattern: tokens explode to bigrams IN the executor
+# expression (no intermediate shuffle), partial counts combine
+# map-side, and only |vocab-bigram| groups reach the final exchange.
+# The LIMIT boundary is tie-broken by the pair string so the cut is
+# engine-independent.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT tok[i:i+1] AS pair
+  FROM t CROSS JOIN (SELECT unnest(range(1, 32)) AS i)
+  WHERE i + 1 <= LENGTH(tok)
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM b GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+    tags=("text", "llm", "tokenizer"),
+    doc=(
+        "L4: top-20 adjacent character-pair frequencies inside tokens — "
+        "the first BPE merge-candidate ranking of tokenizer induction."
+    ),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    bigrams = F.transform(
+        F.when(
+            F.length("tok") >= 2, F.sequence(F.lit(1), F.length("tok") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.substring(F.col("tok"), i, 2),
+    )
+    # Both engines take 2 chars at 1-based i: Spark substring(tok, i, 2),
+    # DuckDB slice tok[i:i+1].
+    b = toks.select(F.explode(bigrams).alias("pair"))
+    return (
+        b.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
