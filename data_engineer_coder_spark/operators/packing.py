@@ -283,3 +283,58 @@ def domain_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("temp_weight_e6"),
     )
+
+
+@register(
+    "packing_fill_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+  FROM t
+), w AS (
+  SELECT source, CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT) AS window_id,
+         n_tok
+  FROM r
+), win AS (
+  SELECT source, window_id, CAST(SUM(n_tok) AS BIGINT) AS window_tokens
+  FROM w GROUP BY source, window_id
+), deciles AS (
+  SELECT LEAST(CAST(FLOOR(window_tokens * 10 / {_PACK_BUDGET}) AS BIGINT), 10)
+           AS fill_decile
+  FROM win
+)
+SELECT fill_decile, COUNT(*) AS n_windows
+FROM deciles GROUP BY fill_decile
+""",
+    tags=("packing", "llm", "audit"),
+    doc=(
+        "Packing QA: histogram of window fill rates in budget deciles "
+        "(decile 10 = window at/over budget — the attribution convention "
+        "puts a boundary-spanning doc's tokens in its start window).  A "
+        "fat low-decile tail means the doc stream needs shuffling or the "
+        "budget is mis-sized."
+    ),
+)
+def packing_fill_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of how full the packed context windows are.
+
+    Derives from the same prefix-sum manifest as ``sequence_packing``
+    (shared convention: a document counts toward the window its first
+    token lands in, so the final window of each source can exceed the
+    budget by less than one document).  Pure integer math end to end.
+    """
+    win = sequence_packing(spark, sf_dir).select("window_tokens")
+    decile = F.least(
+        F.floor(F.col("window_tokens") * 10 / _PACK_BUDGET).cast("bigint"), F.lit(10)
+    )
+    return (
+        win.select(decile.alias("fill_decile"))
+        .groupBy("fill_decile")
+        .agg(F.count("*").alias("n_windows"))
+    )

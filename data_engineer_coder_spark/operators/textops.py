@@ -1115,3 +1115,90 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L4o: repeated-token-run profile — the "buy buy buy buy" signal:
+# consecutive identical tokens mark machine-generated or spammy text
+# that repetition_ratio's n-gram fractions can under-weigh.  Classic
+# gaps-and-islands: explode tokens with position, mark run starts with
+# LAG, running-sum the starts into run ids, then measure runs.  Both
+# windows are partitioned BY DOCUMENT — at 100 TB each partition is one
+# document's tokens, so there is no data-sized window anywhere and the
+# shuffle key (doc_id) is the natural parallelism unit.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repeated_token_runs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, source, i AS pos, ws[i] AS tok
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i <= LEN(ws)
+), marked AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN tok = LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 0 ELSE 1 END AS is_start
+  FROM tok
+), runs AS (
+  SELECT doc_id, source, tok,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), run_len AS (
+  SELECT doc_id, source, run_id, COUNT(*) AS len
+  FROM runs GROUP BY doc_id, source, run_id
+), per_doc AS (
+  SELECT doc_id, source,
+         MAX(len) AS max_run,
+         CAST(SUM(CASE WHEN len >= 3 THEN len ELSE 0 END) AS BIGINT) AS run3_tokens,
+         CAST(SUM(len) AS BIGINT) AS n_tokens
+  FROM run_len GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN max_run >= 3 THEN 1 END) AS n_docs_with_run3,
+       MAX(max_run) AS max_run_len,
+       CAST(SUM(run3_tokens) AS BIGINT) AS n_run3_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM per_doc GROUP BY source
+""",
+    tags=("text", "llm", "quality", "audit"),
+    doc=(
+        "L4: consecutive-identical-token run audit per source "
+        "(gaps-and-islands, per-document windows) — the degenerate-"
+        "repetition signal for machine-generated text."
+    ),
+)
+def repeated_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.withColumn(
+        "is_start",
+        F.when(F.col("tok") == F.lag("tok").over(by_pos), F.lit(0)).otherwise(F.lit(1)),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("is_start").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    run_len = runs.groupBy("doc_id", "source", "run_id").agg(F.count("*").alias("len"))
+    per_doc = run_len.groupBy("doc_id", "source").agg(
+        F.max("len").alias("max_run"),
+        F.sum(F.when(F.col("len") >= 3, F.col("len")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("run3_tokens"),
+        F.sum("len").cast("bigint").alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("max_run") >= 3, F.lit(1))).alias("n_docs_with_run3"),
+        F.max("max_run").alias("max_run_len"),
+        F.sum("run3_tokens").cast("bigint").alias("n_run3_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

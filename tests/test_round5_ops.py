@@ -157,3 +157,43 @@ def test_embedding_covariance_matches_pandas(spark, sf_dir):
             - (float(x.sum()) / n) * (float(y.sum()) / n)
         ) / 1e14
         assert abs(cov - r.covariance) < 1e-8, (i, j)
+
+
+def test_repeated_token_runs_counts_a_planted_run(spark):
+    """A document with 'x x x x' embedded must report max_run == 4 and
+    run3_tokens == 4; a run-free doc reports max_run == 1."""
+    import os
+    import tempfile
+
+    from data_engineer_coder_spark.operators.textops import repeated_token_runs
+
+    rows = [
+        (1, "s", "a b x x x x c d"),
+        (2, "s", "p q r s t u"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        df = df.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rep = repeated_token_runs(spark, tmp).toPandas()
+    assert int(rep["max_run_len"].iloc[0]) == 4
+    assert int(rep["n_run3_tokens"].iloc[0]) == 4
+    assert int(rep["n_docs_with_run3"].iloc[0]) == 1
+    assert int(rep["n_tokens"].iloc[0]) == 14
+
+
+def test_packing_fill_histogram_accounts_every_window(spark, sf_dir):
+    """The histogram must cover exactly the windows the manifest
+    produces, and every non-final window of a source must fill at least
+    decile 10 * 10% - one-doc slack."""
+    from data_engineer_coder_spark.operators.packing import (
+        packing_fill_histogram,
+        sequence_packing,
+    )
+
+    hist = packing_fill_histogram(spark, sf_dir).toPandas()
+    manifest = sequence_packing(spark, sf_dir).toPandas()
+    assert int(hist["n_windows"].sum()) == len(manifest)
+    assert hist["fill_decile"].between(0, 10).all()
