@@ -98,6 +98,7 @@ HEADLINE = [
     "ngram_decontaminate",
     "embedding_covariance_topk",
     "bloom_membership_gate",
+    "pretraining_corpus_build",
 ]
 
 

@@ -68,3 +68,191 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         davg("quality").alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# L8b: full corpus-build funnel — the round-5 showcase twin of
+# training_data_prep, now with the hygiene + assembly stages: eval
+# carve-out → quality rules → exact dedup (canonical winner) → 8-gram
+# eval-set decontamination → concat-and-chunk packing, reported as a
+# per-source FUNNEL (how many docs each stage removed, and what the
+# packed corpus looks like).  Still one lazy composition: the quality
+# expressions fuse into the scan, dedup is one window on the hash key,
+# decontamination is a broadcast n-gram semi-join (the corpus never
+# shuffles for it), and packing is a prefix-sum window — the same five
+# shapes a 100 TB corpus build executes.
+# --------------------------------------------------------------------------
+
+_BUILD_PACK_BUDGET = 512
+_BUILD_EVAL_MOD = 97
+_BUILD_NGRAM = 8
+
+
+@register(
+    "pretraining_corpus_build",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE},
+b AS (
+  SELECT *, doc_id % {_BUILD_EVAL_MOD} = 0 AS is_eval FROM q
+),
+corpus AS (SELECT * FROM b WHERE NOT is_eval),
+canon AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus WHERE keep
+),
+surv AS (
+  SELECT c.doc_id, c.source, c.text, c.n_tokens
+  FROM corpus c JOIN canon n USING (doc_id)
+  WHERE c.keep AND n.rn = 1
+),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(ws2, i, i + {_BUILD_NGRAM - 1}), ' ') AS g
+  FROM (SELECT string_split(text, ' ') AS ws2 FROM b WHERE is_eval)
+  CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_BUILD_NGRAM - 1} <= LEN(ws2)
+),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws3 FROM surv)
+  CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_BUILD_NGRAM - 1} <= LEN(ws3)
+    AND array_to_string(list_slice(ws3, i, i + {_BUILD_NGRAM - 1}), ' ')
+          IN (SELECT g FROM evg)
+),
+f AS (
+  SELECT c.source, c.doc_id, c.keep, c.n_tokens,
+         COALESCE(n.rn = 1, FALSE) AS canon,
+         c.doc_id IN (SELECT doc_id FROM contam) AS contam
+  FROM corpus c LEFT JOIN canon n USING (doc_id)
+),
+kept AS (SELECT * FROM f WHERE keep AND canon AND NOT contam),
+packed AS (
+  SELECT source,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {_BUILD_PACK_BUDGET}) AS BIGINT) AS wid
+  FROM kept
+),
+funnel AS (
+  SELECT source,
+         COUNT(*) AS n_input,
+         COUNT(CASE WHEN NOT keep THEN 1 END) AS n_fail_quality,
+         COUNT(CASE WHEN keep AND NOT canon THEN 1 END) AS n_dup,
+         COUNT(CASE WHEN keep AND canon AND contam THEN 1 END) AS n_contaminated,
+         COUNT(CASE WHEN keep AND canon AND NOT contam THEN 1 END) AS n_kept,
+         CAST(SUM(CASE WHEN keep AND canon AND NOT contam THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS kept_tokens
+  FROM f GROUP BY source
+),
+wins AS (SELECT source, COUNT(DISTINCT wid) AS n_windows FROM packed GROUP BY source)
+SELECT f.source, f.n_input, f.n_fail_quality, f.n_dup, f.n_contaminated,
+       f.n_kept, f.kept_tokens,
+       COALESCE(w.n_windows, 0) AS n_windows
+FROM funnel f LEFT JOIN wins w USING (source)
+""",
+    tags=("pipeline", "llm", "dedup", "decontamination", "packing"),
+    doc=(
+        "L8: the full corpus-build funnel in one lazy plan — eval "
+        "carve-out, quality gate, canonical exact dedup, 8-gram "
+        "decontamination, context-window packing — reported per source "
+        "with per-stage removal counts."
+    ),
+)
+def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel of the five-stage corpus build.
+
+    Stage order is the production order: held-out eval docs leave first
+    (they must never train), the quality gate runs on raw text, dedup
+    keeps the min-doc_id copy per content hash, decontamination removes
+    survivors sharing any 8-gram with the eval slice, and the packing
+    prefix-sum assigns what's left to context windows.  Every count is
+    an exact integer; the only joins are broadcast-sized (canonical
+    markers, contamination ids, eval n-grams).
+    """
+    n = _BUILD_NGRAM
+    base = with_quality(table(spark, sf_dir, "documents")).withColumn(
+        "is_eval", F.col("doc_id") % _BUILD_EVAL_MOD == 0
+    )
+    corpus = base.filter(~F.col("is_eval"))
+    w_hash = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        corpus.filter("keep")
+        .withColumn("rn", F.row_number().over(w_hash))
+        .select("doc_id", (F.col("rn") == 1).alias("_canon"))
+    )
+
+    def grams(src: DataFrame) -> DataFrame:
+        ws = F.split("text", " ")
+        arr = F.transform(
+            F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        )
+        return src.select("doc_id", F.explode(arr).alias("g"))
+
+    surv = (
+        corpus.join(canon, "doc_id", "left")
+        .filter(F.col("keep") & F.coalesce(F.col("_canon"), F.lit(False)))
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    evg = grams(base.filter("is_eval")).select("g").distinct()
+    contam_ids = (
+        grams(surv)
+        .join(F.broadcast(evg), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    f = (
+        corpus.join(canon, "doc_id", "left")
+        .join(contam_ids, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "keep",
+            "n_tokens",
+            F.coalesce(F.col("_canon"), F.lit(False)).alias("canon"),
+            F.col("_hit").isNotNull().alias("contam"),
+        )
+    )
+    kept = f.filter(F.col("keep") & F.col("canon") & ~F.col("contam"))
+    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = kept.withColumn(
+        "wid",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / _BUILD_PACK_BUDGET
+        ).cast("bigint"),
+    )
+    wins = packed.groupBy("source").agg(F.count_distinct("wid").alias("_nw"))
+    funnel = f.groupBy("source").agg(
+        F.count("*").alias("n_input"),
+        F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_fail_quality"),
+        F.count(F.when(F.col("keep") & ~F.col("canon"), F.lit(1))).alias("n_dup"),
+        F.count(F.when(F.col("keep") & F.col("canon") & F.col("contam"), F.lit(1))).alias(
+            "n_contaminated"
+        ),
+        F.count(
+            F.when(F.col("keep") & F.col("canon") & ~F.col("contam"), F.lit(1))
+        ).alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("keep") & F.col("canon") & ~F.col("contam"), F.col("n_tokens")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return funnel.join(wins, "source", "left").select(
+        "source",
+        "n_input",
+        "n_fail_quality",
+        "n_dup",
+        "n_contaminated",
+        "n_kept",
+        "kept_tokens",
+        F.coalesce(F.col("_nw"), F.lit(0).cast("bigint")).alias("n_windows"),
+    )

@@ -197,3 +197,23 @@ def test_packing_fill_histogram_accounts_every_window(spark, sf_dir):
     manifest = sequence_packing(spark, sf_dir).toPandas()
     assert int(hist["n_windows"].sum()) == len(manifest)
     assert hist["fill_decile"].between(0, 10).all()
+
+
+def test_corpus_build_funnel_conserves_documents(spark, sf_dir):
+    """Funnel stages partition the input: input = fail_quality + dup +
+    contaminated + kept, per source; and windows exist iff docs were
+    kept."""
+    from data_engineer_coder_spark.operators.pipelines import (
+        pretraining_corpus_build,
+    )
+
+    rep = pretraining_corpus_build(spark, sf_dir).toPandas()
+    lhs = rep["n_input"]
+    rhs = (
+        rep["n_fail_quality"] + rep["n_dup"] + rep["n_contaminated"] + rep["n_kept"]
+    )
+    assert (lhs == rhs).all()
+    assert ((rep["n_windows"] > 0) == (rep["n_kept"] > 0)).all()
+    # packing invariant: a window holds at most budget tokens' worth of
+    # starts, so n_windows >= kept_tokens / (2 * budget) is a loose floor
+    assert (rep["n_windows"] * 1024 >= rep["kept_tokens"] - 512).all()
