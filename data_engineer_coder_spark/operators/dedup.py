@@ -1160,3 +1160,60 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("cluster_id").alias("n_clusters"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# L1d: cross-source duplicate crossover — which source PAIRS share
+# identical documents (syndicated/boilerplate content flowing between
+# feeds).  The mix designer needs this: two sources that are 30%
+# copies of each other should not both get full temperature weight.
+# Shape: hash group-by → per-hash source set → ordered pair explode of
+# the (tiny) multi-source groups; the corpus-sized work is one hash agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_dedup_crossover",
+    oracle="""
+WITH h AS (
+  SELECT md5(text) AS h, source, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+), p AS (
+  SELECT a.h, a.source AS source_a, b.source AS source_b,
+         a.n_docs AS n_a, b.n_docs AS n_b
+  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+)
+SELECT source_a, source_b,
+       COUNT(*) AS n_shared_texts,
+       CAST(SUM(n_a + n_b) AS BIGINT) AS n_docs_involved
+FROM p GROUP BY source_a, source_b
+""",
+    tags=("dedup", "llm", "audit", "mix"),
+    doc=(
+        "L1: source-pair content crossover — identical texts appearing "
+        "in two sources, counted per ordered pair (the syndication audit "
+        "behind mix down-weighting)."
+    ),
+)
+def source_dedup_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered source pairs sharing identical document text.
+
+    The self-join runs on the per-(hash, source) aggregate — already
+    collapsed to at most |sources| rows per hash — so the pair blowup
+    is bounded by duplicate-group source counts, never corpus size.
+    """
+    d = table(spark, sf_dir, "documents").select(F.md5("text").alias("h"), "source")
+    h = d.groupBy("h", "source").agg(F.count("*").alias("n_docs"))
+    a, b = h.alias("a"), h.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        (F.col("a.n_docs") + F.col("b.n_docs")).alias("n_inv"),
+    )
+    return p.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_shared_texts"),
+        F.sum("n_inv").cast("bigint").alias("n_docs_involved"),
+    )

@@ -338,3 +338,60 @@ def packing_fill_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fill_decile")
         .agg(F.count("*").alias("n_windows"))
     )
+
+
+@register(
+    "packing_boundary_docs",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT)
+                     <> CAST(FLOOR((start_tok + n_tok - 1) / {_PACK_BUDGET}) AS BIGINT)
+                  THEN 1 END) AS n_boundary_docs,
+       CAST(FLOOR(10000.0 * COUNT(CASE WHEN CAST(FLOOR(start_tok / {_PACK_BUDGET}) AS BIGINT)
+                     <> CAST(FLOOR((start_tok + n_tok - 1) / {_PACK_BUDGET}) AS BIGINT)
+                  THEN 1 END) / COUNT(*)) AS BIGINT) AS boundary_rate_e4
+FROM r GROUP BY source
+""",
+    tags=("packing", "llm", "audit"),
+    doc=(
+        "Packing QA: documents whose tokens straddle a context-window "
+        "boundary (their attention span gets cut in training).  High "
+        "rates mean the budget is small relative to doc length and "
+        "document-aware packing is worth its cost."
+    ),
+)
+def packing_boundary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count documents split by a window boundary, per source.
+
+    A doc starting at ``start`` with ``n`` tokens straddles iff its
+    first and last token land in different windows — pure integer math
+    off the same prefix sums as ``sequence_packing``.
+    """
+    docs = _with_tokens(table(spark, sf_dir, "documents").select("doc_id", "source", "text"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = docs.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    first_w = F.floor(F.col("start_tok") / _PACK_BUDGET).cast("bigint")
+    last_w = F.floor((F.col("start_tok") + F.col("n_tok") - 1) / _PACK_BUDGET).cast(
+        "bigint"
+    )
+    straddle = F.count(F.when(first_w != last_w, F.lit(1)))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        straddle.alias("n_boundary_docs"),
+        F.floor(10000.0 * straddle / F.count("*"))
+        .cast("bigint")
+        .alias("boundary_rate_e4"),
+    )

@@ -1202,3 +1202,48 @@ def repeated_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run3_tokens").cast("bigint").alias("n_run3_tokens"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4p: token-count calibration — whitespace tokens vs BPE-ish subtokens
+# per source.  Token budgets are set in TOKENIZER tokens but cheap
+# pipeline passes count whitespace words; the per-source expansion
+# factor is the conversion rate (and a drift alarm: a source whose
+# factor jumps is changing character, e.g. code or tables creeping in).
+# One map-side expression pair + one hash agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_count_calibration",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(LEN(regexp_extract_all(LOWER(text), '{_BPE_ISH}'))) AS BIGINT)
+         AS n_subtokens,
+       CAST(FLOOR(10000.0 * SUM(LEN(regexp_extract_all(LOWER(text), '{_BPE_ISH}')))
+                  / SUM(LEN(string_split(text, ' ')))) AS BIGINT)
+         AS expansion_e4
+FROM documents GROUP BY source
+""",
+    tags=("text", "llm", "tokens", "audit"),
+    doc=(
+        "L4: per-source whitespace-word → BPE-ish subtoken expansion "
+        "factor (integer e4) — the calibration between cheap word counts "
+        "and tokenizer budgets."
+    ),
+)
+def token_count_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    subs = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_ISH), 0)).cast(
+        "bigint"
+    )
+    g = docs.select("source", words.alias("w"), subs.alias("s"))
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_subtokens"),
+        F.floor(10000.0 * F.sum("s") / F.sum("w")).cast("bigint").alias("expansion_e4"),
+    )
