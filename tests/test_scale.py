@@ -162,3 +162,51 @@ def test_pagerank_unrolls_without_jobs(spark, sf_dir):
     plan = _plan(df)
     # three rounds → three sum-aggregate pairs over the contribution col
     assert plan.lower().count("partial_sum") >= 3, plan
+
+
+def test_ngram_decontaminate_eval_side_filters_before_explode(spark, sf_dir):
+    """The eval n-gram index must be built from a filtered scan (the
+    is_eval predicate evaluates BELOW the Generate) and probed via
+    broadcast — the corpus side must never shuffle on the n-gram key."""
+    from data_engineer_coder_spark.operators.textops import ngram_decontaminate
+
+    plan = _plan(ngram_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
+    # no sort-merge join anywhere: every join in this op is broadcast
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_is_one_window_one_agg(spark, sf_dir):
+    """The packing manifest must not join anything: one exchange for the
+    per-source window, one for the final aggregate, nothing else."""
+    from data_engineer_coder_spark.operators.packing import sequence_packing
+
+    plan = _plan(sequence_packing(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_corpus_build_joins_are_broadcast_sized(spark, sf_dir):
+    """Every join in the funnel carries markers (canonical flags,
+    contamination ids, eval n-grams, per-source window counts) — none
+    may sort-merge the corpus."""
+    from data_engineer_coder_spark.operators.pipelines import (
+        pretraining_corpus_build,
+    )
+
+    plan = _plan(pretraining_corpus_build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_bits_build_is_partial_aggregated(spark, sf_dir):
+    """The set-bits relation is a distinct over positions — it must
+    partial-aggregate map-side (HashAggregate below the exchange), the
+    property that makes the sketch mergeable."""
+    from data_engineer_coder_spark.operators.aggregates import (
+        bloom_membership_gate,
+    )
+
+    plan = _plan(bloom_membership_gate(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
