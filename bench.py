@@ -99,6 +99,8 @@ HEADLINE = [
     "embedding_covariance_topk",
     "bloom_membership_gate",
     "pretraining_corpus_build",
+    "cluster_aware_split",
+    "repeated_token_runs",
 ]
 
 

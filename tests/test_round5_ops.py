@@ -217,3 +217,27 @@ def test_corpus_build_funnel_conserves_documents(spark, sf_dir):
     # packing invariant: a window holds at most budget tokens' worth of
     # starts, so n_windows >= kept_tokens / (2 * budget) is a loose floor
     assert (rep["n_windows"] * 1024 >= rep["kept_tokens"] - 512).all()
+
+
+def test_cluster_aware_split_keeps_neardup_pairs_together(spark, sf_dir):
+    """The leakage property itself: every near-dup pair (exact Jaccard
+    >= 0.2) must land in ONE split.  This is what doc-id-hash splitting
+    violates and cluster-id-hash splitting guarantees."""
+    from data_engineer_coder_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = cl.select(
+        "doc_id",
+        F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
+    straddlers = pairs.join(a, "doc_a").join(b, "doc_b").filter("sa <> sb").count()
+    assert straddlers == 0
