@@ -70,9 +70,10 @@ def _with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("n_tok", F.size(F.split("text", " ")).cast("bigint"))
 
 
-@register(
-    "sequence_packing",
-    oracle=f"""
+# Shared with streaming_sequence_packing (streaming/stateful.py): the
+# stateful stream twin produces the identical manifest, so it reuses
+# this oracle verbatim — a fully hash-checked streaming query.
+PACKING_ORACLE_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
          CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tok
@@ -93,7 +94,12 @@ SELECT source, window_id,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM w GROUP BY source, window_id
-""",
+"""
+
+
+@register(
+    "sequence_packing",
+    oracle=PACKING_ORACLE_SQL,
     tags=("packing", "llm", "window"),
     doc=(
         "Concat-and-chunk sequence packing: deterministic per-source doc "

@@ -138,3 +138,19 @@ def write_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents table (micro-batch parquet
+    source).  No temporal columns, so unlike :func:`stream_events` no
+    type normalization is needed — just the explicit schema the file
+    source requires.  The fixture is one parquet file, and the file
+    source processes whole files, so an ``availableNow`` run sees the
+    table as a single deterministic micro-batch."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

@@ -219,3 +219,101 @@ def streaming_user_counters_tws_query(spark: SparkSession, sf_dir: str) -> DataF
         "update",
         shuffle_partitions=8,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming T7b: incremental sequence packing — the production shape of
+# the batch packer in operators/packing.py: corpora arrive as a stream,
+# and each source's packing cursor (its running token count) is per-key
+# GroupState carried across micro-batches.  Within a batch the group
+# sorts by doc_id, so with the fixture's single-file single-batch
+# delivery the manifest is IDENTICAL to the batch prefix-sum — the
+# registry entry therefore reuses the batch oracle and gets a full
+# value-hash check on a stateful streaming query (most stateful ops can
+# only manage rows-only).  Across real multi-batch streams the cursor
+# semantics are exactly what production wants: windows pack in ingest
+# order, history is never re-sorted.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # mirror of operators.packing._PACK_BUDGET
+
+_PACK_STATE_SCHEMA = T.StructType([T.StructField("cum_tokens", T.LongType())])
+_PACK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_id", T.LongType()),
+        T.StructField("n_tok", T.LongType()),
+    ]
+)
+
+
+def _pack_source_state(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Advance one source's packing cursor over its new documents."""
+    cum = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("doc_id")
+        csum = pdf["n_tok"].astype("int64").cumsum()
+        start = cum + csum - pdf["n_tok"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "source": key[0],
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "window_id": (start // _PACK_BUDGET).astype("int64"),
+                "n_tok": pdf["n_tok"].astype("int64"),
+            }
+        )
+        cum += int(csum.iloc[-1])
+        yield out
+    state.update((cum,))
+
+
+def streaming_sequence_packing_stream(doc_stream: DataFrame) -> DataFrame:
+    """T7: per-source packing cursor via applyInPandasWithState."""
+    docs = doc_stream.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return docs.groupBy("source").applyInPandasWithState(
+        _pack_source_state,
+        _PACK_OUT_SCHEMA,
+        _PACK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _packing_oracle() -> str:
+    from ..operators.packing import PACKING_ORACLE_SQL
+
+    return PACKING_ORACLE_SQL
+
+
+@register(
+    "streaming_sequence_packing",
+    oracle=_packing_oracle(),
+    tags=("streaming", "stateful", "packing", "llm"),
+    doc=(
+        "T7: incremental concat-and-chunk packing — per-source token "
+        "cursor in GroupState, availableNow replay of the documents "
+        "table; manifest hash-matches the batch packer's oracle."
+    ),
+)
+def streaming_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import run_to_memory, stream_documents
+
+    out = streaming_sequence_packing_stream(stream_documents(spark, sf_dir))
+    # ~20 sources → 8 state partitions (state-store fixed cost per
+    # partition per micro-batch; see run_to_memory docstring).
+    assigned = run_to_memory(out, "append", shuffle_partitions=8)
+    return assigned.groupBy("source", "window_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("window_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

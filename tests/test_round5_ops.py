@@ -241,3 +241,23 @@ def test_cluster_aware_split_keeps_neardup_pairs_together(spark, sf_dir):
     b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
     straddlers = pairs.join(a, "doc_a").join(b, "doc_b").filter("sa <> sb").count()
     assert straddlers == 0
+
+
+def test_streaming_packing_equals_batch_manifest(spark, sf_dir):
+    """availableNow replay of the documents stream must produce the
+    exact window manifest the batch prefix-sum computes (single-file
+    fixture => single micro-batch => identical doc order)."""
+    from data_engineer_coder_spark.operators.packing import sequence_packing
+    from data_engineer_coder_spark.streaming.stateful import (
+        streaming_sequence_packing,
+    )
+
+    cols = ["source", "window_id"]
+    batch = sequence_packing(spark, sf_dir).toPandas().sort_values(cols).reset_index(drop=True)
+    stream = (
+        streaming_sequence_packing(spark, sf_dir)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert batch[stream.columns].equals(stream)
