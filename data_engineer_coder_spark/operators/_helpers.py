@@ -111,3 +111,18 @@ def day_str(col: Column | str) -> Column:
 def ts_str(col: Column | str) -> Column:
     """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (DuckDB strftime('%Y-%m-%d %H:%M:%S'))."""
     return F.date_format(_c(col), "yyyy-MM-dd HH:mm:ss")
+
+
+def md5_bucket(col: Column | str) -> Column:
+    """0-255 bucket from the first two hex chars of md5(CAST(x AS string)).
+
+    The engine's one split/sample gate (train_test_split,
+    cluster_aware_split, quality gates): deterministic, repartition- and
+    engine-independent.  SQL twin: :func:`sql_md5_bucket`.
+    """
+    return F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 2), 16, 10).cast("int")
+
+
+def sql_md5_bucket(expr: str) -> str:
+    """DuckDB twin of :func:`md5_bucket`."""
+    return f"('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 2))::INT"

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import md5_bucket
 
 # Seeded MinHash permutation parameters (public technique: Broder '97).
 _MERSENNE = 2147483647  # 2^31 - 1
@@ -253,12 +254,22 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact-Jaccard verification of the (small) candidate set.
-    shing = w.select("doc_id", _shingles(F.col("ws")).alias("sh_set"))
+    # Exact-Jaccard verification of the (small) candidate set — under
+    # the SAME definition ngram_jaccard_pairs (the ground truth of
+    # minhash_lsh_recall_check) uses: capped intersection over full
+    # sizes.  Verifying on full shingle sets would score a pair sharing
+    # boilerplate shingles HIGHER than the ground truth does and break
+    # the recall gate's no-false-positives clause once the DF cap is
+    # active at corpus scale (cap inactive on the fixture, so results
+    # here are unchanged).  The capped sets are regrouped from the
+    # already-capped exploded rows — same shuffle key as the DF window.
+    sets_c = sh.groupBy("doc_id").agg(F.collect_set("s").alias("sh_set"))
+    n_full = w.select("doc_id", F.size(_shingles(F.col("ws"))).alias("n_full"))
+    shing = sets_c.join(n_full, "doc_id")
     sa = shing.alias("sa")
     sb = shing.alias("sb")
     inter_size = F.size(F.array_intersect(F.col("sa.sh_set"), F.col("sb.sh_set")))
-    union_size = F.size(F.array_union(F.col("sa.sh_set"), F.col("sb.sh_set")))
+    union_size = F.col("sa.n_full") + F.col("sb.n_full") - inter_size
     return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -1149,9 +1160,7 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = md5_bucket("cluster_id")
     sp = cl.join(docs, "doc_id").withColumn(
         "split", F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test"))
     )

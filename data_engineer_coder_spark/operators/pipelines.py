@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from ..io.tables import table
 from ..registry import register
 from ._helpers import davg, sql_davg
-from .textops import _QUALITY_SQL_CTE, with_quality
+from .packing import _PACK_BUDGET
+from .textops import _DECON_MOD, _DECON_N, _QUALITY_SQL_CTE, ngram_array, with_quality
 
 _SAMPLE_HEX = "80"  # keep ≈ 50% of deduped survivors
 
@@ -83,9 +84,12 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shapes a 100 TB corpus build executes.
 # --------------------------------------------------------------------------
 
-_BUILD_PACK_BUDGET = 512
-_BUILD_EVAL_MOD = 97
-_BUILD_NGRAM = 8
+# Single sources of truth: the funnel composes the SAME stages as the
+# standalone ops, so its knobs are imports, not copies — retuning the
+# packing budget or the eval slice retunes the funnel with it.
+_BUILD_PACK_BUDGET = _PACK_BUDGET
+_BUILD_EVAL_MOD = _DECON_MOD
+_BUILD_NGRAM = _DECON_N
 
 
 @register(
@@ -170,7 +174,6 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer; the only joins are broadcast-sized (canonical
     markers, contamination ids, eval n-grams).
     """
-    n = _BUILD_NGRAM
     base = with_quality(table(spark, sf_dir, "documents")).withColumn(
         "is_eval", F.col("doc_id") % _BUILD_EVAL_MOD == 0
     )
@@ -183,13 +186,7 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(src: DataFrame) -> DataFrame:
-        ws = F.split("text", " ")
-        arr = F.transform(
-            F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
-                F.array().cast("array<int>")
-            ),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        )
+        arr = ngram_array(F.split("text", " "), _BUILD_NGRAM)
         return src.select("doc_id", F.explode(arr).alias("g"))
 
     surv = (

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import DEC, sql_dsum
+from ._helpers import DEC, md5_bucket, sql_dsum
 from .textops import _QUALITY_SQL_CTE, with_quality
 
 _SALTS = 16
@@ -146,9 +146,7 @@ FROM s GROUP BY lang, split
 )
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = md5_bucket("doc_id")
     s = docs.withColumn(
         "split", F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test"))
     )

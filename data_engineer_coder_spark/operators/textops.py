@@ -889,6 +889,23 @@ _DECON_N = 8  # n-gram width
 _DECON_MOD = 97  # doc_id % 97 == 0 marks the held-out eval docs
 
 
+def ngram_array(ws, n: int):
+    """Word n-grams of a token-array column as an array column.
+
+    Shared by ngram_decontaminate and pretraining_corpus_build so the
+    gram construction (including the short-doc guard: ``sequence(1, 0)``
+    counts DOWN in Spark, so short docs must yield an empty array — the
+    same guard segment_dedup_report carries) cannot drift between the
+    standalone op and the fused funnel.
+    """
+    return F.transform(
+        F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+
+
 @register(
     "ngram_decontaminate",
     oracle=f"""
@@ -931,16 +948,7 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``left_semi`` join, then one hash agg produces the per-source audit.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    ws = F.split("text", " ")
-    n = _DECON_N
-    grams = F.transform(
-        # guard: sequence(1, 0) counts DOWN in Spark — short docs must
-        # yield an empty array (same guard as segment_dedup_report)
-        F.when(F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: F.array_join(F.slice(ws, i, n), " "),
-    )
+    grams = ngram_array(F.split("text", " "), _DECON_N)
     base = docs.select(
         "doc_id",
         "source",

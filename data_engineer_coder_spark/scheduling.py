@@ -117,23 +117,44 @@ class RunLedger:
     def __init__(self, path: str, pipeline: str):
         self._file = os.path.join(path, f"{pipeline}.ledger.json")
 
-    def _done(self) -> set[str]:
+    def _load(self) -> dict[str, set[str]]:
         try:
             with open(self._file) as fh:
-                return set(json.load(fh))
+                raw = json.load(fh)
         except (OSError, ValueError):
-            return set()
+            return {"done": set(), "skipped": set()}
+        if isinstance(raw, list):  # pre-skip ledger format: a bare done-list
+            return {"done": set(raw), "skipped": set()}
+        return {"done": set(raw.get("done", ())), "skipped": set(raw.get("skipped", ()))}
+
+    def _settled(self) -> set[str]:
+        state = self._load()
+        return state["done"] | state["skipped"]
 
     def due(self, candidates: Sequence[str], catchup: bool = False) -> list[str]:
-        missed = sorted(set(candidates) - self._done())
+        """Dates to run NOW; with ``catchup=False`` the older missed
+        candidates are durably marked SKIPPED at this moment — that is
+        the Airflow semantic ("the rest are skipped"), and it must be
+        recorded or every later tick would backfill one more stale day.
+        A skipped date is settled: it never becomes due again, even
+        under a later ``catchup=True`` call."""
+        missed = sorted(set(candidates) - self._settled())
         if not missed:
             return []
-        return missed if catchup else missed[-1:]
+        if catchup:
+            return missed
+        for stale in missed[:-1]:
+            self._mark("skipped", stale)
+        return missed[-1:]
 
     def mark_done(self, logical_date: str) -> None:
-        done = self._done() | {logical_date}
+        self._mark("done", logical_date)
+
+    def _mark(self, status: str, logical_date: str) -> None:
+        state = self._load()
+        state[status].add(logical_date)
         os.makedirs(os.path.dirname(self._file), exist_ok=True)
         tmp = self._file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(sorted(done), fh)
+            json.dump({k: sorted(v) for k, v in state.items()}, fh)
         os.replace(tmp, self._file)  # atomic: a crash never truncates the ledger

@@ -235,7 +235,7 @@ def streaming_user_counters_tws_query(spark: SparkSession, sf_dir: str) -> DataF
 # order, history is never re-sorted.
 # --------------------------------------------------------------------------
 
-_PACK_BUDGET = 512  # mirror of operators.packing._PACK_BUDGET
+from ..operators.packing import _PACK_BUDGET  # single source of the budget
 
 _PACK_STATE_SCHEMA = T.StructType([T.StructField("cum_tokens", T.LongType())])
 _PACK_OUT_SCHEMA = T.StructType(
@@ -251,12 +251,20 @@ _PACK_OUT_SCHEMA = T.StructType(
 def _pack_source_state(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Advance one source's packing cursor over its new documents."""
+    """Advance one source's packing cursor over its new documents.
+
+    The iterator yields the group's batch rows in ARROW CHUNKS
+    (split at spark.sql.execution.arrow.maxRecordsPerBatch) in
+    arbitrary order — sorting per chunk would interleave doc_ids across
+    chunk boundaries, so the whole micro-batch group is materialized
+    and sorted ONCE.  Memory bound: one source's documents per
+    micro-batch (the metadata columns only — ids and token counts, not
+    text), the same bound any per-group stateful op carries.
+    """
     cum = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values("doc_id")
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("doc_id")
         csum = pdf["n_tok"].astype("int64").cumsum()
         start = cum + csum - pdf["n_tok"].astype("int64")
         out = pd.DataFrame(

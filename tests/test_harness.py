@@ -241,3 +241,47 @@ def test_check_prefix_is_all_unverified():
         n for n in prefix if seen.get(n, False) and n not in registry._FORCE_RECHECK
     ]
     assert not wasted, f"green queries occupying prefix slots: {wasted}"
+
+
+@pytest.mark.parametrize("fixture_dir", _SF_DIRS)
+def test_fixture_text_bounds_contract(fixture_dir):
+    """Several DuckDB oracles enumerate positions with a HARD bound that
+    the Spark side computes exactly: range(1,129) gram/position starts
+    (ngram_decontaminate, repeated_token_runs, pretraining_corpus_build),
+    range(0,64) chunk starts (chunk_long_docs), range(1,32) character
+    bigram starts (bpe_merge_candidates).  A regenerated fixture with
+    longer documents or tokens would make those oracles silently
+    truncate while Spark counts everything — five ops red at once with
+    confusing mismatches.  Pin the data bounds here so the drift costs
+    ONE loud failure instead (the same posture as the schema contract
+    above)."""
+    import os
+
+    import duckdb
+
+    if not os.path.isdir(fixture_dir):
+        pytest.skip(f"{fixture_dir} absent")
+    con = duckdb.connect()
+    max_tok, max_wlen = con.execute(
+        f"""
+        SELECT MAX(LEN(string_split(text, ' '))),
+               MAX(list_max(list_transform(string_split(text, ' '), w -> LENGTH(w))))
+        FROM read_parquet('{fixture_dir}/documents.parquet')
+        """
+    ).fetchone()
+    problems = []
+    if max_tok > 128:  # range(1, 129) position enumerations
+        problems.append(f"max doc tokens {max_tok} > 128")
+    if max_tok > 64 * 24:  # chunk_long_docs range(0, 64) at stride 24
+        problems.append(f"max doc tokens {max_tok} > 64*24 chunk bound")
+    if max_wlen > 31:  # bpe_merge_candidates range(1, 32)
+        problems.append(f"max token length {max_wlen} > 31")
+    assert not problems, (
+        f"fixture text bounds drifted at {fixture_dir}: {problems}\n"
+        "REMEDIATION: raise the range(...) bounds in the oracles of "
+        "ngram_decontaminate / repeated_token_runs / pretraining_corpus_build "
+        "(textops.py, pipelines.py), chunk_long_docs (packing.py), and "
+        "bpe_merge_candidates (textops.py), then update this contract. "
+        "Stale driver greens predating the drift are invalid: add the "
+        "affected names to registry._FORCE_RECHECK."
+    )

@@ -228,10 +228,10 @@ def test_cluster_aware_split_keeps_neardup_pairs_together(spark, sf_dir):
         ngram_jaccard_pairs,
     )
 
+    from data_engineer_coder_spark.operators._helpers import md5_bucket
+
     cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
+    bucket = md5_bucket("cluster_id")
     split = cl.select(
         "doc_id",
         F.when(bucket < 230, F.lit("train")).otherwise(F.lit("test")).alias("split"),

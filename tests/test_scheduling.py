@@ -77,17 +77,39 @@ def test_chain_stops_at_first_terminal_failure():
 def test_ledger_catchup_false_runs_only_latest(tmp_path):
     led = RunLedger(str(tmp_path), "air_quality")
     days = ["2024-01-01", "2024-01-02", "2024-01-03"]
-    # three missed days, catchup=False → only the newest is due
+    # three missed days, catchup=False → only the newest is due, and the
+    # older two are durably SKIPPED (the Airflow semantic) — a later
+    # tick must NOT backfill a stale day
     assert led.due(days) == ["2024-01-03"]
     led.mark_done("2024-01-03")
-    assert led.due(days) == ["2024-01-02"]  # next call: newest remaining
-    # catchup=True replays everything missed, oldest first
-    assert led.due(days, catchup=True) == ["2024-01-01", "2024-01-02"]
-    led.mark_done("2024-01-01")
-    led.mark_done("2024-01-02")
     assert led.due(days) == []
+    # skipped is settled: even catchup=True does not resurrect a date
+    # that a catchup=False decision already skipped
+    assert led.due(days, catchup=True) == []
+    # a NEW candidate after the skip is due as normal
+    assert led.due(days + ["2024-01-04"]) == ["2024-01-04"]
+    led.mark_done("2024-01-04")
     # at-most-once: a re-offered completed date is never due again
-    assert led.due(["2024-01-02"]) == []
+    assert led.due(["2024-01-04"]) == []
+
+
+def test_ledger_catchup_true_replays_all_missed(tmp_path):
+    led = RunLedger(str(tmp_path), "aq")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # catchup=True replays everything missed, oldest first, skipping none
+    assert led.due(days, catchup=True) == days
+    led.mark_done("2024-01-01")
+    assert led.due(days, catchup=True) == ["2024-01-02", "2024-01-03"]
+
+
+def test_ledger_reads_pre_skip_format(tmp_path):
+    import json as _json
+
+    # a bare done-list (the pre-skip ledger format) must keep working
+    path = tmp_path / "legacy.ledger.json"
+    path.write_text(_json.dumps(["2024-03-01"]))
+    led = RunLedger(str(tmp_path), "legacy")
+    assert led.due(["2024-03-01", "2024-03-02"]) == ["2024-03-02"]
 
 
 def test_ledger_survives_reopen(tmp_path):
