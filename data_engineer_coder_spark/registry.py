@@ -82,6 +82,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # round 5: grouped-map now receives unix_micros bigints instead of a
     # timestamp column (Arrow-hop cost); same output, changed plan.
     "user_session_stats",
+    # round 5 review fix: candidate verification switched to the capped-
+    # intersection Jaccard (ground-truth definition); fixture output
+    # unchanged (cap inactive) but the implementation changed post-green.
+    "minhash_lsh_neardup",
 )
 
 # Names emitted FIRST by queries()/oracle_sql(), in this order; everything
