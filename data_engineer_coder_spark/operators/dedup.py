@@ -1226,3 +1226,102 @@ def source_dedup_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shared_texts"),
         F.sum("n_inv").cast("bigint").alias("n_docs_involved"),
     )
+
+
+# --------------------------------------------------------------------------
+# L2i: near-dup similarity histogram — the distribution of exact-Jaccard
+# values over the detected pair graph.  The threshold-tuning audit: a
+# mass near the 0.2 cut means the threshold is doing real work; a spike
+# at 1.0 means exact dups leaked past the L1 stage.  One floor-bucket
+# projection over ngram_jaccard_pairs' output (identical doubles in
+# both engines, so the buckets cut identically).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "neardup_jaccard_histogram",
+    oracle=_SHINGLE_SQL
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s NOT IN (SELECT s FROM freq)
+  GROUP BY 1, 2
+), j AS (
+  SELECT CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+)
+SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS jaccard_decile,
+       COUNT(*) AS n_pairs
+FROM j GROUP BY 1
+""",
+    tags=("dedup", "llm", "audit"),
+    doc=(
+        "L2: decile histogram of exact Jaccard over the near-dup pair "
+        "graph (threshold-tuning / L1-leak audit; decile 10 = exact dup)."
+    ),
+)
+def neardup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L1e: normalization dedup gain — how many duplicate groups appear only
+# AFTER text normalization (casefold + whitespace collapse + trim).
+# Raw-hash dedup misses "Hello  World" vs "hello world"; the gain
+# report quantifies what normalizing before hashing would reclaim.
+# Two hash aggregates over one scan; the normalization is a pure
+# map-side expression.  (The synthetic fixture is already normalized,
+# so the fixture gain is zero — the planted-dirty-corpus test in
+# tests/test_round5_ops.py proves the machinery.)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "normalization_dedup_gain",
+    oracle="""
+WITH n AS (
+  SELECT source,
+         md5(text) AS h_raw,
+         md5(regexp_replace(LOWER(TRIM(text)), ' +', ' ', 'g')) AS h_norm
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT h_raw) AS n_distinct_raw,
+       COUNT(DISTINCT h_norm) AS n_distinct_norm,
+       COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_norm) AS dedup_gain
+FROM n GROUP BY source
+""",
+    tags=("dedup", "llm", "cleaning"),
+    doc=(
+        "L1: duplicate groups reclaimed by normalize-before-hash "
+        "(casefold, whitespace collapse, trim), per source."
+    ),
+)
+def normalization_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    norm = F.regexp_replace(F.lower(F.trim("text")), " +", " ")
+    n = docs.select(
+        "source",
+        F.md5("text").alias("h_raw"),
+        F.md5(norm).alias("h_norm"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("h_raw").alias("n_distinct_raw"),
+        F.count_distinct("h_norm").alias("n_distinct_norm"),
+        (F.count_distinct("h_raw") - F.count_distinct("h_norm")).alias("dedup_gain"),
+    )

@@ -1255,3 +1255,56 @@ def token_count_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("n_subtokens"),
         F.floor(10000.0 * F.sum("s") / F.sum("w")).cast("bigint").alias("expansion_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4q: token co-occurrence mining — which token PAIRS appear in the same
+# document (the collocation/topic signal under PMI and phrase mining).
+# Pair generation is ARRAY-SIDE (nested transform over the distinct
+# token set, the order_item_pairs pattern) — no self-join, so the only
+# shuffle is the final |vocab-pair| hash aggregate, map-side combined.
+# The top-k cut is tie-broken by the pair itself.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_cooccurrence_topk",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+), t AS (
+  SELECT doc_id, unnest(ts) AS tok FROM d
+), p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, COUNT(*) AS n_docs
+FROM p GROUP BY tok_a, tok_b
+ORDER BY n_docs DESC, tok_a, tok_b
+LIMIT 20
+""",
+    tags=("text", "llm", "tokens"),
+    doc=(
+        "L4: top-20 same-document token pairs (collocation mining) — "
+        "pairs generated array-side per document, no self-join."
+    ),
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("text")
+    ts = F.array_distinct(F.split("text", " "))
+    pairs = F.flatten(
+        F.transform(
+            ts,
+            lambda x: F.transform(
+                F.filter(ts, lambda y: y > x),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    ex = docs.select(F.explode(pairs).alias("p")).select("p.tok_a", "p.tok_b")
+    return (
+        ex.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )

@@ -261,3 +261,28 @@ def test_streaming_packing_equals_batch_manifest(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert batch[stream.columns].equals(stream)
+
+
+def test_normalization_dedup_gain_on_planted_dirty_corpus(spark):
+    """'Hello  World' and ' hello world ' must collapse to one normalized
+    hash (gain 1); a genuinely different doc must not."""
+    import os
+    import tempfile
+
+    from data_engineer_coder_spark.operators.dedup import normalization_dedup_gain
+
+    rows = [
+        (1, "s", "Hello  World"),
+        (2, "s", " hello world "),
+        (3, "s", "different text"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        df = df.withColumn("lang", F.lit("en")).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rep = normalization_dedup_gain(spark, tmp).toPandas()
+    assert int(rep["n_distinct_raw"].iloc[0]) == 3
+    assert int(rep["n_distinct_norm"].iloc[0]) == 2
+    assert int(rep["dedup_gain"].iloc[0]) == 1
