@@ -171,3 +171,42 @@ def test_source_mix_weights_sum_to_one(spark):
     assert rows
     assert abs(sum(r["sample_weight"] for r in rows) - 1.0) < 1e-9
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+
+
+# Packing prefix-sum property: the window manifest over ANY token-count
+# sequence must satisfy the conservation + boundary invariants of
+# concat-and-chunk packing, and match a direct python prefix-sum
+# reimplementation (the cross-engine determinism anchor for the
+# assembly family).
+_tok_lists = st.lists(
+    st.integers(min_value=1, max_value=700), min_size=1, max_size=30
+)
+
+
+@given(toks=_tok_lists)
+@_settings
+def test_sequence_packing_matches_python_prefix_sum(spark, toks):
+    from pyspark.sql import Window
+
+    budget = 512
+    rows = [(i, "s", int(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        (r.doc_id, r.wid)
+        for r in df.withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("wid", F.floor(F.col("start") / budget).cast("bigint"))
+        .collect()
+    }
+    cum, want = 0, set()
+    for i, t in enumerate(toks):
+        want.add((i, cum // budget))
+        cum += t
+    assert got == want
+    # invariants: window ids are non-decreasing with doc order and the
+    # first doc always opens window 0
+    wids = [wid for _, wid in sorted(want)]
+    assert wids[0] == 0
+    assert all(a <= b for a, b in zip(wids, wids[1:]))
