@@ -210,3 +210,68 @@ def test_sequence_packing_matches_python_prefix_sum(spark, toks):
     wids = [wid for _, wid in sorted(want)]
     assert wids[0] == 0
     assert all(a <= b for a, b in zip(wids, wids[1:]))
+
+
+# Bloom bit positions: the Spark md5-derived positions must equal a
+# python hashlib reimplementation (cross-engine anchor shared with the
+# DuckDB oracle's identical rebuild).
+@given(key=st.integers(min_value=0, max_value=10**12))
+@_settings
+def test_bloom_positions_match_python_md5(spark, key):
+    import hashlib
+
+    from data_engineer_coder_spark.operators.aggregates import _BLOOM_K, _BLOOM_M
+
+    df = spark.createDataFrame([(key,)], "k long")
+    exprs = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.lit(j), F.col("k").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        ).alias(f"p{j}")
+        for j in range(_BLOOM_K)
+    ]
+    got = list(df.select(*exprs).collect()[0])
+    want = [
+        int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:8], 16) % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ]
+    assert got == want
+
+
+# ngram_array: Spark word n-grams must equal python zip-based n-grams,
+# including the empty result for short docs (the sequence(1,0) guard).
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=15
+    )
+)
+@_settings
+def test_ngram_array_matches_python(spark, words):
+    from data_engineer_coder_spark.operators.textops import ngram_array
+
+    text = " ".join(words) if words else ""
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(ngram_array(F.split("t", " "), 3).alias("g")).collect()[0][0]
+    toks = text.split(" ")  # mirrors F.split: "" -> [""]
+    want = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    assert got == want
+
+
+# md5_bucket: the engine's split gate must equal DuckDB's sql_md5_bucket
+# twin for the same key — the anchor behind every 90/10 split.
+@given(key=st.integers(min_value=0, max_value=10**12))
+@_settings
+def test_md5_bucket_matches_duckdb_twin(spark, duck, key):
+    from data_engineer_coder_spark.operators._helpers import md5_bucket, sql_md5_bucket
+
+    got = (
+        spark.createDataFrame([(key,)], "k long")
+        .select(md5_bucket("k").alias("b"))
+        .collect()[0][0]
+    )
+    want = duck.execute(f"SELECT {sql_md5_bucket(str(key))}").fetchone()[0]
+    assert got == want

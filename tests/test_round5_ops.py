@@ -286,3 +286,34 @@ def test_normalization_dedup_gain_on_planted_dirty_corpus(spark):
     assert int(rep["n_distinct_raw"].iloc[0]) == 3
     assert int(rep["n_distinct_norm"].iloc[0]) == 2
     assert int(rep["dedup_gain"].iloc[0]) == 1
+
+
+def test_streaming_packing_survives_multi_chunk_groups(spark, sf_dir):
+    """Regression for the chunk-sort bug: with Arrow batches forced tiny
+    (7 records), every source group reaches the state function as many
+    chunks — the packer must still produce the batch manifest (it must
+    sort the WHOLE group, not each chunk)."""
+    from data_engineer_coder_spark.operators.packing import sequence_packing
+    from data_engineer_coder_spark.streaming.stateful import (
+        streaming_sequence_packing,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, "10000")
+    spark.conf.set(key, "7")
+    try:
+        stream = (
+            streaming_sequence_packing(spark, sf_dir)
+            .toPandas()
+            .sort_values(["source", "window_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set(key, prev)
+    batch = (
+        sequence_packing(spark, sf_dir)
+        .toPandas()
+        .sort_values(["source", "window_id"])
+        .reset_index(drop=True)
+    )
+    assert batch[stream.columns].equals(stream)
