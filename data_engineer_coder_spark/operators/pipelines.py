@@ -186,8 +186,12 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(src: DataFrame) -> DataFrame:
+        # spread the per-row gram build (single-file fixture pins it to
+        # one task otherwise - same pattern as ngram_decontaminate)
         arr = ngram_array(F.split("text", " "), _BUILD_NGRAM)
-        return src.select("doc_id", F.explode(arr).alias("g"))
+        return src.repartition(32, F.col("doc_id")).select(
+            "doc_id", F.explode(arr).alias("g")
+        )
 
     surv = (
         corpus.join(canon, "doc_id", "left")

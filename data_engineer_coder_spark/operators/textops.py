@@ -948,6 +948,10 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``left_semi`` join, then one hash agg produces the per-source audit.
     """
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # single-file fixture: repartition before the heavy per-row gram
+    # expressions or they pin to one task (same pattern as the dedup
+    # family; measured 2.4x on the contamination path at sf0.1)
+    docs = docs.repartition(32, F.col("doc_id"))
     grams = ngram_array(F.split("text", " "), _DECON_N)
     base = docs.select(
         "doc_id",
@@ -1031,6 +1035,9 @@ FROM r GROUP BY source
 )
 def quality_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("source", "text")
+    # single-file fixture: the max-token-share rule is O(distinct x n)
+    # per row - spread it before evaluating
+    docs = docs.repartition(32)
     ws = F.split("text", " ")
     n_tok = F.size(ws)
     sum_wlen = F.length("text") - n_tok + 1
@@ -1183,7 +1190,9 @@ FROM per_doc GROUP BY source
 )
 def repeated_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    tok = docs.select(
+    # repartition on the window key: parallelizes the explode AND
+    # pre-partitions for the per-document windows below
+    tok = docs.repartition(32, F.col("doc_id")).select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
@@ -1291,6 +1300,8 @@ LIMIT 20
 )
 def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("text")
+    # single-file fixture: spread the O(tokens^2) pair construction
+    docs = docs.repartition(32)
     ts = F.array_distinct(F.split("text", " "))
     pairs = F.flatten(
         F.transform(
