@@ -72,135 +72,39 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-4 NTZ/plan-change cohort of 12 pruned: all re-proven green in
-    # CORRECTNESS_r04.)
-    # round 5: order-dependent double sums replaced with decimal accumulation
-    # per ADVICE r4 — threshold/boundary math changed in both engines, so the
-    # r4 greens are stale.
-    "important_stock_value",
-    "pareto_revenue_customers",
-    # round 5: grouped-map now receives unix_micros bigints instead of a
-    # timestamp column (Arrow-hop cost); same output, changed plan.
-    "user_session_stats",
-    # round 5 review fix: candidate verification switched to the capped-
-    # intersection Jaccard (ground-truth definition); fixture output
-    # unchanged (cap inactive) but the implementation changed post-green.
-    "minhash_lsh_neardup",
+    # (round-4 NTZ/plan-change cohort of 12 and the round-5 cohort of 4
+    # — decimal-sum thresholds, unix_micros grouped-map, capped-intersection
+    # Jaccard — all pruned: re-proven green in CORRECTNESS_r04/r05.)
 )
 
-# Names emitted FIRST by queries()/oracle_sql(), in this order; everything
-# else follows in registration order.  The external driver correctness-checks
-# a 50-query prefix of the returned dict, so this list rotates coverage:
-# queries with no CORRECTNESS row yet (round 1 checked only the first 50
-# registered — see VERDICT.md) go up front, while the already-driver-verified
-# block (locally covered by tests/test_oracle_parity.py) rotates to the back.
-# SELF-RETIRING: a name here drops out of the priority prefix as soon as any
-# CORRECTNESS_r*.json records it green, so stale entries cost nothing in
-# later rounds — only additions matter.  Keep ≤ 50 names; unknown names are
-# ignored (forward refs OK).
-_CHECK_FIRST: tuple[str, ...] = (
-    # -- round 3 rotation: the 62 oracle-backed queries no CORRECTNESS_r{1,2}
-    # row ever reached, highest value first.  3 _FORCE_RECHECK slots + the
-    # first 47 here fill the 50-query prefix; the tail (~15) is the
-    # documented round-4 spillover queue and self-retires as rows land. --
-    # flagship fused pipeline (L8 — only SURVEY §2 op never driver-verified)
-    "training_data_prep",
-    # TPC-H multi-way join suite
-    "regional_supplier_volume",
-    "market_share_by_year",
-    "bilateral_shipping_volume",
-    "returned_item_losses",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "disjunctive_predicate_revenue",
-    "large_volume_orders",
-    "promo_revenue_share",
-    # dedup cluster family + decontamination
-    "dedup_clusters",
-    "dedup_keep_best",
-    "decontaminate_overlap",
-    "fuzzy_name_pairs",
-    "neardup_triangles",
-    # CDC
-    "cdc_merge_upsert",
-    "scd2_event_history",
-    # round-3 oracle dtype fixes (must prove the BIGINT casts under the gate)
-    "session_capped",
-    "late_shipment_priority",
-    "winsorized_stats",
-    "posexplode_outer_tokens",
-    "try_safe_funcs",
-    "join_null_safe",
-    "csv_malformed_robustness",
-    # remaining untested SURVEY §2 sub-queries
-    "variant_extract",
-    "lateral_topk_per_nation",
-    "asof_join_tolerance",
-    "window_time_range",
-    "rollup_grouping_id",
-    "unpivot_event_types",
-    "higher_order_funcs",
-    # LLM text-analysis tail
-    "repetition_ratio",
-    "unigram_logprob_score",
-    "span_corruption_masks",
-    "source_mix_report",
-    # embeddings
-    "embedding_centroids",
-    "contrastive_pair_mining",
-    # file formats / layout
-    "csv_json_roundtrip",
-    "orc_roundtrip",
-    "partition_pruned_read",
-    "bucketed_join_revenue",
-    # streaming/batch twins + custom source
-    "purchase_attribution_batch",
-    "stream_join_conversion_rate",
-    "stream_static_enrich",
-    "custom_source_scan",
-    # analytics tail
-    "anomaly_zscore",
-    "cohort_retention",
-    # ---- round-4 spillover starts around here (prefix cut ≈ 50) ----
-    "spatial_blocked_join",
-    "dq_expectations",
-    "cogroup_reconcile",
-    "correlated_agg_subquery",
-    "resample_daily_fill",
-    "idle_customer_balance",
-    "user_activity_bitmap",
-    "price_histogram",
-    "approx_distinct_check",
-    "group_quantiles",
-    "corr_regression_by_flag",
-    "approx_quantile_check",
-    "hll_union_check",
-    "media_frame_sample",
-    "media_feature_stub",
-)
+# (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
+# now has a green CORRECTNESS row, so the never-checked tier is empty except
+# for genuinely new queries, which sort ahead automatically.)
 
 
-def _driver_checked(root: str | None = None) -> dict[str, bool]:
-    """name → ever recorded a *green* row in any CORRECTNESS_r*.json.
+def _driver_checked(root: str | None = None) -> dict[str, int]:
+    """name → last round whose CORRECTNESS_r*.json recorded a *green* row.
 
     Green means the value hash actually matched (``hash_match`` true) — a
     row that ran but mismatched must NOT retire the query from the check
     prefix, or a known-failing query would be hidden from every future
-    round.  Rows with ``err == "no_oracle"`` are rows-only by design
-    (approximate/stateful): the driver can never hash-match them, so they
-    count as retired rather than permanently occupying prefix slots.
+    round; such names map to ``-1`` (reached but never green).  Rows with
+    ``err == "no_oracle"`` are rows-only by design (approximate/stateful):
+    the driver can never hash-match them, so they count as green rather
+    than permanently occupying prefix slots.
 
-    Lets the ordering rotate automatically across rounds: queries the
-    external gate has never reached sort ahead of green ones even if the
-    manual list above goes stale.
+    The round number drives the staleness rotation in ``_check_order``.
     """
     import glob
     import json
     import os
+    import re
 
     repo_root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: dict[str, bool] = {}
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -210,26 +114,38 @@ def _driver_checked(root: str | None = None) -> dict[str, bool]:
             if not isinstance(row, dict):
                 continue
             ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            seen[name] = seen.get(name, False) or ok
+            if ok:
+                seen[name] = max(seen.get(name, -1), rnd)
+            else:
+                seen.setdefault(name, -1)
     return seen
 
 
 def _check_order(names: list[str]) -> list[str]:
+    """Order queries for the external driver's 50-slot correctness prefix.
+
+    Tiers (earlier = checked sooner):
+      0. _FORCE_RECHECK — implementation/oracle changed after its last green
+         row, so that row is stale; always re-verify first.
+      1. never reached by any driver gate (new queries).
+      2. reached but never green (must stay visible until a green lands).
+      3. green — STALENESS ROTATION: oldest last-green round first, so with
+         ~219 queries and a 50-slot gate every query gets re-proven roughly
+         every 5 rounds even with zero manual curation.  Ties (same round)
+         break by registration order, which interleaves modules.
+    """
     force = {n: i for i, n in enumerate(_FORCE_RECHECK)}
-    pri = {n: i for i, n in enumerate(_CHECK_FIRST)}
     reg = {n: i for i, n in enumerate(names)}
     seen = _driver_checked()
 
     def key(n: str):
         if n in force:
-            return (0, force[n])  # changed post-green — always re-verify
-        if n in pri and not seen.get(n, False):
-            return (1, pri[n])  # manually queued, not yet green
+            return (0, 0, force[n])  # changed post-green — always re-verify
         if n not in seen:
-            return (2, reg[n])  # never reached by the driver gate
-        if not seen[n]:
-            return (3, reg[n])  # reached but errored — needs a fresh row
-        return (4, reg[n])  # has a green row already
+            return (1, 0, reg[n])  # never reached by the driver gate
+        if seen[n] < 0:
+            return (2, 0, reg[n])  # reached but errored — needs a fresh row
+        return (3, seen[n], reg[n])  # green: oldest round first
 
     return sorted(names, key=key)
 

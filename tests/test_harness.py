@@ -90,9 +90,9 @@ def test_hash_mismatch_is_not_retired(tmp_path):
         },
     )
     seen = registry._driver_checked(root=str(tmp_path))
-    assert seen["good"] is True
-    assert seen["bad"] is False
-    assert seen["errored"] is False
+    assert seen["good"] == 1  # last green round
+    assert seen["bad"] == -1  # reached but never green
+    assert seen["errored"] == -1
 
 
 def test_no_oracle_rows_are_retired(tmp_path):
@@ -103,14 +103,16 @@ def test_no_oracle_rows_are_retired(tmp_path):
         "CORRECTNESS_r01.json",
         {"approx": {"rows_match": None, "hash_match": None, "err": "no_oracle"}},
     )
-    assert registry._driver_checked(root=str(tmp_path))["approx"] is True
+    assert registry._driver_checked(root=str(tmp_path))["approx"] == 1
 
 
 def test_green_in_any_round_wins(tmp_path):
-    """A later green row retires a query even if an earlier round errored."""
+    """A later green row retires a query even if an earlier round errored,
+    and the recorded round is the LATEST green (staleness-rotation input)."""
     _write_rows(tmp_path, "CORRECTNESS_r01.json", {"q": {"hash_match": False, "err": None}})
     _write_rows(tmp_path, "CORRECTNESS_r02.json", {"q": {"hash_match": True, "err": None}})
-    assert registry._driver_checked(root=str(tmp_path))["q"] is True
+    _write_rows(tmp_path, "CORRECTNESS_r03.json", {"q": {"hash_match": False, "err": None}})
+    assert registry._driver_checked(root=str(tmp_path))["q"] == 2
 
 
 # ---------------------------------------------------------------------------
@@ -227,20 +229,28 @@ def test_fixture_schema_contract(spark, fixture_dir):
     )
 
 
-def test_check_prefix_is_all_unverified():
-    """Every slot of the 50-query driver prefix must go to a query that has
-    no green row yet (rotation efficiency: no slot wasted on a green one),
-    as long as enough unverified queries remain."""
+def test_check_prefix_priority_order():
+    """The 50-query driver prefix obeys the rotation policy: forced
+    re-checks and unverified queries outrank green ones, and within the
+    green tier staleness is monotone — no query OUTSIDE the prefix may have
+    an older last-green round than any green query inside it (oldest-first
+    rotation; every query re-proven every ~5 rounds with zero curation)."""
     names = list(registry.queries())
     seen = registry._driver_checked()
-    unverified = [n for n in names if not seen.get(n, False)]
-    prefix = names[: min(50, len(unverified))]
-    # _FORCE_RECHECK names are deliberate re-verifications (implementation
-    # or oracle changed after their last row) — not wasted slots.
-    wasted = [
-        n for n in prefix if seen.get(n, False) and n not in registry._FORCE_RECHECK
+    prefix, rest = names[:50], names[50:]
+    # Tier ordering: anything forced/unverified must sit in the prefix while
+    # slots remain (there are far fewer than 50 such queries today).
+    urgent = [
+        n for n in names if n in registry._FORCE_RECHECK or seen.get(n, -1) < 0
     ]
-    assert not wasted, f"green queries occupying prefix slots: {wasted}"
+    assert all(n in prefix for n in urgent[:50]), "urgent query left out of prefix"
+    green_in = [seen[n] for n in prefix if seen.get(n, -1) >= 0]
+    green_out = [seen[n] for n in rest if seen.get(n, -1) >= 0]
+    if green_in and green_out:
+        assert max(green_in) <= min(green_out), (
+            "staleness rotation violated: a fresher green sits in the prefix "
+            "while a staler one waits outside"
+        )
 
 
 @pytest.mark.parametrize("fixture_dir", _SF_DIRS)
