@@ -53,6 +53,21 @@ def sql_davg(expr: str) -> str:
     return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}) AS DOUBLE)"
 
 
+def shuffle_parts(df_or_spark) -> int:
+    """Cluster-proportional partition count for explicit repartitions.
+
+    The hot text/dedup/similarity ops repartition BEFORE heavy per-row
+    array work because a single-file scan otherwise pins the whole stage
+    to one task, and AQE sizes post-shuffle stages from *pre*-explode
+    byte counts, coalescing the parallelism away.  A literal 32 was right
+    for this local[32] host but undersizes a 1000-executor cluster, so
+    derive the count from ``sparkContext.defaultParallelism`` (total
+    scheduler cores on a real cluster) instead.
+    """
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return max(int(spark.sparkContext.defaultParallelism), 8)
+
+
 def with_global_pos(df, order_cols, pos_name: str = "pos", num_partitions: int = 32):
     """Attach a 1-based global rank column without a single-partition window.
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import md5_bucket
+from ._helpers import md5_bucket, shuffle_parts
 
 # Seeded MinHash permutation parameters (public technique: Broder '97).
 _MERSENNE = 2147483647  # 2^31 - 1
@@ -147,7 +147,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Repartition before the heavy array expressions: a single parquet
     # file otherwise pins shingle generation to one task.
     w = (
-        docs.repartition(32, F.col("doc_id"))  # explicit n: AQE won't coalesce it away
+        docs.repartition(shuffle_parts(docs), F.col("doc_id"))  # explicit n: AQE won't coalesce it away
         .select("doc_id", _words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
         .select("doc_id", _shingles(F.col("ws")).alias("sh_arr"))  # computed once
@@ -208,7 +208,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
-        docs.repartition(32, F.col("doc_id"))  # explicit n: parallel AND AQE-stable
+        docs.repartition(shuffle_parts(docs), F.col("doc_id"))  # explicit n: parallel AND AQE-stable
         .select("doc_id", _words(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
     )
@@ -363,7 +363,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # 64 per-bit array aggregates per row: repartition first or a single
     # source file serializes the whole signature computation.
-    w = docs.repartition(32, F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
+    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
     th = F.transform(F.col("ws"), lambda t: F.xxhash64(t)).alias("hs")
     hashed = w.select("doc_id", th)
 
@@ -775,7 +775,7 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the per-doc shingle arrays: the single-file scan
     # otherwise pins the heavy transform to one task
     sh = (
-        docs.repartition(32, F.col("doc_id"))
+        docs.repartition(shuffle_parts(docs), F.col("doc_id"))
         .select("doc_id", _shingles(_words(F.col("text"))).alias("shs"))
         .where(F.size("shs") >= 1)
     )
@@ -1022,7 +1022,7 @@ GROUP BY source
 def segment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # single-file fixture: repartition before the per-row segment arrays
-    w = docs.repartition(32, F.col("doc_id")).select(
+    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
         "doc_id", "source", _words(F.col("text")).alias("ws")
     )
     k = _SEG_WORDS

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import shuffle_parts
 
 # --------------------------------------------------------------------------
 # L5: multimodal join — text + embedding side by side in one row.
@@ -200,7 +201,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Spread docs before the Python stage — same single-file hazard as
     # the other documents-table pandas paths.
-    return docs.repartition(32, F.col("doc_id")).mapInPandas(
+    return docs.repartition(shuffle_parts(docs), F.col("doc_id")).mapInPandas(
         _frame_sample_batches, schema=_FRAME_SCHEMA
     )
 
@@ -274,6 +275,6 @@ def media_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return docs.repartition(32, F.col("doc_id")).mapInPandas(
+    return docs.repartition(shuffle_parts(docs), F.col("doc_id")).mapInPandas(
         _feature_batches, schema=_FEAT_SCHEMA
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import davg, sql_davg
+from ._helpers import davg, shuffle_parts, sql_davg
 from .packing import _PACK_BUDGET
 from .textops import _DECON_MOD, _DECON_N, _QUALITY_SQL_CTE, ngram_array, with_quality
 
@@ -189,7 +189,7 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread the per-row gram build (single-file fixture pins it to
         # one task otherwise - same pattern as ngram_decontaminate)
         arr = ngram_array(F.split("text", " "), _BUILD_NGRAM)
-        return src.repartition(32, F.col("doc_id")).select(
+        return src.repartition(shuffle_parts(src), F.col("doc_id")).select(
             "doc_id", F.explode(arr).alias("g")
         )
 

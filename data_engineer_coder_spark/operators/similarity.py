@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import shuffle_parts
 
 _SCALE = 10_000_000  # 1e7: float32 has ~7 significant digits
 
@@ -222,7 +223,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         # spread the 32-plane signature folds across tasks — the fixture
         # is one parquet file (one task otherwise)
-        .repartition(32, F.col("vec_id"))
+        .repartition(shuffle_parts(spark), F.col("vec_id"))
         .select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("ev"),
@@ -518,7 +519,7 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one parquet file, which would pin every K×64 fold of every
     # iteration to a single task (same pitfall/fix as the dedup
     # shingle pipelines).
-    n = emb.repartition(32, F.col("vec_id")).select(
+    n = emb.repartition(shuffle_parts(emb), F.col("vec_id")).select(
         "vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
     )
     # Iteration state (K×64 integer cells) lives on the driver and is

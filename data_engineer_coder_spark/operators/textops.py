@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import shuffle_parts
 
 # A small English stopword list (public domain).  The fixture vocabulary
 # is synthetic; the *operator* is what matters.
@@ -803,7 +804,7 @@ def boilerplate_ngram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # single-file fixture: spread the per-row gram arrays across tasks
     w = (
-        docs.repartition(32, F.col("doc_id"))
+        docs.repartition(shuffle_parts(docs), F.col("doc_id"))
         .select("doc_id", "source", F.split("text", " ").alias("ws"))
         .filter(F.size("ws") >= 3)
     )
@@ -951,7 +952,7 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture: repartition before the heavy per-row gram
     # expressions or they pin to one task (same pattern as the dedup
     # family; measured 2.4x on the contamination path at sf0.1)
-    docs = docs.repartition(32, F.col("doc_id"))
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
     grams = ngram_array(F.split("text", " "), _DECON_N)
     base = docs.select(
         "doc_id",
@@ -1037,7 +1038,7 @@ def quality_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("source", "text")
     # single-file fixture: the max-token-share rule is O(distinct x n)
     # per row - spread it before evaluating
-    docs = docs.repartition(32)
+    docs = docs.repartition(shuffle_parts(docs))
     ws = F.split("text", " ")
     n_tok = F.size(ws)
     sum_wlen = F.length("text") - n_tok + 1
@@ -1192,7 +1193,7 @@ def repeated_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # repartition on the window key: parallelizes the explode AND
     # pre-partitions for the per-document windows below
-    tok = docs.repartition(32, F.col("doc_id")).select(
+    tok = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
         "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     by_pos = Window.partitionBy("doc_id").orderBy("pos")
@@ -1301,7 +1302,7 @@ LIMIT 20
 def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("text")
     # single-file fixture: spread the O(tokens^2) pair construction
-    docs = docs.repartition(32)
+    docs = docs.repartition(shuffle_parts(docs))
     ts = F.array_distinct(F.split("text", " "))
     pairs = F.flatten(
         F.transform(

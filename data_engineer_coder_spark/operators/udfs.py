@@ -21,6 +21,7 @@ from pyspark.sql.functions import pandas_udf, udtf
 
 from ..io.tables import table
 from ..registry import register
+from ._helpers import shuffle_parts
 
 # --------------------------------------------------------------------------
 # D2: vectorized scalar pandas UDF — text normalization over Arrow batches.
@@ -210,8 +211,8 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acctbal double, active_but_negative boolean"
     )
     return (
-        ev.repartition(32, "user_id")
+        ev.repartition(shuffle_parts(ev), "user_id")
         .groupBy("user_id")
-        .cogroup(cust.repartition(32, "user_id").groupBy("user_id"))
+        .cogroup(cust.repartition(shuffle_parts(cust), "user_id").groupBy("user_id"))
         .applyInPandas(reconcile, out_schema)
     )

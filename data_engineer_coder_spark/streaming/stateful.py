@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..io.tables import table
 from ..registry import register
+from ..operators._helpers import shuffle_parts
 
 _USER_STATS_SCHEMA = T.StructType(
     [
@@ -81,7 +82,7 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to ONE partition and every pandas group call serializes through a
     # single Python worker (measured 4.2s → 0.65s at sf0.1).  The grouped
     # map reuses this partitioning — no second exchange.
-    ev = ev.repartition(32, F.col("user_id"))
+    ev = ev.repartition(shuffle_parts(ev), F.col("user_id"))
     return ev.groupBy("user_id").applyInPandas(_user_stats_pandas, _USER_STATS_SCHEMA)
 
 
