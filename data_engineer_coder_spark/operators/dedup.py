@@ -623,10 +623,13 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-contraction transitive closure → (doc_id, cluster_id).
 
     Fixed point: the edge set stabilizes as a star forest rooted at each
-    component's minimum node (Kiveris et al. Thm 1-3), checked per round
-    with an exact exceptAll probe (edge sets are ∝ true near-dup pairs —
-    tiny next to the corpus).  Partial results never escape: like
-    dedup_clusters, non-convergence raises."""
+    component's minimum node (Kiveris et al. Thm 1-3).  Both sides of the
+    probe are distinct edge SETS, so equality is one symmetric-difference
+    aggregate — a single Spark job per round (previously two counts plus
+    an exceptAll probe = 3 jobs; edge sets are ∝ true near-dup pairs, so
+    the job is tiny either way, but driver round-trips add up at 20
+    rounds).  Partial results never escape: like dedup_clusters,
+    non-convergence raises."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -634,12 +637,17 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = False
     for _ in range(_BIGSTAR_MAX_ROUNDS):
         new = _small_star(_large_star(edges)).localCheckpoint()
-        same = (
-            new.count() == edges.count()
-            and new.exceptAll(edges).limit(1).count() == 0
+        sym_diff = (
+            new.withColumn("_side", F.lit(1))
+            .unionByName(edges.withColumn("_side", F.lit(-1)))
+            .groupBy("src", "dst")
+            .agg(F.sum("_side").alias("_s"))
+            .filter(F.col("_s") != 0)
+            .limit(1)
+            .count()
         )
         edges = new
-        if same:
+        if sym_diff == 0:
             converged = True
             break
     if not converged:

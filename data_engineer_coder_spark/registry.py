@@ -75,6 +75,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # (round-4 NTZ/plan-change cohort of 12 and the round-5 cohort of 4
     # — decimal-sum thresholds, unix_micros grouped-map, capped-intersection
     # Jaccard — all pruned: re-proven green in CORRECTNESS_r04/r05.)
+    # round 6: convergence probe rewritten (3 jobs/round → 1 symmetric-
+    # difference aggregate); output contract unchanged but the driver loop
+    # changed post-green.  (The round-6 shuffle_parts sweep is NOT queued:
+    # defaultParallelism == 32 on this host, so those plans are bit-identical
+    # to their green rows.)
+    "dedup_clusters_bigstar",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
