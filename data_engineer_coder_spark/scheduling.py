@@ -107,11 +107,21 @@ def run_chain(
 class RunLedger:
     """At-most-once-per-logical-date guard with catchup=False semantics.
 
-    A tiny JSON file (one per pipeline) records completed logical dates.
-    ``due(candidates)`` returns the dates to run NOW: with
-    ``catchup=False`` (default, matching the reference) that is at most
-    the single latest not-yet-run candidate; with ``catchup=True`` every
-    missed candidate, oldest first.
+    A tiny JSON file (one per pipeline) records completed and skipped
+    logical dates.  Two entry points (ADVICE r5: a query-shaped method
+    must not have durable write side effects):
+
+    - :meth:`due` — READ-ONLY preview of what a tick would run; safe for
+      dry-run/monitoring callers, touches nothing on disk.
+    - :meth:`claim` — the scheduler's run-now decision: durably settles
+      the skips implied by ``catchup=False`` (one atomic write for the
+      whole batch) and returns the dates to execute.
+
+    Catchup semantics match Airflow: ``catchup=False`` runs only the
+    latest missed candidate and skips the rest; flipping to
+    ``catchup=True`` later backfills every interval that never actually
+    ran — a previously *skipped* date is resurrected, only *done* dates
+    stay settled.
     """
 
     def __init__(self, path: str, pipeline: str):
@@ -127,32 +137,48 @@ class RunLedger:
             return {"done": set(raw), "skipped": set()}
         return {"done": set(raw.get("done", ())), "skipped": set(raw.get("skipped", ()))}
 
-    def _settled(self) -> set[str]:
-        state = self._load()
-        return state["done"] | state["skipped"]
-
     def due(self, candidates: Sequence[str], catchup: bool = False) -> list[str]:
-        """Dates to run NOW; with ``catchup=False`` the older missed
-        candidates are durably marked SKIPPED at this moment — that is
-        the Airflow semantic ("the rest are skipped"), and it must be
-        recorded or every later tick would backfill one more stale day.
-        A skipped date is settled: it never becomes due again, even
-        under a later ``catchup=True`` call."""
-        missed = sorted(set(candidates) - self._settled())
-        if not missed:
-            return []
+        """Dates a :meth:`claim` call would run NOW — read-only.
+
+        ``catchup=False``: at most the single latest candidate that is
+        neither done nor already skipped.  ``catchup=True``: every
+        candidate not done (including previously skipped ones — enabling
+        catchup backfills intervals that never ran), oldest first.
+        """
+        state = self._load()
         if catchup:
-            return missed
-        for stale in missed[:-1]:
-            self._mark("skipped", stale)
+            return sorted(set(candidates) - state["done"])
+        missed = sorted(set(candidates) - state["done"] - state["skipped"])
+        return missed[-1:]
+
+    def claim(self, candidates: Sequence[str], catchup: bool = False) -> list[str]:
+        """Durable run-now decision for this tick.
+
+        Returns :meth:`due`'s answer; with ``catchup=False`` the older
+        missed candidates are first marked SKIPPED in one atomic write —
+        without recording them, every later tick would backfill one more
+        stale day.  With ``catchup=True`` nothing is skipped (and any
+        resurrected date leaves ``skipped`` once it is marked done).
+        """
+        if catchup:
+            return self.due(candidates, catchup=True)
+        state = self._load()
+        missed = sorted(set(candidates) - state["done"] - state["skipped"])
+        if len(missed) > 1:
+            self._mark_all("skipped", missed[:-1])
         return missed[-1:]
 
     def mark_done(self, logical_date: str) -> None:
-        self._mark("done", logical_date)
+        self._mark_all("done", [logical_date])
 
-    def _mark(self, status: str, logical_date: str) -> None:
+    def _mark_all(self, status: str, logical_dates: Sequence[str]) -> None:
+        """One load + one atomic write for the whole batch (ADVICE r5:
+        per-date rewrites were O(n) full-file writes per tick)."""
         state = self._load()
-        state[status].add(logical_date)
+        state[status].update(logical_dates)
+        if status == "done":
+            # a backfilled (resurrected) date is no longer "skipped"
+            state["skipped"] -= state["done"]
         os.makedirs(os.path.dirname(self._file), exist_ok=True)
         tmp = self._file + ".tmp"
         with open(tmp, "w") as fh:

@@ -34,6 +34,22 @@ def _ckpt_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
+def _stream_parquet(spark: SparkSession, sf_dir: str, fname: str, schema) -> DataFrame:
+    """File-stream source over ``sf_dir/fname``, robust to BOTH fixture
+    layouts (ADVICE r5): a single top-level parquet file (the driver's
+    testdata) and a directory of part files (what ``df.write.parquet``
+    produces).  The old ``pathGlobFilter=fname`` approach matched only
+    file NAMES, so a directory layout silently streamed zero rows."""
+    path = os.path.join(sf_dir, fname)
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    # single-file layout: the file source wants a directory, so stream the
+    # parent with a glob pinned to this one file
+    return (
+        spark.readStream.schema(schema).option("pathGlobFilter", fname).parquet(sf_dir)
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events table (micro-batch parquet source).
 
@@ -44,13 +60,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     with _nanos_as_long(spark):
         raw_schema = spark.read.parquet(path).schema
-        # The file-stream source wants a directory: stream the sf_dir with a
-        # glob pinned to the events file.
-        sdf = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        sdf = _stream_parquet(spark, sf_dir, "events.parquet", raw_schema)
     ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts")
     if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -149,8 +159,4 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     table as a single deterministic micro-batch."""
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    return _stream_parquet(spark, sf_dir, "documents.parquet", schema)

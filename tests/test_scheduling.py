@@ -77,29 +77,69 @@ def test_chain_stops_at_first_terminal_failure():
 def test_ledger_catchup_false_runs_only_latest(tmp_path):
     led = RunLedger(str(tmp_path), "air_quality")
     days = ["2024-01-01", "2024-01-02", "2024-01-03"]
-    # three missed days, catchup=False → only the newest is due, and the
-    # older two are durably SKIPPED (the Airflow semantic) — a later
-    # tick must NOT backfill a stale day
-    assert led.due(days) == ["2024-01-03"]
+    # three missed days, catchup=False → only the newest is claimed, and
+    # the older two are durably SKIPPED (the Airflow semantic) — a later
+    # catchup=False tick must NOT backfill a stale day
+    assert led.claim(days) == ["2024-01-03"]
     led.mark_done("2024-01-03")
-    assert led.due(days) == []
-    # skipped is settled: even catchup=True does not resurrect a date
-    # that a catchup=False decision already skipped
-    assert led.due(days, catchup=True) == []
+    assert led.claim(days) == []
     # a NEW candidate after the skip is due as normal
-    assert led.due(days + ["2024-01-04"]) == ["2024-01-04"]
+    assert led.claim(days + ["2024-01-04"]) == ["2024-01-04"]
     led.mark_done("2024-01-04")
     # at-most-once: a re-offered completed date is never due again
-    assert led.due(["2024-01-04"]) == []
+    assert led.claim(["2024-01-04"]) == []
+
+
+def test_ledger_due_is_read_only(tmp_path):
+    led = RunLedger(str(tmp_path), "dryrun")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # a monitoring caller previews the tick without settling anything
+    assert led.due(days) == ["2024-01-03"]
+    assert not (tmp_path / "dryrun.ledger.json").exists()
+    # nothing was skipped, so a catchup=True claim still sees every day
+    assert led.claim(days, catchup=True) == days
+
+
+def test_ledger_catchup_true_resurrects_skipped(tmp_path):
+    led = RunLedger(str(tmp_path), "backfill")
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert led.claim(days) == ["2024-01-03"]
+    led.mark_done("2024-01-03")
+    # Airflow parity: enabling catchup later backfills intervals that
+    # never ran — skipped dates resurrect, done dates stay settled
+    assert led.due(days, catchup=True) == ["2024-01-01", "2024-01-02"]
+    assert led.claim(days, catchup=True) == ["2024-01-01", "2024-01-02"]
+    led.mark_done("2024-01-01")
+    led.mark_done("2024-01-02")
+    # backfilled dates are done now: a catchup=False tick sees nothing
+    assert led.claim(days) == []
+    assert led.claim(days, catchup=True) == []
 
 
 def test_ledger_catchup_true_replays_all_missed(tmp_path):
     led = RunLedger(str(tmp_path), "aq")
     days = ["2024-01-01", "2024-01-02", "2024-01-03"]
     # catchup=True replays everything missed, oldest first, skipping none
-    assert led.due(days, catchup=True) == days
+    assert led.claim(days, catchup=True) == days
     led.mark_done("2024-01-01")
-    assert led.due(days, catchup=True) == ["2024-01-02", "2024-01-03"]
+    assert led.claim(days, catchup=True) == ["2024-01-02", "2024-01-03"]
+
+
+def test_ledger_skip_batch_is_one_write(tmp_path, monkeypatch):
+    import os
+
+    import data_engineer_coder_spark.scheduling as sched
+
+    led = RunLedger(str(tmp_path), "batched")
+    writes = []
+    orig = os.replace
+    monkeypatch.setattr(
+        sched.os, "replace", lambda a, b: (writes.append(b), orig(a, b))[1]
+    )
+    # 30 stale days → ONE ledger rewrite, not 29 (ADVICE r5)
+    days = [f"2024-01-{d:02d}" for d in range(1, 31)]
+    assert led.claim(days) == ["2024-01-30"]
+    assert len(writes) == 1
 
 
 def test_ledger_reads_pre_skip_format(tmp_path):
@@ -109,9 +149,9 @@ def test_ledger_reads_pre_skip_format(tmp_path):
     path = tmp_path / "legacy.ledger.json"
     path.write_text(_json.dumps(["2024-03-01"]))
     led = RunLedger(str(tmp_path), "legacy")
-    assert led.due(["2024-03-01", "2024-03-02"]) == ["2024-03-02"]
+    assert led.claim(["2024-03-01", "2024-03-02"]) == ["2024-03-02"]
 
 
 def test_ledger_survives_reopen(tmp_path):
     RunLedger(str(tmp_path), "p").mark_done("2024-02-01")
-    assert RunLedger(str(tmp_path), "p").due(["2024-02-01"]) == []
+    assert RunLedger(str(tmp_path), "p").claim(["2024-02-01"]) == []

@@ -188,3 +188,18 @@ def test_tws_counters_match_batch_agg(spark, sf_dir):
         table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
     )
     assert got == want
+
+
+def test_stream_documents_directory_layout(spark, sf_dir, tmp_path):
+    """ADVICE r5: a documents.parquet materialized as a DIRECTORY of part
+    files (what df.write.parquet produces) must stream every row — the
+    old name-glob approach silently read zero rows from that layout."""
+    from data_engineer_coder_spark.streaming.core import stream_documents
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = str(tmp_path / "corpus")
+    docs.write.parquet(os.path.join(corpus, "documents.parquet"))
+    out = run_to_memory(
+        stream_documents(spark, corpus).groupBy().count(), "complete"
+    )
+    assert out.collect()[0][0] == docs.count()
