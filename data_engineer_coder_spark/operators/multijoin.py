@@ -440,7 +440,8 @@ WITH a AS (
   GROUP BY r_name, n_name
 )
 SELECT r_name, n_name, revenue,
-       ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+       ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                            OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
 FROM a
 """,
     tags=("join", "window", "ratio"),
@@ -460,10 +461,16 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(dsum("rev").alias("revenue"))
     )
+    # The denominator is a window sum over DOUBLEs: accumulation order is
+    # engine-dependent, so a last-ULP wobble could flip the ROUND at a
+    # 5e-7 boundary.  Decimal-cast the window sum on both sides (revenue
+    # is decimal-rooted ≤6dp, so the cast is lossless) — the ADVICE r4/r5
+    # float-determinism pattern applied to window aggregates.
     w = Window.partitionBy("r_name")
+    denom = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
     return a.select(
         "r_name",
         "n_name",
         "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("region_share"),
+        F.round(F.col("revenue") / denom, 6).alias("region_share"),
     )

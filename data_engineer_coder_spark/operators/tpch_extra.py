@@ -227,7 +227,8 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "excess_share_suppliers",
     oracle="""
 WITH ps AS (
-  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -235,7 +236,8 @@ WITH ps AS (
 ),
 sh AS (
   SELECT l_partkey, l_suppkey, qty,
-         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+         CAST(SUM(CAST(qty AS DECIMAL(38,6)))
+              OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_total
   FROM ps
 )
 SELECT DISTINCT s_name
@@ -254,9 +256,17 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "l_suppkey", "l_quantity")
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    # Both the group sum and the window sum feed the 0.3× threshold below:
+    # raw double accumulation is order-dependent, so a near-boundary share
+    # could flip between engines.  Decimal sums (l_quantity is 2dp) make
+    # qty/part_total bit-identical; the threshold compare is then the same
+    # IEEE op-sequence on identical inputs in both engines.
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("qty"))
     sh = ps.withColumn(
-        "part_total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        "part_total",
+        F.sum(F.col("qty").cast("decimal(38,6)"))
+        .over(Window.partitionBy("l_partkey"))
+        .cast("double"),
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

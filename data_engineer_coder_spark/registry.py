@@ -81,6 +81,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # defaultParallelism == 32 on this host, so those plans are bit-identical
     # to their green rows.)
     "dedup_clusters_bigstar",
+    # round 6 float-determinism sweep (ADVICE r5 item 7): window sums over
+    # raw doubles feeding ROUND/threshold now decimal-cast on both engines.
+    "revenue_share_within_region",
+    "excess_share_suppliers",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
