@@ -161,6 +161,33 @@ def file_transport(directory: str) -> Callable[[str, str], None]:
     return _send
 
 
+def smtp_transport(
+    host: str,
+    port: int = 25,
+    sender: str = "reports@localhost",
+) -> Callable[[str, str], None]:
+    """S6 production transport: an smtplib closure for :func:`send_report`
+    (the reference sends via SMTP inside the DAG, my_data_pipeline.py:
+    190-194 — here the relay endpoint is injected, never hardcoded, and
+    credentials stay out of the engine entirely: wrap this closure if the
+    relay needs auth, sourcing secrets from env/secret stores).  The
+    message is a minimal RFC-5322 text mail whose subject is the first
+    body line."""
+    import smtplib
+    from email.message import EmailMessage
+
+    def _send(recipient: str, body: str) -> None:
+        msg = EmailMessage()
+        msg["From"] = sender
+        msg["To"] = recipient
+        msg["Subject"] = (body.splitlines() or ["report"])[0][:120]
+        msg.set_content(body)
+        with smtplib.SMTP(host, port, timeout=30) as relay:
+            relay.send_message(msg)
+
+    return _send
+
+
 def send_report(
     body: str,
     recipient: str,

@@ -341,3 +341,185 @@ def test_file_transport_writes_report(tmp_path):
     text = out.read_text()
     assert text.startswith("To: data-team@example.com\n\n")
     assert "Daily summary" in text and "purchase" in text
+
+
+# ---------------------------------------------------------------------------
+# Localhost integration tests for the two injectable network seams
+# (VERDICT r5 item 6).  Everything stays on 127.0.0.1 — no external network.
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_urls_against_local_http_server(spark):
+    """S1 e2e with the REAL http_fetcher: an in-process HTTP server
+    returns 500 twice per path before succeeding, proving the
+    executor-side (mapInPandas) retry/backoff actually retries and the
+    final payload lands — not just the injected-fake path."""
+    import json as _json
+    import threading
+    from collections import Counter
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_engineer_coder_spark.sources.rest import fetch_urls, http_fetcher
+
+    hits = Counter()
+    lock = threading.Lock()
+
+    class Flaky(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — stdlib handler contract
+            with lock:
+                hits[self.path] += 1
+                n = hits[self.path]
+            if self.path.startswith("/flaky") and n <= 2:
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b"transient")
+            else:
+                body = _json.dumps({"path": self.path, "attempt": n}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        urls = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/flaky/a",),
+             (f"http://127.0.0.1:{port}/ok/b",)],
+            "url string",
+        )
+        out = {
+            r["url"].rsplit("/", 2)[-2]: r
+            for r in fetch_urls(
+                urls, fetcher=http_fetcher, max_retries=3, backoff_s=0.05, partitions=2
+            ).collect()
+        }
+        assert out["flaky"]["status"] == 200
+        assert out["flaky"]["n_attempts"] == 3  # two 500s, then success
+        assert _json.loads(out["flaky"]["body"])["attempt"] == 3
+        assert out["ok"]["status"] == 200
+        assert out["ok"]["n_attempts"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetch_urls_exhausts_retries_on_persistent_500(spark):
+    """A permanently-broken endpoint must come back as a 5xx row with
+    every attempt consumed — not raise, not hang the job."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_engineer_coder_spark.sources.rest import fetch_urls, http_fetcher
+
+    class Broken(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(503)
+            self.end_headers()
+            self.wfile.write(b"down")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Broken)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        urls = spark.createDataFrame([(f"http://127.0.0.1:{port}/x",)], "url string")
+        row = fetch_urls(
+            urls, fetcher=http_fetcher, max_retries=2, backoff_s=0.01, partitions=1
+        ).collect()[0]
+        assert row["status"] == 503
+        assert row["n_attempts"] == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+class _MiniSMTP:
+    """Just enough RFC-5321 to satisfy smtplib on 127.0.0.1: EHLO/HELO,
+    MAIL, RCPT, DATA (dot-terminated), QUIT.  Captures each accepted
+    message as (mail_from, rcpt_tos, data)."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.messages = []
+        self._sock = socket.socket()
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(4)
+        self.port = self._sock.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        while True:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            with conn:
+                f = conn.makefile("rb")
+                conn.sendall(b"220 mini ESMTP\r\n")
+                mail_from, rcpts, quit_seen = None, [], False
+                while not quit_seen:
+                    line = f.readline()
+                    if not line:
+                        break
+                    cmd = line.decode("utf-8", "replace").strip()
+                    verb = cmd.split(":")[0].split(" ")[0].upper()
+                    if verb in ("EHLO", "HELO"):
+                        conn.sendall(b"250 mini\r\n")
+                    elif verb == "MAIL":
+                        mail_from = cmd.split(":", 1)[1].strip()
+                        conn.sendall(b"250 OK\r\n")
+                    elif verb == "RCPT":
+                        rcpts.append(cmd.split(":", 1)[1].strip())
+                        conn.sendall(b"250 OK\r\n")
+                    elif verb == "DATA":
+                        conn.sendall(b"354 end with <CRLF>.<CRLF>\r\n")
+                        data = []
+                        while True:
+                            dline = f.readline()
+                            if dline in (b".\r\n", b".\n", b""):
+                                break
+                            data.append(dline.decode("utf-8", "replace"))
+                        self.messages.append((mail_from, list(rcpts), "".join(data)))
+                        conn.sendall(b"250 accepted\r\n")
+                    elif verb == "QUIT":
+                        conn.sendall(b"221 bye\r\n")
+                        quit_seen = True
+                    else:
+                        conn.sendall(b"250 OK\r\n")
+
+    def close(self):
+        self._sock.close()
+
+
+def test_send_report_via_local_smtp():
+    """S6 e2e over a REAL smtplib conversation against an in-process
+    SMTP server — the production transport path, no relay required."""
+    from data_engineer_coder_spark.sinks import render_report, send_report, smtp_transport
+
+    srv = _MiniSMTP()
+    try:
+        body = render_report("Nightly load", {"orders": [(1, "F"), (2, "O")]})
+        send_report(
+            body,
+            "ops@example.test",
+            transport=smtp_transport("127.0.0.1", srv.port, sender="etl@example.test"),
+        )
+        assert len(srv.messages) == 1
+        mail_from, rcpts, data = srv.messages[0]
+        assert "etl@example.test" in mail_from
+        assert any("ops@example.test" in r for r in rcpts)
+        assert "Subject: Nightly load" in data
+        assert "orders" in data
+    finally:
+        srv.close()
