@@ -244,7 +244,13 @@ def test_check_prefix_priority_order():
         n for n in names if n in registry._FORCE_RECHECK or seen.get(n, -1) < 0
     ]
     assert all(n in prefix for n in urgent[:50]), "urgent query left out of prefix"
-    green_in = [seen[n] for n in prefix if seen.get(n, -1) >= 0]
+    # Forced names live in tier 0 regardless of how fresh their (now stale)
+    # green row is — exclude them from the green-staleness monotonicity check.
+    green_in = [
+        seen[n]
+        for n in prefix
+        if seen.get(n, -1) >= 0 and n not in registry._FORCE_RECHECK
+    ]
     green_out = [seen[n] for n in rest if seen.get(n, -1) >= 0]
     if green_in and green_out:
         assert max(green_in) <= min(green_out), (
