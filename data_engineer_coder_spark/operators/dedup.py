@@ -345,44 +345,99 @@ def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L2c: SimHash (rows-only: engine-specific hash bits).
+# L2c: SimHash.  Token hash = low 64 bits of md5 — a keyed cryptographic
+# hash both engines implement bit-identically, which is what lets the
+# DuckDB oracle rebuild the EXACT signatures and hash-check the pairs
+# (the original xxhash64 variant was engine-specific and rows-only).  In
+# production the hash family is pluggable; md5 costs ~2× xxhash64 per
+# token but the signature pass is one map-side scan either way.
 # --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+tb AS (
+  SELECT doc_id, g.i,
+         CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (g.i // 4) + 1, 1)) - 1)
+                    >> (g.i % 4)) & 1 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM tok, generate_series(0, 63) AS g(i)
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+  FROM (SELECT doc_id, i, SUM(v) AS s FROM tb GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, g.c, substr(sig, 1 + 16 * g.c, 16) AS chunk
+  FROM sig, generate_series(0, 3) AS g(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 65), i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INT)
+         AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65), i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
+"""
 
 
 @register(
     "simhash_neardup",
-    oracle=None,
+    oracle=_SIMHASH_ORACLE,
     tags=("dedup", "llm", "approx"),
     doc=(
-        "L2: 64-bit SimHash per doc (per-bit ±1 sums over xxhash64(token), "
-        "computed in array expressions — zero shuffle), candidates via "
-        "16-bit chunk equality, Hamming ≤ 3 verification."
+        "L2: 64-bit SimHash per doc (per-bit ±1 sums over md5(token) bits, "
+        "computed in array expressions — zero shuffle for the signature "
+        "pass), candidates via 16-bit chunk equality, Hamming ≤ 3 "
+        "verification.  md5 makes the bits engine-portable, so the DuckDB "
+        "oracle reconstructs identical signatures and the driver "
+        "value-hashes the pair set (bit i of a token = bit (i mod 4) of "
+        "hex nibble (i div 4) of md5, LSB-first)."
     ),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # 64 per-bit array aggregates per row: repartition first or a single
-    # source file serializes the whole signature computation.
-    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select("doc_id", _words(F.col("text")).alias("ws"))
-    th = F.transform(F.col("ws"), lambda t: F.xxhash64(t)).alias("hs")
-    hashed = w.select("doc_id", th)
+    # Heavy per-row array work: repartition first or a single source file
+    # serializes the whole signature computation.
+    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
+        "doc_id", _words(F.col("text")).alias("ws")
+    )
 
-    # sig bit i set iff sum over tokens of (bit_i(hash) ? +1 : -1) > 0
-    def bit_sum(i: int):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, hv: acc
-            + (F.shiftrightunsigned(hv, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+    def tok_bits(t):
+        # 64 ±1 contributions per token: 16 md5 hex nibbles × 4 bits,
+        # LSB-first within each nibble (matches the oracle's (>> i%4) & 1).
+        h = F.substring(F.md5(t), 1, 16)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: (
+                    lambda nib: F.array(
+                        nib.bitwiseAND(F.lit(1)) * 2 - 1,
+                        F.shiftright(nib, 1).bitwiseAND(F.lit(1)) * 2 - 1,
+                        F.shiftright(nib, 2).bitwiseAND(F.lit(1)) * 2 - 1,
+                        F.shiftright(nib, 3).bitwiseAND(F.lit(1)) * 2 - 1,
+                    )
+                )(F.conv(h.substr(j, F.lit(1)), 16, 10).cast("int")),
+            )
         )
 
-    sig_col = None
-    for i in range(64):
-        term = F.when(bit_sum(i) > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig_col = term if sig_col is None else (sig_col + term)
-    sigs = hashed.select("doc_id", sig_col.alias("sig"))
+    # One pass: element-wise sum of the per-token ±1 vectors, then sign.
+    vec = F.aggregate(
+        F.col("ws"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+    )
+    sig_expr = F.array_join(
+        F.transform(vec, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    sigs = w.select("doc_id", sig_expr.alias("sig"))
 
     chunks = sigs.select(
         "doc_id",
@@ -390,11 +445,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(c)),
-                        F.shiftrightunsigned("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                    )
+                    F.concat_ws(":", F.lit(str(c)), F.substring("sig", 1 + 16 * c, 16))
                     for c in range(4)
                 ]
             )
@@ -402,15 +453,24 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    # Candidate pairs are few post-join, so a 64-step substring compare is
+    # cheap; it also matches the oracle's definition symbol-for-symbol.
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.col("sa").substr(i, F.lit(1)) != F.col("sb").substr(i, F.lit(1)), 1).otherwise(0),
+    )
     return (
         a.join(b, (F.col("a.chunk_key") == F.col("b.chunk_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
         )
         .distinct()
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
 

@@ -420,6 +420,110 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L2/L3: SemDeDup — semantic dedup via cluster-then-prune (Abbas et al.
+# 2023, arXiv:2303.09540).  Clustering first is the whole point: the
+# within-cluster pairwise pass costs Σ (n/K)² instead of n², and a real
+# deployment grows K with the corpus (the paper uses 50k clusters for
+# LAION) so cluster size — and thus per-cluster pair work — stays
+# bounded at 100 TB.  Policy: within a cluster, drop any vector that
+# has a smaller-id neighbor at cos ≥ τ (greedy keep-first; the paper's
+# keep-farthest-from-centroid variant is an ORDER BY swap in the same
+# plan, not a different shape).  Deterministic quantized-int cosine →
+# the DuckDB oracle replays the exact assignment and prune.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+  ) WHERE crn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+          / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.centroid_id AS cluster_id,
+       a.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+FROM assigned a
+""",
+    tags=("similarity", "dedup", "llm"),
+    doc=(
+        "L2/L3: SemDeDup — assign each vector to the nearest of 16 "
+        "centroids (broadcast map-side argmax, zero corpus shuffle), then "
+        "within each cluster drop vectors with a smaller-id neighbor at "
+        f"cos ≥ {_SEMDEDUP_TAU}.  Within-cluster self-join = the paper's "
+        "Σ(n/K)² cost model; K grows with the corpus at scale."
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= _SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cluster_id"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # L3e: k-means-refined IVF — Lloyd iterations expressed as DataFrame
 # rounds.  Each iteration: assign (broadcast centroids, map-side argmax)
 # → recompute centroids as 64 per-dimension integer-sum aggregates

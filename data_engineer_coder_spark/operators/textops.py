@@ -1320,3 +1320,68 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L4r: PII redaction — the scrubbing stage every web-scale corpus runs
+# before training (emails/phones → typed placeholders).  The fixture's
+# closed vocabulary contains no PII, so each document gets a
+# deterministic contact footer built from its own keys FIRST (in both
+# engines), which turns the op into a verifiable end-to-end check:
+# match counts and the md5 of the fully-redacted text must agree
+# bit-for-bit.  Pure regexp_replace/regexp_count — JVM-side, map-only,
+# no shuffle at any scale; patterns stay in the Java∩RE2 common subset
+# so both engines execute the same matches.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.org or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""",
+    tags=("text", "llm", "hygiene"),
+    doc=(
+        "L4: PII scrub — count and redact emails/phones to typed "
+        "placeholders (deterministic per-doc contact footer injected in "
+        "both engines as the test vector); md5 of the redacted text "
+        "hash-checks the full rewrite.  Map-only regexp work."
+    ),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    aug = docs.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

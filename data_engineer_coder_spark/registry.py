@@ -85,6 +85,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # raw doubles feeding ROUND/threshold now decimal-cast on both engines.
     "revenue_share_within_region",
     "excess_share_suppliers",
+    # round 6: rewritten from engine-specific xxhash64 bits (rows-only) to
+    # md5-derived bits with a full DuckDB signature-reconstruction oracle —
+    # first value-hash row possible for this query.
+    "simhash_neardup",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -1,0 +1,119 @@
+"""Semantics tests for the round-6 operators beyond the oracle-parity
+gate: SemDeDup prune soundness/completeness, SimHash signature geometry
+(md5-portable bits), and PII redaction invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.operators.dedup import simhash_neardup
+from data_engineer_coder_spark.operators.similarity import (
+    _SEMDEDUP_TAU,
+    semdedup_prune,
+)
+from data_engineer_coder_spark.operators.textops import pii_redact
+
+
+def test_semdedup_prune_sound_and_complete(spark, sf_dir):
+    """kept=false ⇔ the vector has a smaller-id same-cluster neighbor at
+    cos ≥ τ — checked against an independent pandas recompute of the
+    within-cluster quantized-int cosines."""
+    out = semdedup_prune(spark, sf_dir).toPandas()
+    assert set(out.columns) == {"vec_id", "cluster_id", "kept"}
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qv = {
+        r.vec_id: [round(float(x) * 10_000_000) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(qv[a], qv[b]))
+        na = sum(x * x for x in qv[a]) ** 0.5
+        nb = sum(x * x for x in qv[b]) ** 0.5
+        return d / (na * nb)
+
+    by_cluster: dict[int, list[int]] = {}
+    for r in out.itertuples():
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    dropped = {r.vec_id for r in out.itertuples() if not r.kept}
+    for c, members in by_cluster.items():
+        members.sort()
+        for i, v in enumerate(members):
+            has_earlier_dup = any(
+                cos(u, v) >= _SEMDEDUP_TAU for u in members[:i]
+            )
+            assert (v in dropped) == has_earlier_dup, (v, c)
+
+
+def test_semdedup_covers_every_vector(spark, sf_dir):
+    out = semdedup_prune(spark, sf_dir)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert out.count() == n_vecs
+    assert out.select("vec_id").distinct().count() == n_vecs
+
+
+def test_simhash_pairs_symmetric_free_and_bounded(spark, sf_dir):
+    """Pair list is canonical (doc_a < doc_b, no dup rows) and every
+    reported Hamming distance is ≤ 3 and consistent with the documented
+    md5 bit rule, recomputed in pure python for the pair members."""
+    out = simhash_neardup(spark, sf_dir).toPandas()
+    assert (out.doc_a < out.doc_b).all()
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+    assert (out.hamming <= 3).all() and (out.hamming >= 0).all()
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+
+    def sig(text: str) -> str:
+        votes = [0] * 64
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()[:16]
+            for i in range(64):
+                nib = int(h[i // 4], 16)
+                bit = (nib >> (i % 4)) & 1
+                votes[i] += 1 if bit else -1
+        return "".join("1" if v > 0 else "0" for v in votes)
+
+    for r in out.itertuples():
+        sa, sb = sig(docs[r.doc_a]), sig(docs[r.doc_b])
+        ham = sum(x != y for x, y in zip(sa, sb))
+        assert ham == r.hamming, (r.doc_a, r.doc_b)
+
+
+def test_pii_redact_removes_all_matches(spark, sf_dir):
+    """After redaction no email/phone pattern survives, every doc has the
+    injected footer's ≥1 email and ≥1 phone, and redacted_md5 matches a
+    python re-redaction of the augmented text."""
+    import re
+
+    from data_engineer_coder_spark.operators.textops import _EMAIL_RE, _PHONE_RE
+
+    out = pii_redact(spark, sf_dir).toPandas()
+    assert (out.n_emails >= 1).all() and (out.n_phones >= 1).all()
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    email, phone = re.compile(_EMAIL_RE), re.compile(_PHONE_RE)
+    md5s = out.set_index("doc_id")["redacted_md5"]
+    for r in docs.itertuples():
+        aug = (
+            f"{r.text} Contact user{r.doc_id}@{r.source}.org "
+            f"or +1-555-{r.doc_id % 10000:04d} now."
+        )
+        red = phone.sub("<PHONE>", email.sub("<EMAIL>", aug))
+        assert email.search(red) is None and phone.search(red) is None
+        assert hashlib.md5(red.encode()).hexdigest() == md5s[r.doc_id]
