@@ -101,6 +101,10 @@ HEADLINE = [
     "pretraining_corpus_build",
     "cluster_aware_split",
     "repeated_token_runs",
+    # round 6: md5-portable simhash, SemDeDup prune, PII scrub
+    "simhash_neardup",
+    "semdedup_prune",
+    "pii_redact",
 ]
 
 

@@ -422,10 +422,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # L2/L3: SemDeDup — semantic dedup via cluster-then-prune (Abbas et al.
 # 2023, arXiv:2303.09540).  Clustering first is the whole point: the
-# within-cluster pairwise pass costs Σ (n/K)² instead of n², and a real
-# deployment grows K with the corpus (the paper uses 50k clusters for
-# LAION) so cluster size — and thus per-cluster pair work — stays
-# bounded at 100 TB.  Policy: within a cluster, drop any vector that
+# within-cluster pairwise pass costs Σ (n/K)² instead of n², and K GROWS
+# WITH THE CORPUS — K = max(16, ⌈n/125⌉), the paper uses 50k clusters
+# for LAION — so cluster size, and thus the pair pass, stays linear in n.
+# Assignment is n·K map-side multiply-adds with zero corpus shuffle
+# (embarrassingly parallel; extreme K hands assignment to a hierarchical
+# quantizer, which changes the constant, not this plan's shape).
+# Policy: within a cluster, drop any vector that
 # has a smaller-id neighbor at cos ≥ τ (greedy keep-first; the paper's
 # keep-farthest-from-centroid variant is an ORDER BY swap in the same
 # plan, not a different shape).  Deterministic quantized-int cosine →
@@ -433,6 +436,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
+_SEMDEDUP_CSIZE = 125  # target cluster size; K = max(_IVF_K, ceil(n/this))
 
 
 @register(
@@ -444,7 +448,8 @@ WITH n AS (
 ),
 cents AS (
   SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+  WHERE vec_id >= 100
+    AND vec_id < 100 + (SELECT GREATEST({_IVF_K}, CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0)) FROM n)
 ),
 assigned AS (
   SELECT vec_id, qv, nrm, centroid_id FROM (
@@ -471,20 +476,29 @@ FROM assigned a
 """,
     tags=("similarity", "dedup", "llm"),
     doc=(
-        "L2/L3: SemDeDup — assign each vector to the nearest of 16 "
-        "centroids (broadcast map-side argmax, zero corpus shuffle), then "
-        "within each cluster drop vectors with a smaller-id neighbor at "
-        f"cos ≥ {_SEMDEDUP_TAU}.  Within-cluster self-join = the paper's "
-        "Σ(n/K)² cost model; K grows with the corpus at scale."
+        "L2/L3: SemDeDup — assign each vector to the nearest of "
+        "K = max(16, ceil(n/125)) centroids (broadcast map-side argmax, "
+        "zero corpus shuffle), then within each cluster drop vectors with "
+        f"a smaller-id neighbor at cos ≥ {_SEMDEDUP_TAU}.  K ∝ n keeps "
+        "cluster size — and the Σ(n/K)² pair pass — linear in the corpus."
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
+    # K = max(16, ceil(n/125)): one scalar rides along as a broadcast
+    # one-row join — the corpus is never collected.
+    kdf = n.agg(
+        F.greatest(F.lit(_IVF_K).cast("long"), F.ceil(F.count("*") / _SEMDEDUP_CSIZE)).alias("k")
+    )
+    cents = (
+        n.crossJoin(F.broadcast(kdf))
+        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + F.col("k")))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("cqv"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
     cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
     assigned = (

@@ -90,6 +90,18 @@ def test_simhash_pairs_symmetric_free_and_bounded(spark, sf_dir):
         ham = sum(x != y for x, y in zip(sa, sb))
         assert ham == r.hamming, (r.doc_a, r.doc_b)
 
+    # The two-level (chunk, sub-block) pigeonhole blocking is EXACT:
+    # the op's pair set must equal brute-force all-pairs Hamming <= 3.
+    ids = sorted(docs.index)
+    sigs = {d: sig(docs[d]) for d in ids}
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    assert {(r.doc_a, r.doc_b) for r in out.itertuples()} == brute
+
 
 def test_pii_redact_removes_all_matches(spark, sf_dir):
     """After redaction no email/phone pattern survives, every doc has the
