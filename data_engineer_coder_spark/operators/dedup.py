@@ -198,11 +198,62 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_neardup",
-    oracle=None,
+    # Full replay of the banded search: the md5-derived shingle hash is
+    # bit-identical in both engines, every (a·h+b) mod p term fits int64
+    # (a, h < 2^31 → product < 2^62), and band keys are the same
+    # underscore-joined strings — so DuckDB rebuilds the EXACT signatures,
+    # candidates, and verified pairs, and the driver value-hashes them.
+    oracle=_SHINGLE_SQL
+    + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+shc AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM freq)),
+perms AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))})
+         AS p(j, a, b)
+),
+hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483648 AS BIGINT) AS h
+  FROM shc
+),
+sig AS (
+  SELECT doc_id, p.j, MIN((p.a * hv.h + p.b) % {_MERSENNE}) AS m
+  FROM hv CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id,
+         CAST(j // {_ROWS} AS VARCHAR) || '_'
+           || string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         / (sa.n + sb.n - COALESCE(i.n_common, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_common, 0)) >= 0.5
+""",
     tags=("dedup", "llm", "approx"),
     doc=(
-        "L2: MinHash(32 perms) + LSH(8 bands × 4) candidates, exact-Jaccard "
-        "verified ≥ 0.5.  The 100 TB path: candidates ∝ true pairs, never O(n²)."
+        "L2: MinHash(32 perms over md5-derived shingle hashes) + LSH"
+        "(8 bands × 4) candidates, exact-Jaccard verified ≥ 0.5.  The "
+        "100 TB path: candidates ∝ true pairs, never O(n²).  Fully "
+        "deterministic and engine-portable → value-hash oracle-checked."
     ),
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +272,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") <= _SHINGLE_DF_CAP)
         .drop("_df")
     )
-    h = F.pmod(F.xxhash64("s"), F.lit(2**31)).alias("h")
+    # md5-derived 60-bit shingle hash mod 2^31: bit-identical in DuckDB
+    # (('0x'||substr(md5,1,15))::UBIGINT), which is what makes the full
+    # banded search replayable by the oracle.  Hash family is pluggable;
+    # xxhash64 shaves ~2× off this one map-side pass in production.
+    h = F.pmod(
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"), F.lit(2**31)
+    ).alias("h")
     hashed = sh.select("doc_id", h)
     sig = hashed.groupBy("doc_id").agg(
         *[

@@ -42,6 +42,11 @@ _LSH_BITS = 8
 _PLANES = [
     [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(_LSH_TABLES * _LSH_BITS)
 ]
+# Quantized planes (1e7 grid, same as _qvec): plane·vector dots become
+# exact int64 sums (64 × 4.3e7 × 1e7 ≈ 3e16 « 2^63), so the sign bits —
+# and therefore every LSH bucket — are bit-identical across engines and
+# the DuckDB oracle can replay the whole bucketed search.
+_QPLANES = [[round(x * _SCALE) for x in p] for p in _PLANES]
 
 
 def _qvec(col) -> Column:
@@ -194,41 +199,81 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L3c: LSH-bucketed approximate top-k (rows-only: recall < 1 by design).
+# L3c: LSH-bucketed approximate top-k.  Approximate (recall < 1 by
+# design) yet fully DETERMINISTIC: quantized planes make every bucket
+# bit reproducible, so the oracle replays the exact bucketed search and
+# the driver value-hashes the result — approximate ≠ unverifiable.
 # --------------------------------------------------------------------------
+
+_SQL_PLANES = "[" + ", ".join("[" + ", ".join(str(v) for v in p) + "]" for p in _QPLANES) + "]"
 
 
 @register(
     "ann_lsh_topk",
-    oracle=None,
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+planes AS (SELECT {_SQL_PLANES} AS p),
+sigb AS (
+  SELECT vec_id, g.k // {_LSH_BITS} AS t,
+         CASE WHEN {_SQL_DOT.format(a='p[g.k + 1]', b='qv')} > 0
+              THEN (1 << (g.k % {_LSH_BITS})) ELSE 0 END AS w
+  FROM n, planes, generate_series(0, {_LSH_TABLES * _LSH_BITS - 1}) AS g(k)
+),
+buckets AS (
+  SELECT vec_id, CAST(t AS VARCHAR) || ':' || CAST(SUM(w) AS VARCHAR) AS bucket
+  FROM sigb GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM buckets p
+  JOIN buckets c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+  WHERE p.vec_id < 20
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+           / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) AS cos_sim
+  FROM cand
+  JOIN n a ON a.vec_id = cand.probe_id
+  JOIN n b ON b.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, rn, cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
     tags=("similarity", "llm", "approx"),
     doc=(
-        "L3 at scale: multi-table random-hyperplane LSH (4 tables × 8 bits) "
-        "→ bucket equi-join → exact cosine re-rank over candidate union, "
-        "top-3 per probe."
+        "L3 at scale: multi-table random-hyperplane LSH (4 tables × 8 bits, "
+        "quantized-int plane dots) → bucket equi-join → exact cosine "
+        "re-rank over candidate union, top-3 per probe.  Deterministic "
+        "buckets → value-hash oracle-checked despite being approximate."
     ),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    # The 32 hyperplanes ride along as a ONE-ROW broadcast column
-    # (array<array<double>>), folded per row — not as 32×64 literal
-    # nodes, which made plan analysis alone cost more than execution
-    # (the same fix as the k-means centroid state above).  Fold order
-    # matches the literal version exactly, so buckets are unchanged.
+    # The 32 QUANTIZED hyperplanes ride along as a ONE-ROW broadcast
+    # column (array<array<bigint>>), folded per row — not as 32×64
+    # literal nodes, which made plan analysis alone cost more than
+    # execution (the same fix as the k-means centroid state above).
+    # Integer plane·qv dots are exact, so the sign bits (and buckets)
+    # are engine-portable — that's what the oracle relies on.
     planes_row = spark.createDataFrame(
-        [([list(p) for p in _PLANES],)], "planes array<array<double>>"
+        [([list(p) for p in _QPLANES],)], "planes array<array<bigint>>"
     )
     emb = (
         table(spark, sf_dir, "embeddings")
         # spread the 32-plane signature folds across tasks — the fixture
         # is one parquet file (one task otherwise)
         .repartition(shuffle_parts(spark), F.col("vec_id"))
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("ev"),
-            _qvec("embedding").alias("qv"),
-        )
+        .select("vec_id", _qvec("embedding").alias("qv"))
         .crossJoin(F.broadcast(planes_row))
     )
 
@@ -238,8 +283,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         def bit(j: Column) -> Column:
             plane = F.get(F.col("planes"), F.lit(t * _LSH_BITS) + j)
             dot = F.aggregate(
-                F.zip_with(F.col("ev"), plane, lambda x, y: x * y),
-                F.lit(0.0),
+                F.zip_with(F.col("qv"), plane, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,
             )
             return F.when(dot > 0, F.get(_WEIGHTS, j)).otherwise(F.lit(0))

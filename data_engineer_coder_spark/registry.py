@@ -89,6 +89,15 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # md5-derived bits with a full DuckDB signature-reconstruction oracle —
     # first value-hash row possible for this query.
     "simhash_neardup",
+    # round 6: same portability conversion for the other two approximate
+    # search paths — md5 shingle hashes (minhash) and quantized-int plane
+    # dots (LSH buckets) make the full banded/bucketed searches replayable
+    # in DuckDB; both graduate from rows-only to value-hash rows, and the
+    # recall twins re-prove under the new hash bits.
+    "minhash_lsh_neardup",
+    "minhash_lsh_recall_check",
+    "ann_lsh_topk",
+    "ann_lsh_recall_check",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
