@@ -50,6 +50,11 @@ HEAVY = [
     "pricing_summary",
     "revenue_by_nation",
     "excess_share_suppliers",
+    # round 6 additions (kept under the curve watch after their
+    # superlinear first drafts were fixed — see BASELINE.md)
+    "simhash_neardup",
+    "semdedup_prune",
+    "pii_redact",
 ]
 
 
