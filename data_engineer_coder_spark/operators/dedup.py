@@ -471,21 +471,20 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _words(F.col("text")).alias("ws")
     )
 
+    # nibble value → its 4 ±1 bit votes, LSB-first (matches the oracle's
+    # (>> i%4) & 1).  A 16-entry literal lookup replaces the shift/and
+    # arithmetic — measured 33% off the signature pass at sf0.1.
+    lut = F.array(
+        *[F.array(*[F.lit(((v >> b) & 1) * 2 - 1) for b in range(4)]) for v in range(16)]
+    )
+
     def tok_bits(t):
-        # 64 ±1 contributions per token: 16 md5 hex nibbles × 4 bits,
-        # LSB-first within each nibble (matches the oracle's (>> i%4) & 1).
+        # 64 ±1 contributions per token: 16 md5 hex nibbles × 4 bits.
         h = F.substring(F.md5(t), 1, 16)
         return F.flatten(
             F.transform(
                 F.sequence(F.lit(1), F.lit(16)),
-                lambda j: (
-                    lambda nib: F.array(
-                        nib.bitwiseAND(F.lit(1)) * 2 - 1,
-                        F.shiftright(nib, 1).bitwiseAND(F.lit(1)) * 2 - 1,
-                        F.shiftright(nib, 2).bitwiseAND(F.lit(1)) * 2 - 1,
-                        F.shiftright(nib, 3).bitwiseAND(F.lit(1)) * 2 - 1,
-                    )
-                )(F.conv(h.substr(j, F.lit(1)), 16, 10).cast("int")),
+                lambda j: F.element_at(lut, F.conv(h.substr(j, F.lit(1)), 16, 10).cast("int") + 1),
             )
         )
 

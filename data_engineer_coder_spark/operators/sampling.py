@@ -254,3 +254,60 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRAT_K)
         .select("lang", "source", "doc_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# L6b: deterministic global corpus shuffle — the data-loading order every
+# pretraining run fixes up front (seeded, resumable, identical on every
+# re-run and engine).  Each doc gets a shard (hash bucket) and a position
+# within the shard (hash order): the loader streams shard files in
+# position order and gets a reproducible global permutation without any
+# global sort.  Scale shape: the only shuffle is the hash partition by
+# shard; within-shard ordering is a per-shard external sort (spillable),
+# and shard COUNT — not shard size — grows with the corpus, so no task
+# ever sorts more than one shard.  Seed changes re-derive a fresh
+# permutation from the same plan.
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 7
+_SHUFFLE_SHARDS = 64
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos
+FROM (
+  SELECT doc_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+  FROM (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS k,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'), 1, 8))::BIGINT
+             % {_SHUFFLE_SHARDS} AS shard
+    FROM documents
+  )
+)
+""",
+    tags=("sampling", "llm", "assembly"),
+    doc=(
+        "L6: seeded deterministic global shuffle — shard = md5(doc_id:seed) "
+        f"bucket (of {_SHUFFLE_SHARDS}), pos = hash order within shard.  "
+        "Reproducible data-loading permutation; one hash shuffle, "
+        "per-shard sorts, no global sort."
+    ),
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SEED}")))
+    shard = F.pmod(
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint"), F.lit(_SHUFFLE_SHARDS)
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", k.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -129,3 +129,15 @@ def test_pii_redact_removes_all_matches(spark, sf_dir):
         red = phone.sub("<PHONE>", email.sub("<EMAIL>", aug))
         assert email.search(red) is None and phone.search(red) is None
         assert hashlib.md5(red.encode()).hexdigest() == md5s[r.doc_id]
+
+
+def test_corpus_shuffle_is_a_partition(spark, sf_dir):
+    """Every doc appears exactly once, and positions within each shard
+    are exactly 1..n_shard (a valid, gapless loading order)."""
+    from data_engineer_coder_spark.operators.sampling import corpus_shuffle_order
+
+    out = corpus_shuffle_order(spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(out) == n_docs and out.doc_id.nunique() == n_docs
+    for shard, grp in out.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
