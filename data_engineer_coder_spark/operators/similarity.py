@@ -663,15 +663,111 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _sql_assign(cents_cte: str, out: str) -> str:
+    """Assignment CTE: per-vector argmax centroid (cos DESC, id ASC) —
+    exactly the strictly-greater ascending-id fold in :func:`_assign`."""
+    cos = (
+        f"CAST({_SQL_DOT.format(a='n.qv', b='c.cqv')} AS DOUBLE)"
+        " / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE)))"
+    )
+    return f"""
+{out} AS (
+  SELECT vec_id, qv, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY {cos} DESC, c.centroid_id) AS crn
+    FROM n CROSS JOIN {cents_cte} c
+  ) WHERE crn = 1
+)"""
+
+
+def _sql_recenter(assigned_cte: str, out: str) -> str:
+    """Recenter CTE: elementwise integer mean (exact bigint sums, one
+    double divide, ROUND half-away-from-zero) — the same op-sequence as
+    :func:`_recenter`, so the re-quantized centroids are bit-identical."""
+    return f"""
+{out} AS (
+  SELECT centroid_id, cqv,
+         CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnrm
+  FROM (
+    SELECT centroid_id, list(m ORDER BY d) AS cqv
+    FROM (
+      SELECT centroid_id, g.d AS d,
+             CAST(ROUND(CAST(SUM(qv[g.d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+      FROM {assigned_cte}, generate_series(1, {_DIMS}) AS g(d)
+      GROUP BY centroid_id, g.d
+    ) GROUP BY centroid_id
+  )
+)"""
+
+
+_KMEANS_ORACLE = (
+    f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+c0 AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+),"""
+    + _sql_assign("c0", "a1")
+    + ","
+    + _sql_recenter("a1", "c1")
+    + ","
+    + _sql_assign("c1", "a2")
+    + ","
+    + _sql_recenter("a2", "c2")
+    + ","
+    + _sql_assign("c2", "af")
+    + f""",
+probe_lists AS (
+  SELECT probe_id, pqv, pnrm, centroid_id FROM (
+    SELECT n.vec_id AS probe_id, n.qv AS pqv, n.nrm AS pnrm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='c.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE))) DESC,
+                      c.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN c2 c
+    WHERE n.vec_id < 20
+  ) WHERE crn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         CAST({_SQL_DOT.format(a='p.pqv', b='a.qv')} AS DOUBLE)
+           / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE))) AS cos_sim
+  FROM probe_lists p
+  JOIN af a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.probe_id
+)
+SELECT probe_id, neighbor_id, rn, cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+"""
+)
+
+
 @register(
     "ivf_kmeans_topk",
-    oracle=None,  # iterative refinement → rows-only; recall test covers quality
+    # Full SQL replay of both Lloyd iterations: assignment is a window
+    # argmax over quantized-int cosines, recentering is exact bigint sums
+    # + one double divide + ROUND (half-away in both engines) — every
+    # step bit-identical, so the refined centroids, inverted lists, and
+    # final top-k all value-hash match.
+    oracle=_KMEANS_ORACLE,
     tags=("similarity", "llm", "approx", "ann", "iterative"),
     doc=(
         "L3 at scale: IVF with 2 Lloyd refinement iterations (assign → "
         "64-dim exact-sum recenter per round), then nprobe=4 probe + "
         "exact re-rank.  The iterative-algorithm pattern: one shuffle "
-        "round per iteration, K×64 cells on the wire."
+        "round per iteration, K×64 cells on the wire.  Deterministic "
+        "integer recentering → the DuckDB oracle replays both unrolled "
+        "iterations and hash-checks the search."
     ),
 )
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,9 +841,11 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Quality-gate twins for the approximate ANN ops (VERDICT r4 item 4).
-# The approx results themselves are engine-specific (no SQL replay of LSH
-# folds / Lloyd iterations), but their QUALITY against the exact
-# brute-force ground truth is a deterministic fact this job can assert:
+# Since round 6 the approx results themselves are ALSO value-hash
+# oracle-checked (quantized planes / integer Lloyd replay); these gates
+# remain because hash equality proves determinism, not usefulness — the
+# QUALITY against the exact brute-force ground truth is the separate
+# deterministic fact this job asserts:
 # Spark computes BOTH sides, emits exact-derived scalars plus tolerance
 # booleans, and the DuckDB oracle independently derives the exact scalars
 # and asserts the booleans TRUE — the approx_distinct_check pattern.

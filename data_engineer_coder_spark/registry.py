@@ -98,6 +98,10 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "minhash_lsh_recall_check",
     "ann_lsh_topk",
     "ann_lsh_recall_check",
+    # round 6: gained a full SQL replay of both Lloyd iterations (exact
+    # integer recentering is engine-portable) — implementation unchanged,
+    # but the first value-hash row is now possible.
+    "ivf_kmeans_topk",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
