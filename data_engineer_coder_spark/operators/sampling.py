@@ -311,3 +311,97 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# L6c: DSIR-style importance weighting (Xie et al. 2023,
+# arXiv:2302.03169): score each corpus doc by how target-like its
+# unigram distribution is — log w(x) = Σ_tokens [ln p_target(tok) −
+# ln p_raw(tok)] under Laplace-smoothed hashed-unigram LMs — then select
+# docs whose per-token log-weight is positive (more target-like than
+# corpus average).  The two LMs are COUNT TABLES (vocab-sized, broadcast)
+# built in one pass each; scoring is a broadcast join + integer-grid sum,
+# so the whole selection is two map-side aggregates + one broadcast join
+# at any corpus size.  Per-term logs are floored to a 1e-9 grid (the
+# unigram_logprob_score pattern) so per-doc sums are exact integers —
+# order-independent and engine-portable; selection thresholds on the
+# integer sum's SIGN, so no float boundary decides membership.
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"  # target-domain proxy: one source's docs
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tgt_tok AS (
+  SELECT unnest(string_split(d.text, ' ')) AS term
+  FROM documents d WHERE d.source = '{_DSIR_TARGET}'
+),
+tf_r AS (SELECT term, COUNT(*) AS cr FROM tok GROUP BY 1),
+tf_t AS (SELECT term, COUNT(*) AS ct FROM tgt_tok GROUP BY 1),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM tok) AS nr,
+         (SELECT COUNT(*) FROM tgt_tok) AS nt,
+         (SELECT COUNT(*) FROM tf_r) AS v
+),
+lm AS (
+  SELECT r.term,
+         FLOOR(LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tot.nt + tot.v)) * 1e9)
+           - FLOOR(LN(CAST(r.cr + 1 AS DOUBLE) / (tot.nr + tot.v)) * 1e9) AS dq
+  FROM tf_r r LEFT JOIN tf_t t ON r.term = t.term, tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND((SUM(dq) / 1e9) / COUNT(*), 6) AS logweight_per_token,
+       SUM(dq) > 0 AS selected
+FROM tok JOIN lm USING (term)
+GROUP BY doc_id
+""",
+    tags=("sampling", "llm", "text"),
+    doc=(
+        "L6: DSIR importance weights — per-doc Σ[ln p_target − ln p_raw] "
+        "over Laplace-smoothed unigram LMs (target = one source's docs), "
+        "1e-9 integer grid, selection on the exact integer sum's sign."
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf_r = tok.groupBy("term").agg(F.count("*").alias("cr"))
+    tf_t = (
+        tok.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("term")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = (
+        tok.agg(F.count("*").alias("nr"))
+        .crossJoin(tok.filter(F.col("source") == _DSIR_TARGET).agg(F.count("*").alias("nt")))
+        .crossJoin(tf_r.agg(F.count("*").alias("v")))
+    )
+    dq = (
+        F.floor(
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / (F.col("nt") + F.col("v")))
+            * 1e9
+        )
+        - F.floor(F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v"))) * 1e9)
+    ).cast("bigint")
+    lm = (
+        tf_r.join(tf_t, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("term", dq.alias("dq"))
+    )
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round((F.sum("dq") / 1e9) / F.count("*"), 6).alias("logweight_per_token"),
+            (F.sum("dq") > 0).alias("selected"),
+        )
+    )

@@ -141,3 +141,28 @@ def test_corpus_shuffle_is_a_partition(spark, sf_dir):
     assert len(out) == n_docs and out.doc_id.nunique() == n_docs
     for shard, grp in out.groupby("shard"):
         assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """The DSIR sanity property: docs drawn FROM the target source score a
+    higher mean per-token log-weight than the rest of the corpus, and
+    `selected` is exactly sign(weight)."""
+    from data_engineer_coder_spark.operators.sampling import (
+        _DSIR_TARGET,
+        dsir_importance_weights,
+    )
+
+    out = dsir_importance_weights(spark, sf_dir).toPandas()
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    m = out.merge(src, on="doc_id")
+    tgt = m[m.source == _DSIR_TARGET].logweight_per_token
+    rest = m[m.source != _DSIR_TARGET].logweight_per_token
+    assert len(tgt) > 0 and tgt.mean() > rest.mean()
+    # selected is sign(exact integer sum); the reported weight is rounded
+    # to 6dp, so only check agreement where rounding can't mask the sign.
+    nz = m[m.logweight_per_token != 0]
+    assert ((nz.logweight_per_token > 0) == nz.selected).all()
