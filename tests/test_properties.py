@@ -275,3 +275,49 @@ def test_md5_bucket_matches_duckdb_twin(spark, duck, key):
     )
     want = duck.execute(f"SELECT {sql_md5_bucket(str(key))}").fetchone()[0]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# md5 hash-portability primitives (round 6): the entire oracle story for
+# minhash/simhash now rests on three engines — Spark (conv over md5
+# substrings), DuckDB (('0x'||hex)::UBIGINT), python (int(hex, 16)) —
+# deriving IDENTICAL integers from the same text.  Property-check the
+# triple agreement on arbitrary ASCII tokens.
+# --------------------------------------------------------------------------
+
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=16
+)
+
+
+@given(t=_token)
+@_settings
+def test_md5_hash_primitives_agree_across_engines(spark, t):
+    import hashlib
+
+    import duckdb
+
+    hexd = hashlib.md5(t.encode()).hexdigest()
+    py60 = int(hexd[:15], 16)  # the minhash 60-bit shingle hash
+    py_nibs = [int(c, 16) for c in hexd[:16]]  # the simhash nibble stream
+
+    row = (
+        spark.createDataFrame([(t,)], "t string")
+        .select(
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h60"),
+            F.array(
+                *[
+                    F.conv(F.substring(F.md5("t"), j + 1, 1), 16, 10).cast("int")
+                    for j in range(16)
+                ]
+            ).alias("nibs"),
+        )
+        .collect()[0]
+    )
+    assert row.h60 == py60
+    assert list(row.nibs) == py_nibs
+
+    dd = duckdb.connect().execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::UBIGINT", [t]
+    ).fetchone()[0]
+    assert int(dd) == py60
