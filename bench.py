@@ -101,10 +101,13 @@ HEADLINE = [
     "pretraining_corpus_build",
     "cluster_aware_split",
     "repeated_token_runs",
-    # round 6: md5-portable simhash, SemDeDup prune, PII scrub
+    # round 6: md5-portable simhash, SemDeDup prune, PII scrub,
+    # DSIR selection, deterministic corpus shuffle
     "simhash_neardup",
     "semdedup_prune",
     "pii_redact",
+    "dsir_importance_weights",
+    "corpus_shuffle_order",
 ]
 
 
