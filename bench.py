@@ -108,6 +108,7 @@ HEADLINE = [
     "pii_redact",
     "dsir_importance_weights",
     "corpus_shuffle_order",
+    "dedup_clusters_minhash",
 ]
 
 

@@ -76,6 +76,62 @@ sh AS (
 )
 """
 
+# MinHash banded-search replay (appended after a shingle CTE block):
+# md5-derived 60-bit shingle hashes mod 2^31, 32 (a·h+b) mod p minima,
+# 8×4 band keys, candidate self-join, capped-intersection Jaccard
+# verification — ends at `mh_sel` = the verified near-dup pair set.
+# Shared by the minhash_lsh_neardup oracle and the end-to-end
+# dedup_clusters_minhash oracle so the two can never drift.
+_MINHASH_PAIR_CTES = f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+shc AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM freq)),
+perms AS (
+  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))})
+         AS p(j, a, b)
+),
+hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483648 AS BIGINT) AS h
+  FROM shc
+),
+sig AS (
+  SELECT doc_id, p.j, MIN((p.a * hv.h + p.b) % {_MERSENNE}) AS m
+  FROM hv CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id,
+         CAST(j // {_ROWS} AS VARCHAR) || '_'
+           || string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+  GROUP BY 1, 2
+),
+mh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+),
+mh_sel AS (SELECT doc_a, doc_b, jaccard FROM mh_pairs WHERE jaccard >= 0.5)
+"""
+
+# Recursive variant of the shingle prefix (DuckDB requires RECURSIVE at
+# the head of the WITH chain when any later CTE is recursive).
+_RECURSIVE_SHINGLE_SQL = _SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+
 
 # --------------------------------------------------------------------------
 # L1: exact dedup of the reference's double-ingest.
@@ -204,50 +260,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # underscore-joined strings — so DuckDB rebuilds the EXACT signatures,
     # candidates, and verified pairs, and the driver value-hashes them.
     oracle=_SHINGLE_SQL
-    + f""",
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-freq AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
-shc AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM freq)),
-perms AS (
-  SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B)))})
-         AS p(j, a, b)
-),
-hv AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483648 AS BIGINT) AS h
-  FROM shc
-),
-sig AS (
-  SELECT doc_id, p.j, MIN((p.a * hv.h + p.b) % {_MERSENNE}) AS m
-  FROM hv CROSS JOIN perms p
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT doc_id,
-         CAST(j // {_ROWS} AS VARCHAR) || '_'
-           || string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, j // {_ROWS}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
-  JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
-  GROUP BY 1, 2
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-         / (sa.n + sb.n - COALESCE(i.n_common, 0)) AS jaccard
-FROM cand c
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-        / (sa.n + sb.n - COALESCE(i.n_common, 0)) >= 0.5
-""",
+    + _MINHASH_PAIR_CTES
+    + "SELECT doc_a, doc_b, jaccard FROM mh_sel",
     tags=("dedup", "llm", "approx"),
     doc=(
         "L2: MinHash(32 perms over md5-derived shingle hashes) + LSH"
@@ -605,8 +619,6 @@ allm AS (
 )
 """
 
-_RECURSIVE_SHINGLE_SQL = _SHINGLE_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
-
 
 _CLUSTER_MAX_ROUNDS = 50  # hash-min rounds = max component diameter handled
 
@@ -778,6 +790,14 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    return _star_contract(spark, sf_dir, pairs)
+
+
+def _star_contract(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Run alternating large/small-star contraction over a (src, dst)
+    pair DataFrame to a fixed point and emit the full per-document
+    cluster labeling (members ∪ roots ∪ singletons).  Shared by the
+    exact-pair-graph and MinHash-pair-graph clustering ops."""
     edges = pairs.localCheckpoint()  # pair mining runs once
     converged = False
     for _ in range(_BIGSTAR_MAX_ROUNDS):
@@ -797,8 +817,8 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            f"dedup_clusters_bigstar: star contraction did not reach a "
-            f"fixed point within {_BIGSTAR_MAX_ROUNDS} rounds"
+            f"star contraction did not reach a fixed point within "
+            f"{_BIGSTAR_MAX_ROUNDS} rounds"
         )
     # Fixed-point edges are (node → component-min root); roots appear
     # only on the dst side.  groupBy-min is a safety net, not load-bearing.
@@ -819,6 +839,57 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.unionByName(singles).select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+# --------------------------------------------------------------------------
+# L2d': the PRODUCTION near-dup clustering path, end-to-end: MinHash-LSH
+# candidate generation (cost ∝ true collisions, never Σdf²) → exact
+# capped-Jaccard verification → O(log n) star contraction.  This is the
+# composition a 100 TB corpus actually runs — the exact-pair-graph
+# variants above are its sf-bounded ground truth.  Every stage is
+# engine-portable (md5 hashes, integer band keys), so the DuckDB oracle
+# replays the banded search AND the transitive closure (recursive CTE)
+# and the driver value-hashes the final cluster labeling.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters_minhash",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _MINHASH_PAIR_CTES
+    + """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_sel
+  UNION
+  SELECT doc_b, doc_a FROM mh_sel
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.node
+),
+members AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+allm AS (
+  SELECT doc_id, cluster_id FROM members
+  UNION ALL
+  SELECT doc_id, doc_id AS cluster_id
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM members)
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM allm
+""",
+    tags=("dedup", "llm", "iterative", "approx"),
+    doc=(
+        "L2 end-to-end at scale: MinHash-LSH pairs (Jaccard ≥ 0.5 "
+        "verified) → large-star/small-star contraction → per-doc "
+        "cluster labels.  The full production dedup pipeline in one "
+        "lazy-per-round plan; oracle replays search + reachability."
+    ),
+)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return _star_contract(spark, sf_dir, pairs)
 
 
 # --------------------------------------------------------------------------

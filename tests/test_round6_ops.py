@@ -166,3 +166,29 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     # to 6dp, so only check agreement where rounding can't mask the sign.
     nz = m[m.logweight_per_token != 0]
     assert ((nz.logweight_per_token > 0) == nz.selected).all()
+
+
+def test_minhash_clusters_refine_exact_clusters(spark, sf_dir):
+    """The production path (MinHash pairs at J>=0.5 -> star contraction)
+    must be a REFINEMENT of the exact ground-truth clustering (J>=0.2):
+    J>=0.5 pairs are a subset of J>=0.2 pairs, so every minhash cluster's
+    members must share one exact cluster."""
+    from data_engineer_coder_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_minhash,
+    )
+
+    exact = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    mh = dedup_clusters_minhash(spark, sf_dir).collect()
+    assert len(mh) == len(exact)  # every doc labeled exactly once
+    by_cluster: dict[int, set[int]] = {}
+    for r in mh:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    n_nontrivial = 0
+    for members in by_cluster.values():
+        if len(members) > 1:
+            n_nontrivial += 1
+            assert len({exact[d] for d in members}) == 1, members
+    assert n_nontrivial > 0  # the fixture does contain near-dup families
