@@ -55,6 +55,7 @@ HEAVY = [
     "simhash_neardup",
     "semdedup_prune",
     "pii_redact",
+    "dedup_clusters_minhash",
 ]
 
 
