@@ -192,3 +192,46 @@ def test_minhash_clusters_refine_exact_clusters(spark, sf_dir):
             n_nontrivial += 1
             assert len({exact[d] for d in members}) == 1, members
     assert n_nontrivial > 0  # the fixture does contain near-dup families
+
+
+def test_star_contract_matches_union_find(spark, sf_dir):
+    """_star_contract (shared by the exact and MinHash clustering ops)
+    must produce min-id connected components for arbitrary pair graphs —
+    checked against a python union-find on several deterministic random
+    graphs, including chain/star/cycle shapes."""
+    import random
+
+    from data_engineer_coder_spark.operators.dedup import _star_contract
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rng = random.Random(1234)
+    cases = [
+        [(i, i + 1) for i in range(0, 40)],                       # one long chain
+        [(0, i) for i in range(1, 30)],                           # star
+        [(i, (i + 1) % 20) for i in range(20)],                   # cycle
+        [(rng.randrange(n_docs), rng.randrange(n_docs)) for _ in range(60)],
+    ]
+    for edges in cases:
+        edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n_docs))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {d: find(d) for d in range(n_docs)}
+
+        pairs = spark.createDataFrame(edges, "src long, dst long").distinct()
+        got = {
+            r.doc_id: r.cluster_id
+            for r in _star_contract(spark, sf_dir, pairs).collect()
+        }
+        assert got == expect
