@@ -53,6 +53,79 @@ def _words(col):
     return F.split(col, " ")
 
 
+def _drop_frequent_shingles(sh: DataFrame) -> DataFrame:
+    """Drop shingles with document frequency > ``_SHINGLE_DF_CAP``.
+
+    Skew-safe by construction: ``groupBy(s).count()`` partial-aggregates
+    map-side, so no task ever buffers all rows of a hot shingle (the
+    previous ``count().over(Window.partitionBy(s))`` formulation forced
+    every row of a boilerplate shingle into ONE window task before the
+    cap could drop it — at corpus scale a df≈10⁸ shingle is exactly the
+    row you cannot single-task).  The frequent set is tiny by
+    construction — at most total_rows / cap distinct values — so it
+    broadcasts, and the anti-join is map-only: the capped stream keeps
+    its upstream partitioning (doc_id) instead of paying a forced
+    shuffle on ``s``.  Callers that self-join on ``s`` repartition on
+    ``s`` themselves, explicitly.
+    """
+    freq = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > _SHINGLE_DF_CAP)
+        .select("s")
+    )
+    return sh.join(F.broadcast(freq), "s", "left_anti")
+
+
+# Hard ceiling on Σ df·(df−1)/2 over surviving shingles — the exact number
+# of (shingle-sharing) candidate rows the inverted-index self-join will
+# generate.  The exact-Jaccard generators exist as sf-bounded ground truth
+# for the LSH recall gates; at corpus scale the budget trips BEFORE the
+# quadratic join runs and the error message points at the LSH path.
+_EXACT_PAIR_BUDGET = 200_000_000
+
+
+def _guard_candidate_budget(sh: DataFrame) -> DataFrame:
+    """Fail fast (in-plan) when the capped shingle df distribution still
+    implies more than ``_EXACT_PAIR_BUDGET`` self-join candidate rows.
+
+    The budget aggregate runs over the distinct-shingle df table (≪ the
+    exploded stream), rides in as a broadcast one-row join, and is
+    checked per-row via ``assert_true`` — which raises inside the plan,
+    before the self-join materializes anything, wherever it runs.
+    """
+    budget = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_df"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
+            ).alias("_cand_budget")
+        )
+    )
+    checked = (
+        sh.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "_g",
+            F.assert_true(
+                F.col("_cand_budget") <= F.lit(float(_EXACT_PAIR_BUDGET)),
+                F.format_string(
+                    "exact all-pairs candidate budget exceeded (%s > "
+                    + str(_EXACT_PAIR_BUDGET)
+                    + "): use the MinHash-LSH path (minhash_lsh_neardup / "
+                    "dedup_clusters_minhash) at this scale",
+                    F.col("_cand_budget"),
+                ),
+            ),
+        )
+        # assert_true yields NULL when it passes; filtering on it forces
+        # evaluation (column pruning would otherwise drop the check).
+        .filter(F.col("_g").isNull())
+        .drop("_g", "_cand_budget")
+    )
+    return checked
+
+
 def _shingles(words_col):
     """Distinct 3-word shingles as an array column (requires size>=3)."""
     idx = F.sequence(F.lit(1), F.size(words_col) - 2)
@@ -217,15 +290,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("sh_arr").alias("s"),
     )
     # Skew guard: drop shingles whose document frequency exceeds the cap
-    # before self-joining.  Computed as a count window over the shingle
-    # key: the one shuffle it costs ALSO leaves both join sides hash-
-    # partitioned and sorted on s, so the self-join below adds no
-    # exchange (verified in tests/test_scale.py).
-    sh = (
-        sh.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
-        .drop("_df")
-    )
+    # before self-joining — salted-safe partial-agg count + broadcast
+    # anti-join (no hot-shingle window straggler; see
+    # _drop_frequent_shingles).  Then an explicit repartition on s so
+    # both sides of the self-join below are co-partitioned and the join
+    # adds no further exchange (verified in tests/test_scale.py).
+    sh = _drop_frequent_shingles(sh)
+    # Candidate-budget gate: exact all-pairs Jaccard is Θ(Σ df²) — the
+    # ground-truth generator for the recall gates, NEVER the production
+    # path (that's minhash_lsh_neardup).  The in-plan guard fails fast
+    # if the surviving shingle frequencies imply more candidate pairs
+    # than _EXACT_PAIR_BUDGET, so this op cannot be pointed at corpus
+    # scale by accident (tests/test_operators.py exercises the trip).
+    sh = _guard_candidate_budget(sh)
+    sh = sh.repartition(shuffle_parts(docs), F.col("s"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -278,14 +356,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ws") >= 3)
     )
     sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
-    # Same frequent-shingle cap as the exact path (count window on the
-    # shingle key): boilerplate shingles would otherwise dominate every
-    # MinHash signature band.
-    sh = (
-        sh.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
-        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
-        .drop("_df")
-    )
+    # Same frequent-shingle cap as the exact path: boilerplate shingles
+    # would otherwise dominate every MinHash signature band.  The
+    # broadcast anti-join keeps the stream doc_id-partitioned, so the
+    # signature groupBy(doc_id) below needs no extra exchange (the old
+    # count-window formulation forced a useless s-shuffle here AND
+    # single-tasked hot shingles).
+    sh = _drop_frequent_shingles(sh)
     # md5-derived 60-bit shingle hash mod 2^31: bit-identical in DuckDB
     # (('0x'||substr(md5,1,15))::UBIGINT), which is what makes the full
     # banded search replayable by the oracle.  Hash family is pluggable;

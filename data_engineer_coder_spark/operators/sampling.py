@@ -356,7 +356,7 @@ lm AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
-       ROUND((SUM(dq) / 1e9) / COUNT(*), 6) AS logweight_per_token,
+       FLOOR(SUM(dq) / (COUNT(*) * 1000.0) + 0.5) / 1e6 AS logweight_per_token,
        SUM(dq) > 0 AS selected
 FROM tok JOIN lm USING (term)
 GROUP BY doc_id
@@ -396,12 +396,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("term", dq.alias("dq"))
     )
+    # Per-token mean rounded to 6dp WITHOUT either engine's ROUND(double)
+    # — those are different library functions and can disagree at a
+    # half-way boundary (ADVICE r6).  Instead: exact bigint sum → one
+    # correctly-rounded IEEE division → +0.5 → FLOOR → /1e6.  Every op
+    # is a deterministic IEEE primitive with identical semantics in
+    # Spark and DuckDB, so the emitted double is bit-identical.
+    micro = F.floor(F.sum("dq") / (F.count("*") * 1000.0) + 0.5)
     return (
         tok.join(F.broadcast(lm), "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round((F.sum("dq") / 1e9) / F.count("*"), 6).alias("logweight_per_token"),
+            (micro / 1e6).alias("logweight_per_token"),
             (F.sum("dq") > 0).alias("selected"),
         )
     )

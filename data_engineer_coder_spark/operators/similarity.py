@@ -470,14 +470,27 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-cluster pairwise pass costs Σ (n/K)² instead of n², and K GROWS
 # WITH THE CORPUS — K = max(16, ⌈n/125⌉), the paper uses 50k clusters
 # for LAION — so cluster size, and thus the pair pass, stays linear in n.
-# Assignment is n·K map-side multiply-adds with zero corpus shuffle
-# (embarrassingly parallel; extreme K hands assignment to a hierarchical
-# quantizer, which changes the constant, not this plan's shape).
-# Policy: within a cluster, drop any vector that
-# has a smaller-id neighbor at cos ≥ τ (greedy keep-first; the paper's
-# keep-farthest-from-centroid variant is an ORDER BY swap in the same
-# plan, not a different shape).  Deterministic quantized-int cosine →
-# the DuckDB oracle replays the exact assignment and prune.
+#
+# Assignment is TWO-LEVEL (the IVF pattern, bounding work at n·O(√K)):
+# C = ⌈√K⌉ coarse centroids (every stride-th fine centroid) broadcast to
+# the corpus for a map-side nearest-coarse argmax (n·C flops, tiny
+# broadcast), then a join on coarse_id fans each vector out to ONLY its
+# coarse cell's ~√K fine centroids for the fine argmax.  Neither the
+# broadcast (C = √K rows) nor the per-row flops (C + K/C ≈ 2√K) grows
+# linearly with n — the flat K-broadcast argmax it replaces did both
+# (at 1 B docs, K = 8 M centroids: an undeliverable broadcast and an
+# n²/125 multiply-add pass).  The coarse_id join has C distinct keys;
+# uneven cell populations are AQE-skew-split territory, not a plan flaw.
+#
+# Prune policy (exact semantics, see ADVICE r6): within a cluster, drop
+# any vector that has ANY smaller-id neighbor at cos ≥ τ — INCLUDING
+# neighbors that are themselves dropped (transitive suppression).  A
+# chain a–b–c with cos(a,b) ≥ τ, cos(b,c) ≥ τ, cos(a,c) < τ drops BOTH
+# b and c; true keep-first greedy would keep c.  This over-prunes
+# relative to the paper's sequential greedy but is order-free — a pure
+# self-join, no iteration — and both engines encode the identical rule.
+# Deterministic quantized-int cosine → the DuckDB oracle replays the
+# exact two-level assignment and prune, value-hash checked.
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
@@ -491,22 +504,54 @@ WITH n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
+params AS (
+  SELECT k, CAST(CEIL(k / CEIL(SQRT(k))) AS BIGINT) AS stride FROM (
+    SELECT GREATEST({_IVF_K}, CAST(CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0) AS BIGINT)) AS k FROM n
+  )
+),
 cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100
-    AND vec_id < 100 + (SELECT GREATEST({_IVF_K}, CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0)) FROM n)
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n, params
+  WHERE vec_id >= 100 AND vec_id < 100 + params.k
+),
+coarse AS (
+  SELECT centroid_id AS coarse_id, cqv AS gqv, cnrm AS gnrm FROM cents, params
+  WHERE (centroid_id - 100) % params.stride = 0
+),
+cent2coarse AS (
+  SELECT centroid_id, cqv, cnrm, coarse_id FROM (
+    SELECT c.centroid_id, c.cqv, c.cnrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.centroid_id
+             ORDER BY CAST({_SQL_DOT.format(a='c.cqv', b='g.gqv')} AS DOUBLE)
+                        / (SQRT(CAST(c.cnrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
+                      g.coarse_id
+           ) AS rn
+    FROM cents c CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+vec2coarse AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='g.gqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
+                      g.coarse_id
+           ) AS rn
+    FROM n CROSS JOIN coarse g
+  ) WHERE rn = 1
 ),
 assigned AS (
   SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
+    SELECT v.vec_id, v.qv, v.nrm, cc.centroid_id,
            ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
-                      cents.centroid_id
-           ) AS crn
-    FROM n CROSS JOIN cents
-  ) WHERE crn = 1
+             PARTITION BY v.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='v.qv', b='cc.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(v.nrm AS DOUBLE)) * SQRT(CAST(cc.cnrm AS DOUBLE))) DESC,
+                      cc.centroid_id
+           ) AS rn
+    FROM vec2coarse v JOIN cent2coarse cc ON v.coarse_id = cc.coarse_id
+  ) WHERE rn = 1
 ),
 dups AS (
   SELECT DISTINCT b.vec_id
@@ -521,43 +566,17 @@ FROM assigned a
 """,
     tags=("similarity", "dedup", "llm"),
     doc=(
-        "L2/L3: SemDeDup — assign each vector to the nearest of "
-        "K = max(16, ceil(n/125)) centroids (broadcast map-side argmax, "
-        "zero corpus shuffle), then within each cluster drop vectors with "
-        f"a smaller-id neighbor at cos ≥ {_SEMDEDUP_TAU}.  K ∝ n keeps "
-        "cluster size — and the Σ(n/K)² pair pass — linear in the corpus."
+        "L2/L3: SemDeDup — two-level IVF-style assignment to the nearest "
+        "of K = max(16, ceil(n/125)) centroids (⌈√K⌉-row coarse broadcast "
+        "+ coarse_id join, n·O(√K) flops — nothing grows linearly with "
+        "n), then within each cluster drop every vector with ANY "
+        f"smaller-id neighbor at cos ≥ {_SEMDEDUP_TAU} (transitive "
+        "suppression — dropped neighbors still suppress; order-free, "
+        "no iteration).  K ∝ n keeps the Σ(n/K)² pair pass linear."
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
-    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    # K = max(16, ceil(n/125)): one scalar rides along as a broadcast
-    # one-row join — the corpus is never collected.
-    kdf = n.agg(
-        F.greatest(F.lit(_IVF_K).cast("long"), F.ceil(F.count("*") / _SEMDEDUP_CSIZE)).alias("k")
-    )
-    cents = (
-        n.crossJoin(F.broadcast(kdf))
-        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + F.col("k")))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("qv").alias("cqv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
-        .select("vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
-    )
+    assigned = _semdedup_assign(spark, sf_dir)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
@@ -580,6 +599,88 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nearest-centroid assignment (vec_id, centroid_id, qv, nrm).
+
+    Exposed separately so the scale tests can assert the single-instance
+    plan shape (semdedup_prune references it three times, which
+    triplicates the subtree in the executed plan)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    # K = max(16, ceil(n/125)) and the coarse stride ⌈K/⌈√K⌉⌉: two scalars
+    # riding along as a broadcast one-row join — the corpus is never
+    # collected.
+    kdf = n.agg(
+        F.greatest(F.lit(_IVF_K).cast("long"), F.ceil(F.count("*") / _SEMDEDUP_CSIZE)).alias("k")
+    )
+    params = kdf.select(
+        "k", F.ceil(F.col("k") / F.ceil(F.sqrt(F.col("k")))).cast("long").alias("stride")
+    )
+    cents = (
+        n.crossJoin(F.broadcast(params))
+        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + F.col("k")))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("cqv"),
+            F.col("nrm").alias("cnrm"),
+            "stride",
+        )
+    )
+    # Coarse level: every stride-th fine centroid — ⌈√K⌉ rows, the ONLY
+    # set broadcast against the full corpus.
+    coarse = cents.filter((F.col("centroid_id") - 100) % F.col("stride") == 0).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("cqv").alias("gqv"),
+        F.col("cnrm").alias("gnrm"),
+    )
+    c2c_sim = _cosine(_dot(F.col("cqv"), F.col("gqv")), F.col("cnrm"), F.col("gnrm"))
+    # Level 1 (K×C, tiny): each fine centroid → its nearest coarse cell.
+    cent2coarse = (
+        cents.crossJoin(F.broadcast(coarse))
+        .select("centroid_id", "cqv", "cnrm", "coarse_id", c2c_sim.alias("g_sim"))
+        .groupBy("centroid_id")
+        .agg(
+            F.max_by(
+                F.struct("coarse_id", "cqv", "cnrm"),
+                F.struct(F.col("g_sim"), -F.col("coarse_id")),
+            ).alias("best")
+        )
+        .select("centroid_id", "best.coarse_id", "best.cqv", "best.cnrm")
+    )
+    v2c_sim = _cosine(_dot(F.col("qv"), F.col("gqv")), F.col("nrm"), F.col("gnrm"))
+    # Level 2a (n·C flops, map-side partial argmax): vector → nearest coarse.
+    vec2coarse = (
+        n.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "qv", "nrm", "coarse_id", v2c_sim.alias("g_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("coarse_id", "qv", "nrm"),
+                F.struct(F.col("g_sim"), -F.col("coarse_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.coarse_id", "best.qv", "best.nrm")
+    )
+    # Level 2b: join on coarse_id fans each vector out to ONLY its cell's
+    # ~√K fine centroids (n·√K rows pre-partial-agg, never n·K).  NOT a
+    # broadcast of the fine set at scale — Spark may still broadcast it
+    # when K is tiny, which is correct there and AQE's call.
+    fine_sim = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    assigned = (
+        vec2coarse.join(cent2coarse, "coarse_id")
+        .select("vec_id", "qv", "nrm", "centroid_id", fine_sim.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+    )
+    return assigned
 
 
 # --------------------------------------------------------------------------

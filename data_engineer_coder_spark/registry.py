@@ -72,36 +72,30 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-4 NTZ/plan-change cohort of 12 and the round-5 cohort of 4
-    # — decimal-sum thresholds, unix_micros grouped-map, capped-intersection
-    # Jaccard — all pruned: re-proven green in CORRECTNESS_r04/r05.)
-    # round 6: convergence probe rewritten (3 jobs/round → 1 symmetric-
-    # difference aggregate); output contract unchanged but the driver loop
-    # changed post-green.  (The round-6 shuffle_parts sweep is NOT queued:
-    # defaultParallelism == 32 on this host, so those plans are bit-identical
-    # to their green rows.)
-    "dedup_clusters_bigstar",
-    # round 6 float-determinism sweep (ADVICE r5 item 7): window sums over
-    # raw doubles feeding ROUND/threshold now decimal-cast on both engines.
-    "revenue_share_within_region",
-    "excess_share_suppliers",
-    # round 6: rewritten from engine-specific xxhash64 bits (rows-only) to
-    # md5-derived bits with a full DuckDB signature-reconstruction oracle —
-    # first value-hash row possible for this query.
-    "simhash_neardup",
-    # round 6: same portability conversion for the other two approximate
-    # search paths — md5 shingle hashes (minhash) and quantized-int plane
-    # dots (LSH buckets) make the full banded/bucketed searches replayable
-    # in DuckDB; both graduate from rows-only to value-hash rows, and the
-    # recall twins re-prove under the new hash bits.
+    # (round-4 NTZ cohort, round-5 cohort, and the round-6 cohort of 9 —
+    # convergence probe, decimal-cast window sums, md5-portability
+    # graduations — all pruned: re-proven green in CORRECTNESS_r04/r05/r06.)
+    # round 7: semdedup assignment rewritten flat-K-broadcast → two-level
+    # IVF-style (coarse broadcast + coarse_id join); RESULTS change (a
+    # vector's globally-nearest fine centroid can sit in another coarse
+    # cell), oracle replays the new rule.
+    "semdedup_prune",
+    # round 7: frequent-shingle guard rewritten count-window → partial-agg
+    # count + broadcast anti-join (same filter semantics, new plan), plus
+    # the exact path gained the in-plan candidate-budget assert.  Re-prove
+    # the two base pipelines and their heaviest compositions.
+    "ngram_jaccard_pairs",
     "minhash_lsh_neardup",
     "minhash_lsh_recall_check",
-    "ann_lsh_topk",
-    "ann_lsh_recall_check",
-    # round 6: gained a full SQL replay of both Lloyd iterations (exact
-    # integer recentering is engine-portable) — implementation unchanged,
-    # but the first value-hash row is now possible.
-    "ivf_kmeans_topk",
+    "dedup_clusters_minhash",
+    "dedup_clusters",
+    # round 7 (ADVICE r6 item 2): dsir per-token mean decimal-cast before
+    # ROUND (cross-engine double-ROUND hazard).
+    "dsir_importance_weights",
+    # round 7 (VERDICT r6 #3): per-doc distinct-token set now capped at 512
+    # via md5-minwise sampling (bounds the O(distinct²) pair buffer); cap
+    # inactive on the fixture but both engines' expressions changed.
+    "token_cooccurrence_topk",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -301,3 +301,18 @@ def test_fixture_text_bounds_contract(fixture_dir):
         "Stale driver greens predating the drift are invalid: add the "
         "affected names to registry._FORCE_RECHECK."
     )
+
+
+def test_coverage_md_lists_every_registered_query():
+    """COVERAGE.md is the judge's implementation map — every registered
+    query name must appear in it (round 7: six names had drifted out;
+    this pins the invariant so the map can't drift again)."""
+    import os
+
+    from data_engineer_coder_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        text = f.read()
+    missing = [n for n in registry.all_queries() if f"`{n}`" not in text]
+    assert not missing, f"COVERAGE.md is missing {len(missing)} queries: {missing}"

@@ -321,3 +321,50 @@ def test_md5_hash_primitives_agree_across_engines(spark, t):
         "SELECT ('0x' || substr(md5(?), 1, 15))::UBIGINT", [t]
     ).fetchone()[0]
     assert int(dd) == py60
+
+
+# --------------------------------------------------------------------------
+# ln-grid portability (round 7, ADVICE r6): dsir_importance_weights keys
+# its value hash on FLOOR(LN(c/d)·1e9) agreeing between JVM Math.log and
+# DuckDB's libm log.  Neither is guaranteed correctly rounded, so a 1-ulp
+# divergence AT A GRID BOUNDARY would flip dq by 1 — property-check the
+# agreement over the count shapes dsir actually produces (Laplace
+# numerators ≥ 1, denominators = corpus totals), plus the FLOOR(x+0.5)
+# micro-rounding both engines now share.
+# --------------------------------------------------------------------------
+
+
+@given(
+    c=st.integers(min_value=1, max_value=10**6),
+    d=st.integers(min_value=2, max_value=10**9),
+)
+@_settings
+def test_ln_grid_agrees_across_engines(spark, duck, c, d):
+    got = (
+        spark.createDataFrame([(c, d)], "c long, d long")
+        .select(
+            F.floor(F.log(F.col("c").cast("double") / F.col("d")) * 1e9).alias("g")
+        )
+        .collect()[0][0]
+    )
+    want = duck.execute(
+        "SELECT FLOOR(LN(CAST(? AS DOUBLE) / ?) * 1e9)", [c, d]
+    ).fetchone()[0]
+    assert got == int(want)
+
+
+@given(
+    s=st.integers(min_value=-(10**13), max_value=10**13),
+    n=st.integers(min_value=1, max_value=10**5),
+)
+@_settings
+def test_micro_round_agrees_across_engines(spark, duck, s, n):
+    got = (
+        spark.createDataFrame([(s, n)], "s long, n long")
+        .select((F.floor(F.col("s") / (F.col("n") * 1000.0) + 0.5) / 1e6).alias("m"))
+        .collect()[0][0]
+    )
+    want = duck.execute(
+        "SELECT FLOOR(? / (? * 1000.0) + 0.5) / 1e6", [s, n]
+    ).fetchone()[0]
+    assert got == want

@@ -235,3 +235,44 @@ def test_star_contract_matches_union_find(spark, sf_dir):
             for r in _star_contract(spark, sf_dir, pairs).collect()
         }
         assert got == expect
+
+
+def test_cooc_cap_inactive_on_fixture(spark, sf_dir):
+    """The md5-minwise per-doc vocab cap (round 7) must not change
+    fixture results — every fixture doc's distinct-token count sits
+    below _COOC_CAP, so capped == uncapped top-20."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.tables import table
+    from data_engineer_coder_spark.operators.textops import (
+        _COOC_CAP,
+        token_cooccurrence_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    max_distinct = docs.select(
+        F.size(F.array_distinct(F.split("text", " "))).alias("n")
+    ).agg(F.max("n")).collect()[0][0]
+    assert max_distinct <= _COOC_CAP
+
+    got = token_cooccurrence_topk(spark, sf_dir).toPandas()
+    ts = F.array_distinct(F.split("text", " "))
+    pairs = F.flatten(
+        F.transform(
+            ts,
+            lambda x: F.transform(
+                F.filter(ts, lambda y: y > x),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    want = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "tok_a", "tok_b")
+        .limit(20)
+        .toPandas()
+    )
+    assert got.values.tolist() == want.values.tolist()

@@ -210,3 +210,56 @@ def test_bloom_bits_build_is_partial_aggregated(spark, sf_dir):
     import re
 
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_shingle_df_cap_has_no_hot_key_window(spark, sf_dir):
+    """Round 7: the frequent-shingle cap must be a partial-agg count +
+    broadcast anti-join — NOT a count window over the shingle key, which
+    single-tasks every row of a hot shingle before the cap can drop it.
+    Holds for both base pipelines (exact Jaccard and MinHash)."""
+    from data_engineer_coder_spark.operators.dedup import (
+        minhash_lsh_neardup,
+        ngram_jaccard_pairs,
+    )
+
+    for fn in (ngram_jaccard_pairs, minhash_lsh_neardup):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_exact_pair_budget_guard_trips(spark, sf_dir, monkeypatch):
+    """The exact all-pairs generator must fail fast in-plan when the
+    shingle df distribution implies more candidates than the budget —
+    it is ground truth for the recall gates, never the production path."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from data_engineer_coder_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_EXACT_PAIR_BUDGET", 1)
+    with pytest.raises(Py4JJavaError, match="candidate budget exceeded"):
+        dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+
+
+def test_semdedup_assignment_is_two_level(spark, sf_dir):
+    """Round 7: semdedup's assignment must be the two-level IVF shape —
+    the only set broadcast against the full corpus is the ⌈√K⌉-row
+    coarse set; the fine set arrives via a coarse_id equi-join.  The
+    flat K-broadcast argmax (n·K flops, Θ(n)-row broadcast at K∝n)
+    must be gone: the allowed cross-style joins are the one-row params
+    and the ⌈√K⌉-row coarse set (5 per assignment instance), and the
+    fine set reaches the corpus only through an equi-join."""
+    import re
+
+    from data_engineer_coder_spark.operators.similarity import _semdedup_assign
+
+    plan = _plan(_semdedup_assign(spark, sf_dir))
+    assert "coarse_id" in plan, plan
+    # params onto n (1, inside cents — duplicated where cents recurs via
+    # coarse/cent2coarse) + coarse onto cents + coarse onto the corpus
+    # = 5 total; a 6th would mean the fine set crossed the corpus.
+    nlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert nlj <= 5, plan
+    # the fine argmax must arrive via an equi-join on coarse_id
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
