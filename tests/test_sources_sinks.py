@@ -523,3 +523,113 @@ def test_send_report_via_local_smtp():
         assert "orders" in data
     finally:
         srv.close()
+
+
+# --------------------------------------------------------------------------
+# ACID-ish table (round 7): exactly-once overwrite-by-partition on
+# parquet — staging dir + atomic manifest commit.  Replaces the
+# reference's CREATE TABLE IF NOT EXISTS + blind append
+# (my_data_pipeline.py:106-115), whose daily rerun duplicates every row.
+# --------------------------------------------------------------------------
+
+
+def _acid_rows(spark, day: str, vals):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(day=day, k=i, v=x) for i, x in enumerate(vals)]
+    )
+
+
+def test_acid_replace_partitions_no_partial_visibility(spark, tmp_path):
+    """A writer that crashes AFTER staging but BEFORE the manifest
+    commit must leave the table exactly as it was — no partial state."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    replace_partitions(_acid_rows(spark, "2024-01-01", [1.0, 2.0]), root, ["day"], "tx1")
+    before = read_table(spark, root).toPandas().sort_values("k")
+    assert before["v"].tolist() == [1.0, 2.0]
+    v_before = current_manifest(root)["version"]
+
+    def boom():
+        raise RuntimeError("writer died between staging and commit")
+
+    with pytest.raises(RuntimeError, match="writer died"):
+        replace_partitions(
+            _acid_rows(spark, "2024-01-01", [9.0, 9.0, 9.0]),
+            root,
+            ["day"],
+            "tx2",
+            _crash_before_commit=boom,
+        )
+    # reader still sees the old version, not the half-written one
+    after = read_table(spark, root).toPandas().sort_values("k")
+    assert after["v"].tolist() == [1.0, 2.0]
+    assert current_manifest(root)["version"] == v_before
+    # the retry of the SAME txid completes and becomes visible atomically
+    replace_partitions(_acid_rows(spark, "2024-01-01", [9.0, 9.0, 9.0]), root, ["day"], "tx2")
+    final = read_table(spark, root).toPandas()
+    assert final["v"].tolist() == [9.0, 9.0, 9.0]
+
+
+def test_acid_rerun_same_txid_is_exactly_once(spark, tmp_path):
+    """The reference's daily-rerun duplication bug, killed at the sink:
+    re-running a committed logical write is a no-op."""
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    df = _acid_rows(spark, "2024-01-01", [1.0, 2.0, 3.0])
+    replace_partitions(df, root, ["day"], "daily-2024-01-01")
+    v1 = current_manifest(root)["version"]
+    replace_partitions(df, root, ["day"], "daily-2024-01-01")  # scheduler retry
+    assert current_manifest(root)["version"] == v1
+    assert read_table(spark, root).count() == 3  # not 6
+
+
+def test_acid_replace_leaves_other_partitions_intact(spark, tmp_path):
+    from data_engineer_coder_spark.io.acid_table import read_table, replace_partitions
+
+    root = str(tmp_path / "t")
+    replace_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "tx1")
+    replace_partitions(_acid_rows(spark, "2024-01-02", [2.0]), root, ["day"], "tx2")
+    replace_partitions(_acid_rows(spark, "2024-01-02", [5.0, 6.0]), root, ["day"], "tx3")
+    got = read_table(spark, root).toPandas()
+    assert sorted(got[got.day == "2024-01-01"]["v"]) == [1.0]
+    assert sorted(got[got.day == "2024-01-02"]["v"]) == [5.0, 6.0]
+
+
+def test_acid_manifest_prune_and_vacuum(spark, tmp_path):
+    """partition_filter prunes at the manifest (rejected dirs never
+    listed); vacuum removes superseded + orphaned staging dirs while
+    live data survives."""
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import (
+        read_table,
+        replace_partitions,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    replace_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "tx1")
+    replace_partitions(_acid_rows(spark, "2024-01-02", [2.0]), root, ["day"], "tx2")
+    replace_partitions(_acid_rows(spark, "2024-01-01", [7.0]), root, ["day"], "tx3")
+    only_d1 = read_table(spark, root, partition_filter=lambda kv: kv["day"] == "2024-01-01")
+    assert only_d1.toPandas()["v"].tolist() == [7.0]
+    removed = vacuum(root)
+    # tx1's data was fully superseded by tx3 → removable; tx2/tx3 live
+    assert "_staging/tx1" in removed
+    assert not os.path.isdir(os.path.join(root, "_staging", "tx1"))
+    got = read_table(spark, root).toPandas()
+    assert sorted(got["v"].tolist()) == [2.0, 7.0]
