@@ -84,36 +84,39 @@ def _drop_frequent_shingles(sh: DataFrame) -> DataFrame:
 # quadratic join runs and the error message points at the LSH path.
 _EXACT_PAIR_BUDGET = 200_000_000
 
+# SimHash chunk-bucket candidate ceiling (round 7): trips when signature
+# saturation (closed-vocab corpora) makes even the true Hamming ≤ 3 pair
+# set quadratic — see the guard comment at the simhash candidate join.
+_SIMHASH_CAND_BUDGET = 500_000_000
 
-def _guard_candidate_budget(sh: DataFrame) -> DataFrame:
-    """Fail fast (in-plan) when the capped shingle df distribution still
-    implies more than ``_EXACT_PAIR_BUDGET`` self-join candidate rows.
 
-    The budget aggregate runs over the distinct-shingle df table (≪ the
-    exploded stream), rides in as a broadcast one-row join, and is
-    checked per-row via ``assert_true`` — which raises inside the plan,
-    before the self-join materializes anything, wherever it runs.
+def _pair_budget_guard(df: DataFrame, key: str, budget: int, hint: str) -> DataFrame:
+    """Fail fast (in-plan) when the key distribution implies more than
+    ``budget`` self-join candidate rows (Σ bucket·(bucket−1)/2).
+
+    The budget aggregate runs over the distinct-key bucket-size table
+    (≪ the exploded stream — partial-agg count, skew-safe), rides in as
+    a broadcast one-row join, and is checked per-row via ``assert_true``
+    — which raises inside the plan, before the self-join materializes
+    anything, wherever it runs.
     """
-    budget = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("_df"))
+    budget_row = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_b"))
         .agg(
             F.coalesce(
-                F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
+                F.sum(F.col("_b") * (F.col("_b") - 1) / 2), F.lit(0.0)
             ).alias("_cand_budget")
         )
     )
     checked = (
-        sh.crossJoin(F.broadcast(budget))
+        df.crossJoin(F.broadcast(budget_row))
         .withColumn(
             "_g",
             F.assert_true(
-                F.col("_cand_budget") <= F.lit(float(_EXACT_PAIR_BUDGET)),
+                F.col("_cand_budget") <= F.lit(float(budget)),
                 F.format_string(
-                    "exact all-pairs candidate budget exceeded (%s > "
-                    + str(_EXACT_PAIR_BUDGET)
-                    + "): use the MinHash-LSH path (minhash_lsh_neardup / "
-                    "dedup_clusters_minhash) at this scale",
+                    f"candidate budget exceeded (%s > {budget}): {hint}",
                     F.col("_cand_budget"),
                 ),
             ),
@@ -124,6 +127,18 @@ def _guard_candidate_budget(sh: DataFrame) -> DataFrame:
         .drop("_g", "_cand_budget")
     )
     return checked
+
+
+def _guard_candidate_budget(sh: DataFrame) -> DataFrame:
+    """Shingle-key instance of the pair-budget guard for the exact
+    all-pairs Jaccard generators."""
+    return _pair_budget_guard(
+        sh,
+        "s",
+        _EXACT_PAIR_BUDGET,
+        "use the MinHash-LSH path (minhash_lsh_neardup / "
+        "dedup_clusters_minhash) at this scale",
+    )
 
 
 def _shingles(words_col):
@@ -626,6 +641,21 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_key"),
+    )
+    # Candidate budget (round 7, sf1→sf10 decade finding): on a CLOSED
+    # vocabulary the true Hamming ≤ 3 pair count itself grows ~n²
+    # (measured: 4.9k pairs at 50k docs → 426k at 500k — signature
+    # space saturates), so past a point no blocking scheme can stay
+    # subquadratic: the OUTPUT is quadratic.  Open-vocab corpora keep
+    # near-constant per-doc pair density and never hit this.  The guard
+    # converts the pathological case into a fast, explicit failure.
+    chunks = _pair_budget_guard(
+        chunks,
+        "chunk_key",
+        _SIMHASH_CAND_BUDGET,
+        "signature space is saturated (closed-vocab/boilerplate corpus) — "
+        "near-dup density makes even the true pair set quadratic here; "
+        "shard the corpus or dedup exact-first",
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -1347,6 +1377,97 @@ def segment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_occ.alias("n_dup_segments"),
             F.floor(10000.0 * dup_occ / F.count("*")).cast("bigint").alias("dup_rate_e4"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# L10b: segment-level dedup TRANSFORM (round 7) — the C4/CCNet "remove
+# duplicate lines across the corpus" cleaning step, not just the audit
+# (segment_dedup_report counts; this one rewrites).  Every exact 8-word
+# segment keeps only its FIRST occurrence in corpus order (doc_id, pos);
+# later occurrences are cut and each doc's text is rebuilt from its
+# surviving segments.
+#
+# Scale shape: the keeper per segment is min(doc_id·1000 + pos) via a
+# partial-aggregated groupBy on the segment — skew-proof for boilerplate
+# segments (no windows; same lesson as the round-7 shingle-guard fix).
+# The join back on the segment key is 1 keeper row : df occurrence rows
+# — linear.  Rebuild is one groupBy(doc_id) over surviving segments.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "segment_dedup_keep_first",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+seg AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(ws[(g.i-1)*{_SEG_WORDS}+1:g.i*{_SEG_WORDS}], ' ') AS seg
+  FROM w, unnest(range(1, CAST(len(ws) // {_SEG_WORDS} AS INT) + 1)) AS g(i)
+),
+keep AS (
+  SELECT seg, MIN(doc_id * 1000 + pos) AS keep_key FROM seg GROUP BY seg
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg
+  FROM seg s JOIN keep k ON s.seg = k.seg
+  WHERE s.doc_id * 1000 + s.pos = k.keep_key
+)
+SELECT doc_id,
+       COUNT(*) AS n_kept,
+       md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_hash
+FROM kept
+GROUP BY doc_id
+""",
+    tags=("dedup", "llm", "segments"),
+    doc=(
+        "L10: C4-style segment dedup transform — every exact 8-word "
+        "segment keeps only its first corpus occurrence (min doc_id, pos; "
+        "partial-agg argmin, no hot-segment window), docs rebuilt from "
+        "survivors.  Docs under 8 words have no segments and drop out."
+    ),
+)
+def segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
+        "doc_id", _words(F.col("text")).alias("ws")
+    )
+    k = _SEG_WORDS
+    n_full = F.floor(F.size("ws") / k).cast("int")
+    segs_arr = F.transform(
+        F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(F.col("ws"), (i - 1) * k + 1, k), " ").alias("seg")
+        ),
+    )
+    seg = w.select("doc_id", F.explode(segs_arr).alias("s")).select(
+        "doc_id", "s.pos", "s.seg"
+    )
+    # first-occurrence key per segment: partial-agg min — a boilerplate
+    # segment with df 10^8 still costs one combiner cell per task
+    keep = seg.groupBy("seg").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("keep_key")
+    )
+    kept = seg.join(keep, "seg").filter(
+        F.col("doc_id") * 1000 + F.col("pos") == F.col("keep_key")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
     )
 
 

@@ -576,7 +576,11 @@ FROM assigned a
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned = _semdedup_assign(spark, sf_dir)
+    # The assignment subtree is referenced three times (pair pass a/b +
+    # final labels); checkpoint it so the five-join two-level assignment
+    # runs ONCE (the neardup_triangles pattern).  The materialized state
+    # is n rows × (id, label, qv, nrm) — linear, spillable.
+    assigned = _semdedup_assign(spark, sf_dir).localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pair_cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
@@ -1438,4 +1442,121 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "covariance"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# L11e: embedding principal direction (round 7) — the dominant
+# eigenvector of the corpus second-moment matrix via two power
+# iterations, every step exact-integer or IEEE-primitive so both
+# engines emit bit-identical loadings.
+#
+# Pipeline: quantize at 1e4 (coarser than _qvec's 1e7 ON PURPOSE —
+# moment cells are Σ q_i·q_j over the corpus, and 1e4 keeps the exact
+# int64 sum safe to ~10⁹ vectors where 1e7 would overflow at ~10⁴);
+# per-vector 64×64 outer-product structs explode into a (i, j) hash
+# aggregate whose exchange carries 4096 cells per task, not the corpus
+# (the countmin/moment-matrix pattern); the matrix normalizes to a
+# 1e6 integer grid (FLOOR(x/max·1e6 + 0.5) — IEEE-deterministic, no
+# engine ROUND); each matvec is a 64-row broadcast join over the
+# 4096-cell matrix with exact bigint products; vectors re-quantize to
+# the same grid between iterations so products stay ≪ 2^63.
+# Sign/start: v0 = all-ones, so the converged sign is deterministic.
+# --------------------------------------------------------------------------
+
+_PCA_SCALE = 10_000
+_PCA_GRID = 1_000_000
+
+
+def _pca_quant(x):
+    """FLOOR(x/max·grid + 0.5) — deterministic re-quantization."""
+    return F.floor(
+        F.col(x).cast("double") / F.col("_m") * _PCA_GRID + F.lit(0.5)
+    ).cast("bigint")
+
+
+@register(
+    "embedding_principal_direction",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_PCA_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cells AS (
+  SELECT g.i, h.j, SUM(qv[g.i] * qv[h.j]) AS c
+  FROM q, unnest(range(1, 65)) AS g(i), unnest(range(1, 65)) AS h(j)
+  GROUP BY g.i, h.j
+),
+mc AS (SELECT MAX(ABS(c)) AS m FROM cells),
+covq AS (
+  SELECT i, j, CAST(FLOOR(CAST(c AS DOUBLE) / m * {_PCA_GRID} + 0.5) AS BIGINT) AS cq
+  FROM cells, mc
+),
+v1 AS (SELECT i, SUM(cq) AS v FROM covq GROUP BY i),
+m1 AS (SELECT MAX(ABS(v)) AS m FROM v1),
+v1q AS (
+  SELECT i AS j, CAST(FLOOR(CAST(v AS DOUBLE) / m * {_PCA_GRID} + 0.5) AS BIGINT) AS x
+  FROM v1, m1
+),
+v2 AS (SELECT covq.i, SUM(cq * x) AS v FROM covq JOIN v1q USING (j) GROUP BY covq.i),
+m2 AS (SELECT MAX(ABS(v)) AS m FROM v2)
+SELECT i AS dim, CAST(FLOOR(CAST(v AS DOUBLE) / m * {_PCA_GRID} + 0.5) AS BIGINT) AS loading
+FROM v2, m2
+""",
+    tags=("similarity", "llm", "embedding", "health"),
+    doc=(
+        "L11: dominant principal direction of the embedding second-moment "
+        "matrix — two exact-integer power iterations on a 1e6 grid "
+        "(collapsed/anisotropic-space detector; the direction every "
+        "whitening step removes first)."
+    ),
+)
+def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _PCA_SCALE + F.lit(0.5)).cast("bigint"),
+        ).alias("qv")
+    )
+    idx = F.sequence(F.lit(1), F.lit(_DIMS))
+    outer = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("qv"), i) * F.element_at(F.col("qv"), j)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        q.select(F.explode(outer).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("c"))
+    )
+    mc = cells.agg(F.max(F.abs(F.col("c"))).alias("_m"))
+    covq = cells.crossJoin(F.broadcast(mc)).select("i", "j", _pca_quant("c").alias("cq"))
+    v1 = covq.groupBy("i").agg(F.sum("cq").alias("v"))
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("_m"))
+    v1q = (
+        v1.crossJoin(F.broadcast(m1))
+        .select(F.col("i").alias("j"), _pca_quant("v").alias("x"))
+    )
+    v2 = (
+        covq.join(F.broadcast(v1q), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cq") * F.col("x")).alias("v"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("_m"))
+    return (
+        v2.crossJoin(F.broadcast(m2))
+        .select(F.col("i").alias("dim"), _pca_quant("v").alias("loading"))
     )

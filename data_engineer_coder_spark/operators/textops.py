@@ -485,6 +485,86 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# L4i': bigram LM score (round 7) — one order up from
+# unigram_logprob_score: each document scored by the mean conditional
+# log-probability ln P(w2|w1) = ln(c(w1,w2)/c(w1·)) of its adjacent
+# token pairs under the corpus bigram MLE.  Every scored bigram is in
+# the counts by construction, so MLE needs no smoothing here.  Catches
+# scrambled/word-soup text that unigram statistics cannot (all tokens
+# common, transitions improbable).
+#
+# Scale: two hash aggs build the LM (bigram counts + left-context
+# marginals over the ALREADY-AGGREGATED bigram table), the LM joins the
+# exploded bigram stream on the pair key; per-doc mean is one more hash
+# agg.  Determinism: counts exact ints; LN floored to the 1e-9 grid
+# (order-free integer sums) and the 6dp mean via the FLOOR(x+0.5)
+# micro-unit rounding both engines execute identically (the dsir
+# pattern — no engine ROUND on raw doubles).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_logprob_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+  FROM w, unnest(range(1, len(ws))) AS g(i)
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY w1),
+lm AS (
+  SELECT bc.w1, bc.w2,
+         CAST(FLOOR(LN(CAST(c2 AS DOUBLE) / c1) * 1e9) AS BIGINT) AS dq
+  FROM bc JOIN uc USING (w1)
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       FLOOR(SUM(dq) / (COUNT(*) * 1000.0) + 0.5) / 1e6 AS mean_logprob
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+""",
+    tags=("text", "llm", "quality"),
+    doc=(
+        "L4: mean bigram conditional log-probability per doc — the "
+        "transition-aware perplexity proxy (word-soup detector)."
+    ),
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("ws"), i).alias("w1"),
+            F.element_at(F.col("ws"), i + 1).alias("w2"),
+        ),
+    )
+    bg = w.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # marginals from the aggregated bigram table, never the token stream
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    dq = F.floor(F.log(F.col("c2").cast("double") / F.col("c1")) * 1e9).cast("bigint")
+    lm = bc.join(uc, "w1").select("w1", "w2", dq.alias("dq"))
+    micro = F.floor(F.sum("dq") / (F.count("*") * 1000.0) + 0.5)
+    return (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (micro / 1e6).alias("mean_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # L4j: span-corruption masking (T5-style denoising objective prep):
 # deterministically mask tokens, replace each with a numbered sentinel in
 # the input, and emit the (sentinel → original) sequence as the target.
@@ -1415,4 +1495,110 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L12b: Misra-Gries heavy hitters (round 7) — the mergeable frequent-
+# items sketch (Misra & Gries '82; merge rule: Agarwal et al. '13).
+# Per-shard MG summaries (k counters) run in applyInPandas over a
+# deterministic doc_id shard, merge in a second tiny stage (sum counters
+# → subtract the (k+1)-th largest → keep positives), and the merged
+# candidate set — GUARANTEED to contain every token with true count
+# > N/(k+1) — is exact-verified by a broadcast semi-join re-count that
+# touches only candidate terms.  The oracle is the plain exact top-10:
+# the sketch passes iff its candidates really did contain the heavy
+# hitters.  At 100 TB the full-vocab count this replaces is a
+# vocabulary-sized shuffle; the sketch's exchange is shards × k rows.
+# Determinism: stream order is pinned (sort by doc_id, pos inside each
+# shard), so the sketch state is reproducible run-to-run.
+# --------------------------------------------------------------------------
+
+_MG_K = 32
+_MG_SHARDS = 16
+_MG_TOP = 10
+
+
+def _mg_sketch_pdf(pdf):
+    """One shard's token stream → ≤ _MG_K (term, w) counters."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["doc_id", "pos"])  # pin stream order
+    counters: dict[str, int] = {}
+    for t in pdf["term"]:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < _MG_K:
+            counters[t] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return pd.DataFrame(
+        {"term": list(counters.keys()), "w": [int(v) for v in counters.values()]}
+    )
+
+
+def _mg_merge_pdf(pdf):
+    """Merge shard summaries: sum per term, then MG-reduce back to k."""
+    import pandas as pd
+
+    summed = pdf.groupby("term", as_index=False)["w"].sum()
+    if len(summed) > _MG_K:
+        cut = summed["w"].sort_values(ascending=False).iloc[_MG_K]
+        summed["w"] = summed["w"] - int(cut)
+        summed = summed[summed["w"] > 0]
+    return summed[["term", "w"]]
+
+
+@register(
+    "approx_topk_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+SELECT rank, term, cnt FROM (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM tf
+) WHERE rank <= {_MG_TOP}
+""",
+    tags=("text", "llm", "sketch", "approx"),
+    doc=(
+        "L12: Misra-Gries heavy-hitter top-10 — per-shard mergeable "
+        f"sketches (k={_MG_K}), exact re-count of candidates only.  The "
+        "oracle is the exact top-10: the gate passes iff the sketch's "
+        "guarantee (every token with count > N/(k+1) survives) held."
+    ),
+)
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).withColumn("shard", (F.col("doc_id") % _MG_SHARDS).cast("int"))
+    shard_sketches = tok.groupBy("shard").applyInPandas(
+        lambda pdf: _mg_sketch_pdf(pdf), "term string, w long"
+    )
+    merged = (
+        shard_sketches.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: _mg_merge_pdf(pdf), "term string, w long")
+    )
+    # exact verification pass touches candidate terms only (≤ k rows,
+    # broadcast): the final ranking uses TRUE counts, never sketch w
+    cand_counts = (
+        tok.join(F.broadcast(merged.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))  # ≤ k rows: tiny
+    return (
+        cand_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MG_TOP)
+        .select("rank", "term", "cnt")
     )

@@ -14,7 +14,10 @@ pre-cluster red flag: whatever curve shows at 600k→6M rows only gets
 worse at 100 TB.  Results print as one JSON line and a markdown table
 fragment for BASELINE.md.
 
-Usage: python scripts/scale_bench.py [small_dir big_dir [passes]]
+Usage: python scripts/scale_bench.py [small_dir big_dir [passes [only]]]
+       (``only`` = comma-separated query subset, e.g. the production
+       family for the sf1→sf10 decade where the sf-bounded exact
+       generators would trip their candidate-budget guard by design)
 """
 
 from __future__ import annotations
@@ -59,15 +62,18 @@ HEAVY = [
 ]
 
 
-def _time_queries(spark, sf_dir: str, passes: int) -> dict[str, float]:
+def _time_queries(spark, sf_dir: str, passes: int, names=None) -> dict[str, float]:
+    names = names or HEAVY
     qs = registry.queries()
     qs["pricing_summary"](spark, sf_dir).collect()  # JIT warmup
-    best = {n: float("inf") for n in HEAVY}
+    best = {n: float("inf") for n in names}
     for _ in range(passes):
-        for name in HEAVY:
+        for name in names:
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best[name] = min(best[name], time.time() - t0)
+            dt = time.time() - t0
+            best[name] = min(best[name], dt)
+            print(f"    [{sf_dir.split('/')[-1]}] {name}: {dt:.1f}s", flush=True)
             gc.collect()
     return best
 
@@ -76,11 +82,12 @@ def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "perfdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "perfdata/sf1"
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    names = sys.argv[4].split(",") if len(sys.argv) > 4 else HEAVY
     spark = get_spark("scale_bench", cpus="32", driver_memory="32g")
-    t_small = _time_queries(spark, small, passes)
-    t_big = _time_queries(spark, big, passes)
+    t_small = _time_queries(spark, small, passes, names)
+    t_big = _time_queries(spark, big, passes, names)
     rows = []
-    for name in HEAVY:
+    for name in names:
         ratio = t_big[name] / max(t_small[name], 1e-9)
         rows.append({
             "query": name,
@@ -92,7 +99,7 @@ def main() -> None:
     rows.sort(key=lambda r: -r["exponent"])
     print(json.dumps({"metric": "scale_curve", "small": small, "big": big, "rows": rows}))
     print()
-    print("| query | t(sf0.1) s | t(sf1) s | ratio | exponent |")
+    print(f"| query | t({small.split('/')[-1]}) s | t({big.split('/')[-1]}) s | ratio | exponent |")
     print("|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['query']} | {r['t_small']} | {r['t_big']} | {r['ratio']} | {r['exponent']} |")

@@ -1,0 +1,172 @@
+"""Round-7 operator tests: segment dedup transform, bigram LM score,
+Misra-Gries heavy hitters, principal-direction power iteration."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_coder_spark.io.tables import table
+
+
+def test_segment_dedup_keeps_each_distinct_segment_once(spark, sf_dir):
+    """Keep-first means every distinct 8-word segment survives EXACTLY
+    once corpus-wide: Σ n_kept == count(distinct segment)."""
+    from data_engineer_coder_spark.operators.dedup import (
+        _SEG_WORDS,
+        segment_dedup_keep_first,
+    )
+
+    out = segment_dedup_keep_first(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents")
+    k = _SEG_WORDS
+    ws = F.split("text", " ")
+    n_full = F.floor(F.size(ws) / k).cast("int")
+    segs = F.transform(
+        F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_join(F.slice(ws, (i - 1) * k + 1, k), " "),
+    )
+    n_distinct = (
+        docs.select(F.explode(segs).alias("seg")).select("seg").distinct().count()
+    )
+    assert int(out["n_kept"].sum()) == n_distinct
+
+
+def test_segment_dedup_clean_hash_for_undeduped_doc(spark, sf_dir):
+    """A doc whose segments are all first occurrences must hash to its
+    own full segment join."""
+    from data_engineer_coder_spark.operators.dedup import (
+        _SEG_WORDS,
+        segment_dedup_keep_first,
+    )
+
+    out = segment_dedup_keep_first(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = table(spark, sf_dir, "documents").toPandas().set_index("doc_id")
+    k = _SEG_WORDS
+    checked = 0
+    for doc_id, row in docs.iterrows():
+        words = row["text"].split(" ")
+        segs = [
+            " ".join(words[i * k : (i + 1) * k]) for i in range(len(words) // k)
+        ]
+        if not segs or doc_id not in out.index:
+            continue
+        if out.loc[doc_id, "n_kept"] == len(segs):  # nothing was cut
+            want = hashlib.md5(" ".join(segs).encode()).hexdigest()
+            assert out.loc[doc_id, "clean_hash"] == want
+            checked += 1
+        if checked >= 25:
+            break
+    assert checked > 0
+
+
+def test_bigram_logprob_bounds_and_counts(spark, sf_dir):
+    from data_engineer_coder_spark.operators.textops import bigram_logprob_score
+
+    out = bigram_logprob_score(spark, sf_dir).toPandas()
+    assert (out["mean_logprob"] <= 0).all()
+    docs = table(spark, sf_dir, "documents").toPandas()
+    n_words = docs.set_index("doc_id")["text"].str.split(" ").str.len()
+    for _, r in out.head(50).iterrows():
+        assert r["n_bigrams"] == n_words[r["doc_id"]] - 1
+
+
+def test_mg_sketch_guarantee_on_synthetic_zipf():
+    """Pure-pandas check of the sketch itself under real eviction (the
+    parquet fixture's 31-word vocab never evicts): every item with true
+    count > N/(k+1) must survive shard sketches + merge."""
+    from data_engineer_coder_spark.operators.textops import (
+        _MG_K,
+        _mg_merge_pdf,
+        _mg_sketch_pdf,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    terms = np.where(
+        rng.random(n) < 0.4,
+        rng.integers(0, 8, n),  # 8 heavy hitters share 40%
+        rng.integers(8, 5000, n),  # 5k-term tail
+    ).astype(str)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.integers(0, 1000, n),
+            "pos": np.arange(n),
+            "term": terms,
+            "shard": rng.integers(0, 16, n),
+        }
+    )
+    shards = pd.concat(
+        [_mg_sketch_pdf(g) for _, g in df.groupby("shard")], ignore_index=True
+    )
+    merged = _mg_merge_pdf(shards)
+    true_counts = df["term"].value_counts()
+    heavy = set(true_counts[true_counts > n / (_MG_K + 1)].index)
+    assert heavy, "fixture lost its heavy hitters"
+    missed = heavy - set(merged["term"])
+    assert not missed, f"MG guarantee violated: {missed}"
+
+
+def test_approx_topk_matches_exact_topk(spark, sf_dir):
+    from data_engineer_coder_spark.operators.textops import (
+        _MG_TOP,
+        approx_topk_tokens,
+    )
+
+    got = approx_topk_tokens(spark, sf_dir).toPandas()
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    want = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_MG_TOP)
+        .toPandas()
+    )
+    assert got.sort_values("rank")["term"].tolist() == want["term"].tolist()
+    assert got.sort_values("rank")["cnt"].tolist() == want["cnt"].tolist()
+
+
+def test_principal_direction_matches_numpy_replay(spark, sf_dir):
+    """Replicate the exact integer pipeline in numpy: identical loadings
+    (not approximately — bit-for-bit, that's the whole design)."""
+    from data_engineer_coder_spark.operators.similarity import (
+        _PCA_GRID,
+        _PCA_SCALE,
+        embedding_principal_direction,
+    )
+
+    out = (
+        embedding_principal_direction(spark, sf_dir)
+        .toPandas()
+        .sort_values("dim")["loading"]
+        .to_numpy()
+    )
+    emb = np.array(
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    q = np.floor(emb * _PCA_SCALE + 0.5).astype(np.int64)
+    cells = q.T @ q  # exact in int64 at fixture scale
+    m = np.abs(cells).max()
+    covq = np.floor(cells.astype(np.float64) / m * _PCA_GRID + 0.5).astype(np.int64)
+    v1 = covq.sum(axis=1)
+    v1q = np.floor(v1.astype(np.float64) / np.abs(v1).max() * _PCA_GRID + 0.5).astype(
+        np.int64
+    )
+    v2 = covq @ v1q
+    v2q = np.floor(v2.astype(np.float64) / np.abs(v2).max() * _PCA_GRID + 0.5).astype(
+        np.int64
+    )
+    assert out.tolist() == v2q.tolist()
+    assert np.abs(out).max() == _PCA_GRID  # the peak dim sits on the grid edge
