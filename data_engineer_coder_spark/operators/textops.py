@@ -1602,3 +1602,71 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MG_TOP)
         .select("rank", "term", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# L4s: per-source token-distribution KL divergence (round 7) — the data-
+# mixing health metric: KL(P_source ‖ P_corpus) in nats says how far each
+# source's unigram distribution sits from the blend the model will see
+# (0 = indistinguishable; the sources worth up/down-weighting rank
+# first).  Every source term exists in the corpus by construction, so
+# MLE needs no smoothing.  Exactness: KL·N_s = Σ_t c_s(t)·[ln p_s −
+# ln p_c] with both logs floored to the 1e-9 grid — the weighted sum is
+# an exact integer — and the final per-token value uses the FLOOR(x+0.5)
+# micro-unit rounding.  Shape: two hash aggs over (source, term) — the
+# same vocabulary-sized relations tf-idf builds — nothing corpus-sized
+# crosses the wire.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_token_kl",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+sc AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+st AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+cc AS (SELECT term, SUM(c) AS cc FROM sc GROUP BY term),
+ct AS (SELECT SUM(cc) AS n FROM cc),
+terms AS (
+  SELECT sc.source, st.n, sc.c,
+         FLOOR(LN(CAST(sc.c AS DOUBLE) / st.n) * 1e9)
+           - FLOOR(LN(CAST(cc.cc AS DOUBLE) / ct.n) * 1e9) AS dq
+  FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       FLOOR(SUM(c * dq) / (MAX(n) * 1000.0) + 0.5) / 1e6 AS kl_nats
+FROM terms
+GROUP BY source
+""",
+    tags=("text", "llm", "quality", "mixing"),
+    doc=(
+        "L4: KL(source ‖ corpus) over unigram distributions per source — "
+        "the mixing-health metric; 1e-9 ln grid, exact integer weighted "
+        "sum, micro-unit rounding."
+    ),
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    sc = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    cc = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("nc"))
+    dq = (
+        F.floor(F.log(F.col("c").cast("double") / F.col("n")) * 1e9)
+        - F.floor(F.log(F.col("cc").cast("double") / F.col("nc")) * 1e9)
+    ).cast("bigint")
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "term")
+        .crossJoin(F.broadcast(ct))
+        .select("source", "n", "c", dq.alias("dq"))
+    )
+    micro = F.floor(F.sum(F.col("c") * F.col("dq")) / (F.max("n") * 1000.0) + 0.5)
+    return terms.groupBy("source").agg(
+        F.max("n").alias("n_tokens"),
+        (micro / 1e6).alias("kl_nats"),
+    )

@@ -160,3 +160,32 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     return _stream_parquet(spark, sf_dir, "documents.parquet", schema)
+
+
+def write_stream_exactly_once(
+    sdf: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    checkpoint: str | None = None,
+):
+    """T8b (round 7): EXACTLY-ONCE streaming parquet sink.
+
+    ``foreachBatch`` is at-least-once — after a crash between the batch
+    function and the checkpoint commit, Spark replays the epoch and a
+    plain parquet append duplicates it (the streaming version of the
+    reference's rerun-append bug, ``my_data_pipeline.py:106-115``).
+    Routing each micro-batch through the ACID table's
+    ``replace_partitions`` with ``txid = epoch id`` closes the gap: the
+    manifest's committed-txid set makes the replayed epoch a no-op, so
+    the sink is exactly-once end-to-end with nothing but parquet +
+    atomic rename underneath (tests/test_streaming.py replays an epoch
+    to prove it).
+    """
+    from ..io.acid_table import replace_partitions
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        replace_partitions(df, root, partition_cols, f"epoch-{epoch_id}")
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

@@ -203,3 +203,40 @@ def test_stream_documents_directory_layout(spark, sf_dir, tmp_path):
         stream_documents(spark, corpus).groupBy().count(), "complete"
     )
     assert out.collect()[0][0] == docs.count()
+
+
+def test_stream_exactly_once_sink_survives_epoch_replay(spark, sf_dir):
+    """T8b: the ACID-table foreachBatch sink must make a replayed epoch a
+    no-op (at-least-once foreachBatch + txid idempotence = exactly-once).
+    Run the stream, capture an epoch's batch, re-commit it manually (the
+    crash-replay), and assert the table is unchanged — then compare the
+    final table against the batch source."""
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.streaming.core import (
+        stream_documents,
+        write_stream_exactly_once,
+    )
+
+    root = os.path.join(tempfile.mkdtemp(prefix="eos_"), "t")
+    src = stream_documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    q = write_stream_exactly_once(src, root, ["lang"])
+    q.awaitTermination(300)
+
+    man = current_manifest(root)
+    assert man["txids"], "stream committed no epochs"
+    n_before = read_table(spark, root).count()
+    v_before = man["version"]
+
+    # crash-replay: re-commit epoch 0's logical write with the same txid
+    batch = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    replace_partitions(batch, root, ["lang"], man["txids"][0])
+    man2 = current_manifest(root)
+    assert man2["version"] == v_before  # no new commit
+    assert read_table(spark, root).count() == n_before  # no duplicates
+
+    got = read_table(spark, root).select("doc_id", "lang", "n_chars")
+    assert _sorted_rows(got) == _sorted_rows(batch)
