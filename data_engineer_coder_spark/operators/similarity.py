@@ -1543,7 +1543,14 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("p").alias("c"))
     )
     mc = cells.agg(F.max(F.abs(F.col("c"))).alias("_m"))
-    covq = cells.crossJoin(F.broadcast(mc)).select("i", "j", _pca_quant("c").alias("cq"))
+    # covq is referenced by both matvecs (and transitively by the output)
+    # — checkpoint the 4096-row matrix so the n×4096 moment pass runs
+    # ONCE instead of once per reference.
+    covq = (
+        cells.crossJoin(F.broadcast(mc))
+        .select("i", "j", _pca_quant("c").alias("cq"))
+        .localCheckpoint(eager=False)
+    )
     v1 = covq.groupBy("i").agg(F.sum("cq").alias("v"))
     m1 = v1.agg(F.max(F.abs(F.col("v"))).alias("_m"))
     v1q = (

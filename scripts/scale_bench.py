@@ -59,6 +59,12 @@ HEAVY = [
     "semdedup_prune",
     "pii_redact",
     "dedup_clusters_minhash",
+    # round 7 additions
+    "segment_dedup_keep_first",
+    "bigram_logprob_score",
+    "approx_topk_tokens",
+    "embedding_principal_direction",
+    "source_token_kl",
 ]
 
 
