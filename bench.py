@@ -108,6 +108,13 @@ HEADLINE = [
     "pii_redact",
     "dsir_importance_weights",
     "corpus_shuffle_order",
+    # round 7: segment-dedup transform, bigram LM, MG heavy hitters,
+    # integer power-iteration PCA, per-source KL mixing metric
+    "segment_dedup_keep_first",
+    "bigram_logprob_score",
+    "approx_topk_tokens",
+    "embedding_principal_direction",
+    "source_token_kl",
     "dedup_clusters_minhash",
 ]
 

@@ -129,16 +129,6 @@ def _pair_budget_guard(df: DataFrame, key: str, budget: int, hint: str) -> DataF
     return checked
 
 
-def _guard_candidate_budget(sh: DataFrame) -> DataFrame:
-    """Shingle-key instance of the pair-budget guard for the exact
-    all-pairs Jaccard generators."""
-    return _pair_budget_guard(
-        sh,
-        "s",
-        _EXACT_PAIR_BUDGET,
-        "use the MinHash-LSH path (minhash_lsh_neardup / "
-        "dedup_clusters_minhash) at this scale",
-    )
 
 
 def _shingles(words_col):
@@ -310,14 +300,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _drop_frequent_shingles).  Then an explicit repartition on s so
     # both sides of the self-join below are co-partitioned and the join
     # adds no further exchange (verified in tests/test_scale.py).
-    sh = _drop_frequent_shingles(sh)
     # Candidate-budget gate: exact all-pairs Jaccard is Θ(Σ df²) — the
     # ground-truth generator for the recall gates, NEVER the production
     # path (that's minhash_lsh_neardup).  The in-plan guard fails fast
     # if the surviving shingle frequencies imply more candidate pairs
     # than _EXACT_PAIR_BUDGET, so this op cannot be pointed at corpus
-    # scale by accident (tests/test_operators.py exercises the trip).
-    sh = _guard_candidate_budget(sh)
+    # scale by accident (tests exercise the trip).  The exploded shingle
+    # stream is checkpointed so the df-count pass and the join sides read
+    # one materialization instead of re-running the explode (the naive
+    # two-pass guard cost 1.5× on this query's bench row).
+    sh = sh.localCheckpoint(eager=False)
+    counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    freq = counts.filter(F.col("_df") > _SHINGLE_DF_CAP).select("s")
+    budget_row = counts.filter(F.col("_df") <= _SHINGLE_DF_CAP).agg(
+        F.coalesce(
+            F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
+        ).alias("_cand_budget")
+    )
+    sh = (
+        sh.join(F.broadcast(freq), "s", "left_anti")
+        .crossJoin(F.broadcast(budget_row))
+        .withColumn(
+            "_g",
+            F.assert_true(
+                F.col("_cand_budget") <= F.lit(float(_EXACT_PAIR_BUDGET)),
+                F.format_string(
+                    f"candidate budget exceeded (%s > {_EXACT_PAIR_BUDGET}): "
+                    "use the MinHash-LSH path (minhash_lsh_neardup / "
+                    "dedup_clusters_minhash) at this scale",
+                    F.col("_cand_budget"),
+                ),
+            ),
+        )
+        .filter(F.col("_g").isNull())
+        .drop("_g", "_cand_budget")
+    )
     sh = sh.repartition(shuffle_parts(docs), F.col("s"))
     a = sh.alias("a")
     b = sh.alias("b")
