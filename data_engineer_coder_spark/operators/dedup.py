@@ -305,11 +305,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path (that's minhash_lsh_neardup).  The in-plan guard fails fast
     # if the surviving shingle frequencies imply more candidate pairs
     # than _EXACT_PAIR_BUDGET, so this op cannot be pointed at corpus
-    # scale by accident (tests exercise the trip).  The exploded shingle
-    # stream is checkpointed so the df-count pass and the join sides read
-    # one materialization instead of re-running the explode (the naive
-    # two-pass guard cost 1.5× on this query's bench row).
-    sh = sh.localCheckpoint(eager=False)
+    # scale by accident (tests exercise the trip).  Layout: repartition
+    # on s FIRST, then derive the df counts, the frequent set, and the
+    # budget from the repartitioned stream — ReuseExchange makes every
+    # consumer (counts, budget, both self-join sides) read the ONE
+    # shuffle the old count-window paid, with partial-agg counts instead
+    # of a hot-key window (no straggler, no second explode pass).
+    sh = sh.repartition(shuffle_parts(docs), F.col("s"))
     counts = sh.groupBy("s").agg(F.count("*").alias("_df"))
     freq = counts.filter(F.col("_df") > _SHINGLE_DF_CAP).select("s")
     budget_row = counts.filter(F.col("_df") <= _SHINGLE_DF_CAP).agg(
@@ -335,7 +337,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_g").isNull())
         .drop("_g", "_cand_budget")
     )
-    sh = sh.repartition(shuffle_parts(docs), F.col("s"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
