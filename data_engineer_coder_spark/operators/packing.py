@@ -401,3 +401,104 @@ def packing_boundary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boundary_rate_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mix allocation under a token budget — UniMax (Chung et al. 2023,
+# arXiv:2304.09151): give every source as uniform a share as possible,
+# capped at E epochs of its own data; the budget freed by capped (small)
+# sources waterfills into the rest.  Closed form, no iteration: sort
+# sources ascending by cap, take caps while cap_i ≤ θ_i =
+# ⌊(B − Σ smaller caps) / #remaining⌋ (θ is non-decreasing along that
+# prefix, so the first violation is THE water level), then every
+# remaining source gets θ at the switch point.  All integer math over
+# the ~|sources| aggregate — the windows run on rows-per-source, never
+# corpus rows.
+# --------------------------------------------------------------------------
+
+_UNIMAX_EPOCHS = 1  # per-source cap = E × its tokens
+# budget = ⌊0.8 × corpus tokens⌋ — under Σcaps, so the waterfill engages
+
+
+@register(
+    "unimax_allocation",
+    oracle="""
+WITH t AS (
+  SELECT source, CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT source, tokens, tokens AS cap,
+         CAST(FLOOR(SUM(tokens) OVER () * 8 / 10) AS BIGINT) AS b,
+         ROW_NUMBER() OVER (ORDER BY tokens, source) AS rn,
+         COUNT(*) OVER () AS n,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+  FROM t
+),
+th AS (
+  SELECT *, CAST(FLOOR(GREATEST(b - prefix, 0) / (n - rn + 1.0)) AS BIGINT) AS theta
+  FROM g
+),
+sw AS (
+  SELECT MIN(rn) AS srn, arg_min(theta, rn) AS stheta FROM th WHERE cap > theta
+)
+SELECT source, tokens,
+       CASE WHEN rn < srn THEN cap ELSE stheta END AS allocation,
+       CAST(FLOOR(CASE WHEN rn < srn THEN cap ELSE stheta END * 10000.0 / tokens)
+            AS BIGINT) AS epochs_e4
+FROM th CROSS JOIN sw
+""",
+    tags=("packing", "llm", "mix"),
+    doc=(
+        "UniMax mix allocation: uniform token budget waterfill capped at "
+        f"{_UNIMAX_EPOCHS} epoch(s) per source (closed-form water level, "
+        "exact integers; budget = 0.8 of corpus tokens)."
+    ),
+)
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents").select("source", "text"))
+    t = docs.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("tokens"))
+    cap = (F.col("tokens") * _UNIMAX_EPOCHS).alias("cap")
+    # windows over the per-source aggregate (~|sources| rows — tiny)
+    w = Window.orderBy("tokens", "source")
+    g = t.select(
+        "source",
+        "tokens",
+        cap,
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.coalesce(
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix"),
+        F.floor(
+            F.sum("tokens").over(Window.partitionBy()) * 8 / 10
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    th = g.withColumn(
+        "theta",
+        F.floor(
+            F.greatest(F.col("b") - F.col("prefix"), F.lit(0))
+            / (F.col("n") - F.col("rn") + 1.0)
+        ).cast("bigint"),
+    )
+    sw = (
+        th.filter(F.col("cap") > F.col("theta"))
+        .agg(F.min("rn").alias("srn"), F.min_by("theta", "rn").alias("stheta"))
+    )
+    alloc = F.when(F.col("rn") < F.col("srn"), F.col("cap")).otherwise(F.col("stheta"))
+    return (
+        th.crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "tokens",
+            alloc.alias("allocation"),
+            F.floor(alloc * 10000.0 / F.col("tokens")).cast("bigint").alias("epochs_e4"),
+        )
+    )

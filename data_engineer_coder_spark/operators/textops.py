@@ -1670,3 +1670,82 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_tokens"),
         (micro / 1e6).alias("kl_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4t: CCNet-style perplexity buckets (Wenzek et al. 2020) — per
+# language, rank documents by LM score and split into head/middle/tail
+# terciles; CCNet keeps head+middle for training and audits tail.
+# Score = the unigram mean logprob in exact micro-nat units (the
+# 1e-9 ln grid summed exactly, FLOOR(x+0.5) micro rounding), so the
+# NTILE ordering — (score desc, doc_id) — is total and engine-portable.
+# Shape: tf join + per-doc agg (the unigram_logprob plan) + a per-lang
+# window over doc-level rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT SUM(cnt) AS n FROM tf),
+doc AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / n) * 1e9) AS BIGINT))
+                    / (COUNT(*) * 1000.0) + 0.5) AS BIGINT) AS score_micro
+  FROM tok JOIN tf USING (term) CROSS JOIN total
+  GROUP BY doc_id, lang
+),
+b AS (
+  SELECT lang, score_micro,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY score_micro DESC, doc_id) AS tercile
+  FROM doc
+)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(FLOOR(SUM(score_micro) / (COUNT(*) * 1.0)) AS BIGINT) AS avg_score_micro
+FROM b
+GROUP BY lang, tercile
+""",
+    tags=("text", "llm", "quality"),
+    doc=(
+        "L4: CCNet head/middle/tail perplexity terciles per language — "
+        "unigram LM score in exact micro-nats, NTILE over a total "
+        "ordering (head = best-scoring third)."
+    ),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    lp_q = F.floor(F.log(F.col("cnt").cast("double") / F.col("n")) * 1e9).cast("bigint")
+    doc = (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(F.sum(lp_q) / (F.count("*") * 1000.0) + 0.5)
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    b = doc.withColumn("tercile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return b.groupBy("lang", "tercile").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sum("score_micro") / (F.count("*") * 1.0))
+        .cast("bigint")
+        .alias("avg_score_micro"),
+    ).select("lang", bucket.alias("bucket"), "n_docs", "avg_score_micro")

@@ -170,3 +170,45 @@ def test_principal_direction_matches_numpy_replay(spark, sf_dir):
     )
     assert out.tolist() == v2q.tolist()
     assert np.abs(out).max() == _PCA_GRID  # the peak dim sits on the grid edge
+
+
+def test_unimax_allocation_waterfill_invariants(spark, sf_dir):
+    """Σ allocation ≤ budget with only flooring slack (< #sources), no
+    source exceeds its cap, capped sources are exactly the ones under
+    the water level."""
+    from data_engineer_coder_spark.operators.packing import (
+        _UNIMAX_EPOCHS,
+        unimax_allocation,
+    )
+
+    out = unimax_allocation(spark, sf_dir).toPandas()
+    assert (out["allocation"] <= out["tokens"] * _UNIMAX_EPOCHS).all()
+    total = int(out["tokens"].sum())
+    budget = total * 8 // 10
+    allocated = int(out["allocation"].sum())
+    assert allocated <= budget
+    # θ = floor(avail/r) ⇒ slack = avail − θ·r < r ≤ #sources
+    assert budget - allocated < len(out)
+    # uncapped sources all share one water level
+    uncapped = out[out["allocation"] < out["tokens"] * _UNIMAX_EPOCHS]
+    assert uncapped["allocation"].nunique() == 1
+    theta = int(uncapped["allocation"].iloc[0])
+    capped = out[out["allocation"] == out["tokens"] * _UNIMAX_EPOCHS]
+    assert (capped["tokens"] * _UNIMAX_EPOCHS <= theta).all()
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
+    from data_engineer_coder_spark.operators.textops import ccnet_perplexity_buckets
+    from data_engineer_coder_spark.io.tables import table as t
+
+    out = ccnet_perplexity_buckets(spark, sf_dir).toPandas()
+    docs = t(spark, sf_dir, "documents").groupBy("lang").count().toPandas()
+    per_lang = out.groupby("lang")["n_docs"].sum().to_dict()
+    for _, r in docs.iterrows():
+        assert per_lang[r["lang"]] == r["count"]
+    for lang, grp in out.groupby("lang"):
+        assert set(grp["bucket"]) == {"head", "middle", "tail"}
+        assert grp["n_docs"].max() - grp["n_docs"].min() <= 1  # NTILE balance
+        # head scores above tail
+        h = grp.set_index("bucket")["avg_score_micro"]
+        assert h["head"] >= h["middle"] >= h["tail"]
