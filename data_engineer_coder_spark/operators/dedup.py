@@ -363,25 +363,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "minhash_lsh_neardup",
-    # Full replay of the banded search: the md5-derived shingle hash is
-    # bit-identical in both engines, every (a·h+b) mod p term fits int64
-    # (a, h < 2^31 → product < 2^62), and band keys are the same
-    # underscore-joined strings — so DuckDB rebuilds the EXACT signatures,
-    # candidates, and verified pairs, and the driver value-hashes them.
-    oracle=_SHINGLE_SQL
-    + _MINHASH_PAIR_CTES
-    + "SELECT doc_a, doc_b, jaccard FROM mh_sel",
-    tags=("dedup", "llm", "approx"),
-    doc=(
-        "L2: MinHash(32 perms over md5-derived shingle hashes) + LSH"
-        "(8 bands × 4) candidates, exact-Jaccard verified ≥ 0.5.  The "
-        "100 TB path: candidates ∝ true pairs, never O(n²).  Fully "
-        "deterministic and engine-portable → value-hash oracle-checked."
-    ),
-)
-def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_prep(spark: SparkSession, sf_dir: str):
+    """(words DF, capped shingle stream, wide signature DF) — shared by
+    the near-dup search and the round-7 estimator-calibration audit."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     w = (
         docs.repartition(shuffle_parts(docs), F.col("doc_id"))  # explicit n: parallel AND AQE-stable
@@ -412,6 +396,29 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_K)
         ]
     )
+    return w, sh, sig
+
+
+@register(
+    "minhash_lsh_neardup",
+    # Full replay of the banded search: the md5-derived shingle hash is
+    # bit-identical in both engines, every (a·h+b) mod p term fits int64
+    # (a, h < 2^31 → product < 2^62), and band keys are the same
+    # underscore-joined strings — so DuckDB rebuilds the EXACT signatures,
+    # candidates, and verified pairs, and the driver value-hashes them.
+    oracle=_SHINGLE_SQL
+    + _MINHASH_PAIR_CTES
+    + "SELECT doc_a, doc_b, jaccard FROM mh_sel",
+    tags=("dedup", "llm", "approx"),
+    doc=(
+        "L2: MinHash(32 perms over md5-derived shingle hashes) + LSH"
+        "(8 bands × 4) candidates, exact-Jaccard verified ≥ 0.5.  The "
+        "100 TB path: candidates ∝ true pairs, never O(n²).  Fully "
+        "deterministic and engine-portable → value-hash oracle-checked."
+    ),
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, sh, sig = _minhash_prep(spark, sf_dir)
     # LSH bands: one row per (doc, band), key = concatenated band minima.
     band_rows = sig.select(
         "doc_id",
@@ -1764,4 +1771,70 @@ def normalization_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("h_raw").alias("n_distinct_raw"),
         F.count_distinct("h_norm").alias("n_distinct_norm"),
         (F.count_distinct("h_raw") - F.count_distinct("h_norm")).alias("dedup_gain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L2b'': MinHash estimator calibration (round 7) — for each verified
+# near-dup pair, compare the SKETCH's Jaccard estimate (matching
+# signature minima / K; E[est] = J, Broder '97) against the exact
+# capped-set Jaccard the verification already computed.  The audit a
+# production pipeline runs before trusting signature-only shortcuts
+# (e.g. skipping exact verification above a sketch threshold): if
+# |est − exact| drifts beyond the binomial band, the hash family or
+# the band parameters are broken.  All integer outputs: exact Jaccard
+# is a correctly-rounded double of integer ratios → FLOOR(j·1e6) is
+# engine-identical; the estimate is matches × 1e6/K exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle=_SHINGLE_SQL
+    + _MINHASH_PAIR_CTES
+    + f""",
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         COUNT(CASE WHEN a.m = b.m THEN 1 END) AS matches
+  FROM mh_sel p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b AND b.j = a.j
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(jaccard * 1e6) AS BIGINT) AS jaccard_e6,
+       CAST(matches * {10**6 // _K} AS BIGINT) AS est_e6,
+       CAST(ABS(CAST(FLOOR(jaccard * 1e6) AS BIGINT)
+                - matches * {10**6 // _K}) AS BIGINT) AS abs_err_e6
+FROM est
+""",
+    tags=("dedup", "llm", "approx", "quality"),
+    doc=(
+        "L2 calibration audit: per verified near-dup pair, the MinHash "
+        f"signature Jaccard estimate (matching minima / {_K}) vs the "
+        "exact capped-set Jaccard, with the absolute error — the check "
+        "run before trusting signature-only thresholds."
+    ),
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, sig = _minhash_prep(spark, sf_dir)
+    pairs = minhash_lsh_neardup(spark, sf_dir)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(_K)
+    )
+    unit = 10**6 // _K
+    jac_e6 = F.floor(F.col("jaccard") * 1e6).cast("bigint")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jac_e6.alias("jaccard_e6"),
+            (matches * unit).cast("bigint").alias("est_e6"),
+            F.abs(jac_e6 - matches * unit).cast("bigint").alias("abs_err_e6"),
+        )
     )

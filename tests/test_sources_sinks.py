@@ -633,3 +633,17 @@ def test_acid_manifest_prune_and_vacuum(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, "_staging", "tx1"))
     got = read_table(spark, root).toPandas()
     assert sorted(got["v"].tolist()) == [2.0, 7.0]
+
+
+def test_acid_commit_version_race_rebases(tmp_path):
+    """Two writers claiming the same manifest version must not clobber:
+    os.link fails with EEXIST and the loser rebases onto the next
+    version number."""
+    from data_engineer_coder_spark.io.acid_table import _commit, current_manifest
+
+    root = str(tmp_path / "t")
+    _commit(root, {"version": 1, "partitions": {}, "txids": ["a"]})
+    _commit(root, {"version": 1, "partitions": {}, "txids": ["b"]})  # the race
+    man = current_manifest(root)
+    assert man["version"] == 2
+    assert man["txids"] == ["b"]
