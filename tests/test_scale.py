@@ -263,3 +263,32 @@ def test_semdedup_assignment_is_two_level(spark, sf_dir):
     assert nlj <= 5, plan
     # the fine argmax must arrive via an equi-join on coarse_id
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_heavy_family_plans_stay_clean(spark, sf_dir):
+    """Round 7: enforce the PLANS.md audit rules in CI for the heavy
+    operator family (the full-registry audit runs via
+    scripts/audit_plans.py per round; this keeps the expensive queries
+    honest BETWEEN rounds): no cartesian products, no row-at-a-time
+    Python eval, and filter pushdown wherever a plan reads parquet with
+    filters."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+    )
+    from audit_plans import audit
+    from scale_bench import HEAVY
+
+    from data_engineer_coder_spark.registry import all_queries
+
+    specs = all_queries()
+    bad = {}
+    for name in HEAVY:
+        df = specs[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit(name, plan)
+        if a["flags"] != "—":
+            bad[name] = a["flags"]
+    assert not bad, bad
