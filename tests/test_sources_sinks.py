@@ -647,3 +647,74 @@ def test_acid_commit_version_race_rebases(tmp_path):
     man = current_manifest(root)
     assert man["version"] == 2
     assert man["txids"] == ["b"]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    """Z-order vs single-column sort, measured on the actual parquet
+    footers: under an x-only sort the per-file y-range spans ~the whole
+    domain (zero skip power on y); under Z-order every file covers a
+    small rectangle, so BOTH columns' per-file spans shrink — the
+    multi-dimension file-skipping property.  Also checks the Morton
+    value round-trips next to a python reference."""
+    import glob
+
+    import pyarrow.parquet as apq
+
+    from data_engineer_coder_spark.sinks import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+        zorder_value,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y")
+    )
+    n_files = 16
+    base = tempfile.mkdtemp(prefix="zorder_")
+    write_clustered_parquet(li, f"{base}/xsort", ["x"], num_files=n_files)
+    write_zordered_parquet(li, f"{base}/zord", "x", "y", num_files=n_files)
+
+    def mean_span(root, col):
+        spans = []
+        for f in glob.glob(f"{root}/*.parquet"):
+            md = apq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    domain_y = mean_span(f"{base}/xsort", "y")  # ≈ full domain per file
+    z_y = mean_span(f"{base}/zord", "y")
+    z_x = mean_span(f"{base}/zord", "x")
+    x_x = mean_span(f"{base}/xsort", "x")
+    # z-order shrinks y spans by at least 2x vs the x-sorted layout...
+    assert z_y < domain_y / 2, (z_y, domain_y)
+    # ...while keeping x spans within 8x of the dedicated x sort
+    assert z_x < 8 * max(x_x, 1), (z_x, x_x)
+
+    # Morton reference check on a few values
+    rows = (
+        spark.range(0, 4)
+        .select(
+            F.col("id").alias("x"),
+            (F.col("id") * 2 + 1).alias("y"),
+            zorder_value(F.col("id"), F.col("id") * 2 + 1).alias("z"),
+        )
+        .collect()
+    )
+
+    def morton(x, y, bits=21):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"])
