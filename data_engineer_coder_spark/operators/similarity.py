@@ -1513,6 +1513,18 @@ FROM v2, m2
     ),
 )
 def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    covq, v2 = _pca_matrix_and_v2(spark, sf_dir)
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("_m"))
+    return (
+        v2.crossJoin(F.broadcast(m2))
+        .select(F.col("i").alias("dim"), _pca_quant("v").alias("loading"))
+    )
+
+
+def _pca_matrix_and_v2(spark: SparkSession, sf_dir: str):
+    """(quantized 4096-cell moment matrix, un-normalized second power
+    iterate) — shared by the principal-direction op and the round-7
+    anisotropy score."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select(
         F.transform(
@@ -1562,8 +1574,275 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("i")
         .agg(F.sum(F.col("cq") * F.col("x")).alias("v"))
     )
-    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("_m"))
+    return covq, v2
+
+
+# --------------------------------------------------------------------------
+# L2/L3b: SemDeDup, TRUE keep-first greedy (round 7, closing ADVICE r6
+# item 1) — semdedup_prune's order-free rule drops any vector with ANY
+# smaller-id neighbor at cos ≥ τ, including neighbors that were
+# themselves dropped (transitive suppression; a–b–c chains drop both b
+# and c).  This variant implements the paper's sequential greedy
+# exactly: scan each cluster's members in id order and drop a vector
+# only if it has a KEPT smaller-id neighbor — c survives the a–b–c
+# chain.  Greedy keeps ⊇ prune keeps, always (tests assert it).
+#
+# Per-cluster sequential state is the textbook cogroup-applyInPandas
+# case: clusters are bounded (~125 members by K ∝ n), so the pandas
+# greedy is O(members + pairs) per group and the shuffle carries only
+# (cluster → members, cluster → pairs).  The DuckDB oracle replays the
+# scan as a recursive CTE whose per-cluster state row carries the
+# kept-list (one row per cluster per rank — Σ cluster-size iterations).
+# --------------------------------------------------------------------------
+
+
+def _semdedup_greedy_pdf(members, pairs):
+    """cogroup(fn): one cluster's members + its cos≥τ pairs → kept flags."""
+    import pandas as pd
+
+    ids = sorted(members["vec_id"].tolist())
+    nbrs: dict[int, set[int]] = {}
+    for u, v in zip(pairs["u"], pairs["v"]):
+        nbrs.setdefault(int(v), set()).add(int(u))
+    kept: set[int] = set()
+    for v in ids:
+        if not (nbrs.get(v, set()) & kept):
+            kept.add(v)
+    cid = int(members["centroid_id"].iloc[0])
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster_id": [cid] * len(ids),
+            "kept": [v in kept for v in ids],
+        }
+    )
+
+
+@register(
+    "semdedup_greedy_keep_first",
+    oracle=f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+params AS (
+  SELECT k, CAST(CEIL(k / CEIL(SQRT(k))) AS BIGINT) AS stride FROM (
+    SELECT GREATEST({_IVF_K}, CAST(CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0) AS BIGINT)) AS k FROM n
+  )
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n, params
+  WHERE vec_id >= 100 AND vec_id < 100 + params.k
+),
+coarse AS (
+  SELECT centroid_id AS coarse_id, cqv AS gqv, cnrm AS gnrm FROM cents, params
+  WHERE (centroid_id - 100) % params.stride = 0
+),
+cent2coarse AS (
+  SELECT centroid_id, cqv, cnrm, coarse_id FROM (
+    SELECT c.centroid_id, c.cqv, c.cnrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.centroid_id
+             ORDER BY CAST({_SQL_DOT.format(a='c.cqv', b='g.gqv')} AS DOUBLE)
+                        / (SQRT(CAST(c.cnrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
+                      g.coarse_id
+           ) AS rn
+    FROM cents c CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+vec2coarse AS (
+  SELECT vec_id, qv, nrm, coarse_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='g.gqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
+                      g.coarse_id
+           ) AS rn
+    FROM n CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, centroid_id FROM (
+    SELECT v.vec_id, v.qv, v.nrm, cc.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='v.qv', b='cc.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(v.nrm AS DOUBLE)) * SQRT(CAST(cc.cnrm AS DOUBLE))) DESC,
+                      cc.centroid_id
+           ) AS rn
+    FROM vec2coarse v JOIN cent2coarse cc ON v.coarse_id = cc.coarse_id
+  ) WHERE rn = 1
+),
+mem AS (
+  SELECT centroid_id AS c, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS r
+  FROM assigned
+),
+prs AS (
+  SELECT a.centroid_id AS c, a.vec_id AS u, b.vec_id AS v
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+          / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) >= {_SEMDEDUP_TAU}
+),
+walk AS (
+  SELECT c, r, [vec_id] AS kept_list FROM mem WHERE r = 1
+  UNION ALL
+  SELECT w.c, w.r + 1,
+         CASE WHEN EXISTS (
+                SELECT 1 FROM prs p
+                WHERE p.c = w.c AND p.v = m2.vec_id
+                  AND list_contains(w.kept_list, p.u))
+              THEN w.kept_list
+              ELSE list_append(w.kept_list, m2.vec_id) END
+  FROM walk w JOIN mem m2 ON m2.c = w.c AND m2.r = w.r + 1
+),
+fin AS (
+  SELECT c, kept_list FROM (
+    SELECT c, kept_list, ROW_NUMBER() OVER (PARTITION BY c ORDER BY r DESC) AS z
+    FROM walk
+  ) WHERE z = 1
+)
+SELECT mem.vec_id, mem.c AS cluster_id,
+       list_contains(fin.kept_list, mem.vec_id) AS kept
+FROM mem JOIN fin ON mem.c = fin.c
+""",
+    tags=("similarity", "dedup", "llm"),
+    doc=(
+        "L2/L3: SemDeDup with the paper's TRUE sequential keep-first "
+        "greedy (drop only on a KEPT smaller-id neighbor — an a–b–c "
+        "chain keeps c) — per-cluster scan in cogrouped applyInPandas, "
+        "bounded by the ~125-member clusters; recursive-CTE oracle "
+        "replays the scan with a kept-list state row per cluster."
+    ),
+)
+def semdedup_greedy_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _semdedup_assign(spark, sf_dir).localCheckpoint(eager=False)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= _SEMDEDUP_TAU)
+        .select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+        )
+    )
+    members = assigned.select("centroid_id", "vec_id")
     return (
+        members.groupBy("centroid_id")
+        .cogroup(pairs.groupBy("centroid_id"))
+        .applyInPandas(_semdedup_greedy_pdf, "vec_id long, cluster_id long, kept boolean")
+    )
+
+
+# --------------------------------------------------------------------------
+# L11f: embedding anisotropy score (round 7) — Rayleigh quotient of the
+# power-iteration direction over the trace of the (quantized) moment
+# matrix: ≈ λ₁ / Σλ, the fraction of second-moment mass on the dominant
+# direction.  ~1/64 for isotropic embeddings; → 1 when the space has
+# collapsed onto one axis (the common failure of un-normalized or
+# over-trained embedding stacks; what whitening removes).  Exact-int
+# numerator/denominator (milli-grid direction × 1e6-grid matrix), both
+# < 2⁵³ so the final double ratio is engine-identical.
+# --------------------------------------------------------------------------
+
+_PCA_SQL_CTES = f"""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_PCA_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cells AS (
+  SELECT g.i, h.j, SUM(qv[g.i] * qv[h.j]) AS c
+  FROM q, unnest(range(1, 65)) AS g(i), unnest(range(1, 65)) AS h(j)
+  GROUP BY g.i, h.j
+),
+mc AS (SELECT MAX(ABS(c)) AS m FROM cells),
+covq AS (
+  SELECT i, j, CAST(FLOOR(CAST(c AS DOUBLE) / m * {_PCA_GRID} + 0.5) AS BIGINT) AS cq
+  FROM cells, mc
+),
+v1 AS (SELECT i, SUM(cq) AS v FROM covq GROUP BY i),
+m1 AS (SELECT MAX(ABS(v)) AS m FROM v1),
+v1q AS (
+  SELECT i AS j, CAST(FLOOR(CAST(v AS DOUBLE) / m * {_PCA_GRID} + 0.5) AS BIGINT) AS x
+  FROM v1, m1
+),
+v2 AS (SELECT covq.i, SUM(cq * x) AS v FROM covq JOIN v1q USING (j) GROUP BY covq.i)
+"""
+
+
+@register(
+    "embedding_anisotropy_score",
+    oracle=_PCA_SQL_CTES
+    + """,
+m2 AS (SELECT MAX(ABS(v)) AS m FROM v2),
+v3 AS (
+  SELECT i, CAST(FLOOR(CAST(v AS DOUBLE) / m * 1000 + 0.5) AS BIGINT) AS x
+  FROM v2, m2
+),
+num AS (
+  SELECT CAST(SUM(cq * vi.x * vj.x) AS BIGINT) AS num
+  FROM covq JOIN v3 vi ON covq.i = vi.i JOIN v3 vj ON covq.j = vj.i
+),
+den AS (
+  SELECT CAST((SELECT SUM(x * x) FROM v3) AS BIGINT) AS vv,
+         CAST((SELECT SUM(cq) FROM covq WHERE i = j) AS BIGINT) AS trace
+)
+SELECT CAST(FLOOR(CAST(num AS DOUBLE) / (vv * trace) * 1e6 + 0.5) AS BIGINT)
+         AS anisotropy_e6,
+       trace AS trace_q
+FROM num, den
+""",
+    tags=("similarity", "llm", "embedding", "health"),
+    doc=(
+        "L11: anisotropy ≈ λ₁/Σλ — Rayleigh quotient of the power-"
+        "iteration direction over the moment-matrix trace (1/64 ≈ "
+        "isotropic, →1 collapsed), exact-int numerator/denominator."
+    ),
+)
+def embedding_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    covq, v2 = _pca_matrix_and_v2(spark, sf_dir)
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).alias("_m"))
+    v3 = (
         v2.crossJoin(F.broadcast(m2))
-        .select(F.col("i").alias("dim"), _pca_quant("v").alias("loading"))
+        .select(
+            "i",
+            F.floor(F.col("v").cast("double") / F.col("_m") * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    vi = v3.alias("vi")
+    vj = v3.select(F.col("i").alias("j"), F.col("x").alias("xj"))
+    num = (
+        covq.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .agg(F.sum(F.col("cq") * F.col("x") * F.col("xj")).cast("bigint").alias("num"))
+    )
+    vv = v3.agg(F.sum(F.col("x") * F.col("x")).cast("bigint").alias("vv"))
+    trace = (
+        covq.filter(F.col("i") == F.col("j"))
+        .agg(F.sum("cq").cast("bigint").alias("trace"))
+    )
+    return (
+        num.crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.floor(
+                F.col("num").cast("double") / (F.col("vv") * F.col("trace")) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("anisotropy_e6"),
+            F.col("trace").alias("trace_q"),
+        )
     )

@@ -212,3 +212,49 @@ def test_ccnet_buckets_are_balanced_terciles(spark, sf_dir):
         # head scores above tail
         h = grp.set_index("bucket")["avg_score_micro"]
         assert h["head"] >= h["middle"] >= h["tail"]
+
+
+def test_semdedup_greedy_is_maximal_independent_and_superset(spark, sf_dir):
+    """True keep-first greedy invariants: within each cluster the kept
+    set is a maximal independent set of the cos≥τ graph (no two kept
+    are neighbors; every dropped vector has a kept smaller-id
+    neighbor), and greedy keeps ⊇ transitive-suppression keeps."""
+    import numpy as np
+
+    from data_engineer_coder_spark.operators.similarity import (
+        _SEMDEDUP_TAU,
+        _semdedup_assign,
+        semdedup_greedy_keep_first,
+        semdedup_prune,
+    )
+
+    greedy = semdedup_greedy_keep_first(spark, sf_dir).toPandas()
+    prune = semdedup_prune(spark, sf_dir).toPandas()
+    g_kept = set(greedy[greedy.kept].vec_id)
+    p_kept = set(prune[prune.kept].vec_id)
+    assert p_kept <= g_kept
+    assert len(greedy) == len(prune)
+
+    # rebuild the threshold graph per cluster in numpy
+    assigned = _semdedup_assign(spark, sf_dir).toPandas()
+    by_cluster = assigned.groupby("centroid_id")
+    checked_pairs = 0
+    for cid, grp in by_cluster:
+        ids = grp["vec_id"].to_numpy()
+        Q = np.array(grp["qv"].tolist(), dtype=np.float64)
+        nrm = grp["nrm"].to_numpy(dtype=np.float64)
+        cos = (Q @ Q.T) / np.sqrt(np.outer(nrm, nrm))
+        kept_mask = np.isin(ids, list(g_kept))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= _SEMDEDUP_TAU:
+                    checked_pairs += 1
+                    assert not (kept_mask[i] and kept_mask[j]), (ids[i], ids[j])
+        # every dropped vector has a kept smaller-id neighbor
+        for j in range(len(ids)):
+            if not kept_mask[j]:
+                assert any(
+                    kept_mask[i] and cos[i, j] >= _SEMDEDUP_TAU and ids[i] < ids[j]
+                    for i in range(len(ids))
+                ), ids[j]
+    assert checked_pairs > 0
