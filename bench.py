@@ -115,6 +115,11 @@ HEADLINE = [
     "approx_topk_tokens",
     "embedding_principal_direction",
     "source_token_kl",
+    "semdedup_greedy_keep_first",
+    "embedding_anisotropy_score",
+    "minhash_estimate_audit",
+    "unimax_allocation",
+    "ccnet_perplexity_buckets",
     "dedup_clusters_minhash",
 ]
 

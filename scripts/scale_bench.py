@@ -65,6 +65,8 @@ HEAVY = [
     "approx_topk_tokens",
     "embedding_principal_direction",
     "source_token_kl",
+    "semdedup_greedy_keep_first",
+    "embedding_anisotropy_score",
 ]
 
 
