@@ -1749,3 +1749,87 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_score_micro"),
     ).select("lang", bucket.alias("bucket"), "n_docs", "avg_score_micro")
+
+
+# --------------------------------------------------------------------------
+# L4u: ingest-drift PSI (round 7) — Population Stability Index between
+# an ingest batch's token distribution and the standing corpus, per
+# source: PSI = Σ_t (p_new − p_old)·ln(p_new/p_old), the
+# drift-monitoring metric every production feed gate runs (>0.2 =
+# investigate).  Batch = doc_id % 10 == 7, the incremental_dedup_report
+# convention.  Laplace-smoothed over the union vocabulary so both
+# distributions are everywhere-positive.  Determinism: each per-term
+# contribution is one fixed chain of IEEE primitives on exact integer
+# counts, floored to a 1e-6 grid (both engines execute the identical
+# chain), and the final sum is an exact integer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "psi_ingest_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id % {10} = 7 AS is_new,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+c AS (
+  SELECT source, term,
+         COUNT(CASE WHEN is_new THEN 1 END) AS cn,
+         COUNT(CASE WHEN NOT is_new THEN 1 END) AS co
+  FROM tok GROUP BY source, term
+),
+d AS (
+  SELECT source,
+         SUM(cn) + COUNT(*) AS dn,
+         SUM(co) + COUNT(*) AS dco,
+         COUNT(*) AS v
+  FROM c GROUP BY source
+),
+contrib AS (
+  SELECT c.source,
+         CAST(FLOOR(
+           (CAST(cn + 1 AS DOUBLE) / dn - CAST(co + 1 AS DOUBLE) / dco)
+           * (FLOOR(LN(CAST(cn + 1 AS DOUBLE) / dn) * 1e9)
+              - FLOOR(LN(CAST(co + 1 AS DOUBLE) / dco) * 1e9)) / 1e9
+           * 1e6 + 0.5) AS BIGINT) AS pm
+  FROM c JOIN d ON c.source = d.source
+)
+SELECT source, CAST(SUM(pm) AS BIGINT) AS psi_e6
+FROM contrib GROUP BY source
+""",
+    tags=("text", "llm", "quality", "drift"),
+    doc=(
+        "L4: per-source PSI between the ingest batch (doc_id%10==7) and "
+        "the standing corpus token distributions — the production drift "
+        "gate; Laplace-smoothed, 1e-6-grid per-term contributions summed "
+        "exactly."
+    ),
+)
+def psi_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    tok = docs.select(
+        "source",
+        (F.col("doc_id") % 10 == 7).alias("is_new"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    c = tok.groupBy("source", "term").agg(
+        F.count(F.when(F.col("is_new"), 1)).alias("cn"),
+        F.count(F.when(~F.col("is_new"), 1)).alias("co"),
+    )
+    d = c.groupBy("source").agg(
+        (F.sum("cn") + F.count("*")).alias("dn"),
+        (F.sum("co") + F.count("*")).alias("dco"),
+    )
+    pn = (F.col("cn") + 1).cast("double") / F.col("dn")
+    po = (F.col("co") + 1).cast("double") / F.col("dco")
+    dq = F.floor(F.log(pn) * 1e9) - F.floor(F.log(po) * 1e9)
+    # identical left-assoc IEEE op order as the oracle: ((diff·dq)/1e9)·1e6
+    # — a different association could flip a floor at the last ulp
+    pm = F.floor((pn - po) * dq / 1e9 * 1e6 + F.lit(0.5)).cast("bigint")
+    return (
+        c.join(F.broadcast(d), "source")
+        .select("source", pm.alias("pm"))
+        .groupBy("source")
+        .agg(F.sum("pm").cast("bigint").alias("psi_e6"))
+    )

@@ -189,3 +189,50 @@ def write_stream_exactly_once(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+def write_stream_with_quarantine(
+    sdf: DataFrame,
+    rules,
+    good_root: str,
+    quarantine_root: str,
+    partition_cols: list[str],
+    checkpoint: str | None = None,
+):
+    """T8c (round 7): streaming DQ gate — each micro-batch is split by a
+    rule predicate (dict name → boolean Column over the batch schema);
+    rows passing EVERY rule commit to the good table, failures land in
+    the quarantine table tagged with the names of the rules they broke.
+    Both sides go through the ACID table with the epoch id as txid, so
+    the split is exactly-once and a replayed epoch cannot double-count
+    either side — the production "bad rows must not poison the table,
+    but must not vanish either" contract.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import replace_partitions
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        flagged = df.withColumn(
+            "_failed",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+                        for name, cond in rules.items()
+                    ]
+                )
+            ),
+        )
+        good = flagged.filter(F.size("_failed") == 0).drop("_failed")
+        bad = flagged.filter(F.size("_failed") > 0).withColumn(
+            "failed_rules", F.array_join("_failed", ",")
+        ).drop("_failed")
+        replace_partitions(good, good_root, partition_cols, f"epoch-{epoch_id}")
+        replace_partitions(bad, quarantine_root, partition_cols, f"epoch-{epoch_id}")
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

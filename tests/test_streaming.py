@@ -240,3 +240,47 @@ def test_stream_exactly_once_sink_survives_epoch_replay(spark, sf_dir):
 
     got = read_table(spark, root).select("doc_id", "lang", "n_chars")
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_stream_quarantine_splits_and_conserves_rows(spark, sf_dir):
+    """T8c: the streaming DQ gate must conserve rows exactly (good +
+    quarantined == source), tag each quarantined row with the rules it
+    broke, and stay exactly-once under epoch replay on BOTH tables."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.acid_table import read_table
+    from data_engineer_coder_spark.streaming.core import (
+        stream_documents,
+        write_stream_with_quarantine,
+    )
+
+    base = tempfile.mkdtemp(prefix="quar_")
+    good_root, bad_root = f"{base}/good", f"{base}/bad"
+    src = stream_documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    rules = {
+        "min_length": F.col("n_chars") >= 150,
+        "lang_allowed": F.col("lang") != "zh",
+    }
+    q = write_stream_with_quarantine(src, rules, good_root, bad_root, ["lang"])
+    q.awaitTermination(300)
+
+    good = read_table(spark, good_root).toPandas()
+    bad = read_table(spark, bad_root).toPandas()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").toPandas()
+    assert len(good) + len(bad) == len(docs)
+    assert set(good.doc_id) | set(bad.doc_id) == set(docs.doc_id)
+    assert len(bad) > 0  # the fixture must exercise the quarantine side
+    assert (good["n_chars"].astype(int) >= 150).all()
+    assert (good["lang"] != "zh").all()
+    short = bad[bad["n_chars"].astype(int) < 150]
+    assert short["failed_rules"].str.contains("min_length").all()
+    zh = bad[bad["lang"] == "zh"]
+    assert zh["failed_rules"].str.contains("lang_allowed").all()
+    # replaying the epoch is a no-op on both sides
+    from data_engineer_coder_spark.io.acid_table import current_manifest, replace_partitions
+
+    man = current_manifest(good_root)
+    replace_partitions(
+        spark.createDataFrame(good), good_root, ["lang"], man["txids"][0]
+    )
+    assert read_table(spark, good_root).count() == len(good)
