@@ -1838,3 +1838,101 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(jac_e6 - matches * unit).cast("bigint").alias("abs_err_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L2g': quality × duplication interaction (round 7) — per GLOBAL quality
+# decile, the share of documents sitting in a >1-member near-dup cluster
+# (production clusters: MinHash-LSH → contraction).  The curation
+# question this answers: is low-quality content disproportionately
+# duplicated (usual web answer: yes — boilerplate is both bad and
+# copied), i.e. how much extra corpus shrink does quality filtering buy
+# BEFORE dedup runs.  Deciles via the distributed closed-form rank
+# bucket (with_global_pos, the rfm_segmentation pattern — no global
+# NTILE window over corpus rows); both engines use the identical
+# ⌊pos·10/n⌋ formula.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_dup_interaction",
+    oracle=_RECURSIVE_SHINGLE_SQL
+    + _MINHASH_PAIR_CTES
+    + """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_sel
+  UNION
+  SELECT doc_b, doc_a FROM mh_sel
+),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.node
+),
+members AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+allm AS (
+  SELECT doc_id, cluster_id FROM members
+  UNION ALL
+  SELECT doc_id, doc_id AS cluster_id
+  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM members)
+),
+csize AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY cluster_id) > 1 AS is_dup FROM allm
+),
+"""
+    + _quality_cte()
+    + """,
+dec AS (
+  SELECT doc_id,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) - 1) * 10
+                    / (SELECT COUNT(*) FROM q)) AS BIGINT) + 1 AS decile
+  FROM q
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN is_dup THEN 1 END) AS n_in_dup_cluster,
+       CAST(FLOOR(10000.0 * COUNT(CASE WHEN is_dup THEN 1 END) / COUNT(*)) AS BIGINT)
+         AS dup_rate_e4
+FROM dec JOIN csize USING (doc_id)
+GROUP BY decile
+""",
+    tags=("dedup", "llm", "quality", "audit"),
+    doc=(
+        "L2/L4: duplication rate per global quality decile over the "
+        "production MinHash clusters — how much corpus shrink quality "
+        "filtering buys before dedup; distributed closed-form deciles."
+    ),
+)
+def quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._helpers import with_global_pos
+    from .textops import with_quality
+
+    clusters = dedup_clusters_minhash(spark, sf_dir).select("doc_id", "cluster_id")
+    wc = Window.partitionBy("cluster_id")
+    dup = clusters.select(
+        "doc_id", (F.count("*").over(wc) > 1).alias("is_dup")
+    )
+    quality = with_quality(table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    total = quality.agg(F.count("*").alias("_n"))
+    dec = (
+        with_global_pos(quality, [F.desc("quality"), F.asc("doc_id")], pos_name="_pos")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.floor((F.col("_pos") - 1) * 10 / F.col("_n")).cast("bigint") + 1).alias(
+                "decile"
+            ),
+        )
+    )
+    dup_cnt = F.count(F.when(F.col("is_dup"), 1))
+    return (
+        dec.join(dup, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dup_cnt.alias("n_in_dup_cluster"),
+            F.floor(10000.0 * dup_cnt / F.count("*")).cast("bigint").alias("dup_rate_e4"),
+        )
+    )
