@@ -368,3 +368,59 @@ def test_micro_round_agrees_across_engines(spark, duck, s, n):
         "SELECT FLOOR(? / (? * 1000.0) + 0.5) / 1e6", [s, n]
     ).fetchone()[0]
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# UniMax closed form (round 7): the operator claims the first cap > θ
+# violation along the ascending-cap prefix IS the water level.  Check
+# the claim against a brute-force iterative waterfill simulator on
+# adversarial count distributions (pure python — engine parity is the
+# oracle's job; this guards the algebra itself).
+# --------------------------------------------------------------------------
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+    budget_pct=st.integers(min_value=1, max_value=99),
+)
+@_settings
+def test_unimax_closed_form_matches_iterative_waterfill(tokens, budget_pct):
+    caps = sorted(tokens)
+    b = sum(tokens) * budget_pct // 100
+
+    # closed form (the operator's math): walk ascending caps, take the
+    # cap while cap_i <= theta_i, else everyone left gets theta at the
+    # first violation
+    def closed(caps, b):
+        n = len(caps)
+        prefix = 0
+        for i, cap in enumerate(caps):
+            theta = max(b - prefix, 0) // (n - i)
+            if cap > theta:
+                return [min(c, theta) for c in caps]
+            prefix += cap
+        return list(caps)  # budget covers every cap
+
+    # iterative simulator: repeatedly set theta = remaining/uncapped and
+    # freeze sources whose cap is below it, until stable
+    def iterative(caps, b):
+        alloc = [None] * len(caps)
+        active = set(range(len(caps)))
+        remaining = b
+        while active:
+            theta = max(remaining, 0) // len(active)
+            frozen = [i for i in active if caps[i] <= theta]
+            if not frozen:
+                for i in active:
+                    alloc[i] = theta
+                break
+            for i in frozen:
+                alloc[i] = caps[i]
+                remaining -= caps[i]
+                active.remove(i)
+        return [a if a is not None else 0 for a in alloc]
+
+    got = closed(caps, b)
+    want = iterative(caps, b)
+    assert sum(got) <= b or got == list(caps)
+    assert got == want
