@@ -96,6 +96,9 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # via md5-minwise sampling (bounds the O(distinct²) pair buffer); cap
     # inactive on the fixture but both engines' expressions changed.
     "token_cooccurrence_topk",
+    # round 7 (sf10 decade finding): candidate join gained the in-plan
+    # saturation budget guard — plan changed post-green, output unchanged.
+    "simhash_neardup",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
