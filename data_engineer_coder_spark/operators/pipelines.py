@@ -257,3 +257,211 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_tokens",
         F.coalesce(F.col("_nw"), F.lit(0).cast("bigint")).alias("n_windows"),
     )
+
+
+# --------------------------------------------------------------------------
+# L8c: curation funnel v2 (round 7) — the round-7 stages composed into
+# one lazy plan, per source:
+#   1. CCNet gate: drop each language's 'tail' perplexity tercile
+#      (unigram LM score in exact micro-nats, closed-form terciles);
+#   2. segment dedup: C4-style keep-first over the SURVIVORS' 8-word
+#      segments (partial-agg argmin — first occurrence wins);
+#   3. UniMax: closed-form token-budget waterfill over the cleaned
+#      per-source segment-token totals (E=1 epoch cap, B = 0.8·total).
+# Emits the per-source funnel ledger: docs in, tail-dropped, segments
+# kept vs cut, clean tokens, final allocation.  Every stage reuses an
+# oracle-proven formulation (ccnet_perplexity_buckets,
+# segment_dedup_keep_first, unimax_allocation), so the composition is
+# fully SQL-replayable end to end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curation_funnel_v2",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT SUM(cnt) AS n FROM tf),
+doc AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(SUM(CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / n) * 1e9) AS BIGINT))
+                    / (COUNT(*) * 1000.0) + 0.5) AS BIGINT) AS score_micro
+  FROM tok JOIN tf USING (term) CROSS JOIN total
+  GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY score_micro DESC, doc_id) AS tercile
+  FROM doc
+),
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+  WHERE r.tercile < 3
+),
+w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM surv),
+seg AS (
+  SELECT doc_id, source, g.i AS pos,
+         array_to_string(ws[(g.i-1)*8+1:g.i*8], ' ') AS seg
+  FROM w, unnest(range(1, CAST(len(ws) // 8 AS INT) + 1)) AS g(i)
+),
+keep AS (SELECT seg, MIN(doc_id * 1000 + pos) AS keep_key FROM seg GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, s.source
+  FROM seg s JOIN keep k ON s.seg = k.seg
+  WHERE s.doc_id * 1000 + s.pos = k.keep_key
+),
+src AS (
+  SELECT sv.source,
+         COUNT(DISTINCT sv.doc_id) AS n_docs_kept,
+         (SELECT COUNT(*) FROM seg WHERE seg.source = sv.source) AS n_segments_in,
+         (SELECT COUNT(*) FROM kept WHERE kept.source = sv.source) AS n_segments_kept
+  FROM surv sv GROUP BY sv.source
+),
+dropped AS (
+  SELECT d.source, COUNT(*) AS n_tail_dropped
+  FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+  WHERE r.tercile = 3 GROUP BY d.source
+),
+t AS (
+  SELECT src.source, src.n_docs_kept,
+         COALESCE(dropped.n_tail_dropped, 0) AS n_tail_dropped,
+         src.n_segments_in, src.n_segments_kept,
+         CAST(src.n_segments_kept * 8 AS BIGINT) AS tokens
+  FROM src LEFT JOIN dropped ON src.source = dropped.source
+),
+g AS (
+  SELECT *, tokens AS cap,
+         CAST(FLOOR(SUM(tokens) OVER () * 8 / 10) AS BIGINT) AS b,
+         ROW_NUMBER() OVER (ORDER BY tokens, source) AS rn,
+         COUNT(*) OVER () AS n,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY tokens, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+  FROM t
+),
+th AS (
+  SELECT *, CAST(FLOOR(GREATEST(b - prefix, 0) / (n - rn + 1.0)) AS BIGINT) AS theta
+  FROM g
+),
+sw AS (SELECT MIN(rn) AS srn, arg_min(theta, rn) AS stheta FROM th WHERE cap > theta)
+SELECT source, n_docs_kept, n_tail_dropped, n_segments_in, n_segments_kept, tokens,
+       CASE WHEN rn < srn THEN cap ELSE stheta END AS allocation
+FROM th CROSS JOIN sw
+""",
+    tags=("pipeline", "llm", "funnel"),
+    doc=(
+        "L8: curation funnel v2 — CCNet tail-tercile gate → C4 segment "
+        "keep-first dedup → UniMax waterfill, one lazy plan with the "
+        "per-source funnel ledger; every stage reuses an oracle-proven "
+        "formulation."
+    ),
+)
+def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    lp_q = F.floor(F.log(F.col("cnt").cast("double") / F.col("n")) * 1e9).cast("bigint")
+    doc = (
+        tok.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(F.sum(lp_q) / (F.count("*") * 1000.0) + 0.5)
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
+    wlang = Window.partitionBy("lang").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    ranked = doc.select("doc_id", F.ntile(3).over(wlang).alias("tercile"))
+    marked = docs.join(ranked, "doc_id")
+    surv = marked.filter(F.col("tercile") < 3)
+
+    k = 8
+    ws = F.split("text", " ")
+    n_full = F.floor(F.size(ws) / k).cast("int")
+    segs_arr = F.transform(
+        F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(ws, (i - 1) * k + 1, k), " ").alias("seg"),
+        ),
+    )
+    seg = surv.repartition(shuffle_parts(surv), F.col("doc_id")).select(
+        "doc_id", "source", F.explode(segs_arr).alias("s")
+    ).select("doc_id", "source", "s.pos", "s.seg")
+    keep = seg.groupBy("seg").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("keep_key")
+    )
+    kept = seg.join(keep, "seg").filter(
+        F.col("doc_id") * 1000 + F.col("pos") == F.col("keep_key")
+    )
+    seg_in = seg.groupBy("source").agg(F.count("*").alias("n_segments_in"))
+    seg_kept = kept.groupBy("source").agg(F.count("*").alias("n_segments_kept"))
+    docs_kept = surv.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_kept")
+    )
+    dropped = (
+        marked.filter(F.col("tercile") == 3)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tail_dropped"))
+    )
+    t = (
+        docs_kept.join(seg_in, "source")
+        .join(seg_kept, "source")
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "n_docs_kept",
+            F.coalesce("n_tail_dropped", F.lit(0)).alias("n_tail_dropped"),
+            "n_segments_in",
+            "n_segments_kept",
+            (F.col("n_segments_kept") * k).cast("bigint").alias("tokens"),
+        )
+    )
+    # UniMax waterfill over the per-source aggregate (~|sources| rows)
+    wmix = Window.orderBy("tokens", "source")
+    g = t.select(
+        "*",
+        F.col("tokens").alias("cap"),
+        F.row_number().over(wmix).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.coalesce(
+            F.sum("tokens").over(wmix.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix"),
+        F.floor(F.sum("tokens").over(Window.partitionBy()) * 8 / 10)
+        .cast("bigint")
+        .alias("b"),
+    )
+    th = g.withColumn(
+        "theta",
+        F.floor(
+            F.greatest(F.col("b") - F.col("prefix"), F.lit(0))
+            / (F.col("n") - F.col("rn") + 1.0)
+        ).cast("bigint"),
+    )
+    sw = (
+        th.filter(F.col("cap") > F.col("theta"))
+        .agg(F.min("rn").alias("srn"), F.min_by("theta", "rn").alias("stheta"))
+    )
+    alloc = F.when(F.col("rn") < F.col("srn"), F.col("cap")).otherwise(F.col("stheta"))
+    return (
+        th.crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "n_docs_kept",
+            "n_tail_dropped",
+            "n_segments_in",
+            "n_segments_kept",
+            "tokens",
+            alloc.alias("allocation"),
+        )
+    )

@@ -258,3 +258,20 @@ def test_semdedup_greedy_is_maximal_independent_and_superset(spark, sf_dir):
                     for i in range(len(ids))
                 ), ids[j]
     assert checked_pairs > 0
+
+
+def test_curation_funnel_v2_conserves_counts(spark, sf_dir):
+    """Funnel ledger conservation: docs kept + tail dropped == corpus;
+    kept segments ≤ incoming segments; allocation ≤ clean tokens with
+    Σ allocation inside the 0.8 budget."""
+    from data_engineer_coder_spark.operators.pipelines import curation_funnel_v2
+
+    out = curation_funnel_v2(spark, sf_dir).toPandas()
+    docs = table(spark, sf_dir, "documents").groupBy("source").count().toPandas()
+    per_src = docs.set_index("source")["count"]
+    for _, r in out.iterrows():
+        assert r["n_docs_kept"] + r["n_tail_dropped"] == per_src[r["source"]]
+        assert r["n_segments_kept"] <= r["n_segments_in"]
+        assert r["allocation"] <= r["tokens"]
+    total = int(out["tokens"].sum())
+    assert int(out["allocation"].sum()) <= total * 8 // 10
