@@ -1,4 +1,4 @@
-"""ACID-ish parquet table: exactly-once overwrite-by-partition.
+"""ACID-ish parquet table: exactly-once append / overwrite-by-partition.
 
 The reference's load step is ``CREATE TABLE IF NOT EXISTS`` + blind
 append (``/root/reference/dags/my_data_pipeline.py:106-115``): a daily
@@ -8,35 +8,47 @@ This module replaces that story at the SINK: a re-run of the same
 logical write is a no-op, a crashed write is invisible, and readers
 never observe a half-written table.
 
-Protocol (single-writer per table; the public Delta/Iceberg idea
-re-derived on nothing but parquet + POSIX rename — no extra jars):
+Protocol (single-writer per table, with commit-race rebasing; the
+public Delta/Iceberg idea re-derived on nothing but parquet + POSIX
+rename — no extra jars):
 
     root/
       _manifests/v000001.json     <- the COMMIT POINT (atomic rename)
       _staging/<txid>/day=.../    <- parquet data, invisible until
                                      a manifest references it
 
-1. ``replace_partitions(df, root, cols, txid)`` writes df (hive-
+1. ``replace_partitions(df, root, cols, txid)`` /
+   ``append_partitions(df, root, cols, txid)`` write df (hive-
    partitioned by ``cols``) under ``_staging/<txid>/`` — crash here
    leaves orphan files no manifest references: invisible.
-2. It then writes manifest v(N+1): previous partition map, minus the
-   partitions present in this write, plus the new mappings; records
-   ``txid`` in the committed set.  The manifest lands via write-to-temp
-   + ``os.replace`` — atomic on POSIX, so a reader sees either v(N) or
-   v(N+1), never a torn state.  Version claiming uses ``os.link``
-   (EEXIST on collision) so two racing writers cannot silently clobber
-   one another's commit.
+2. They then commit manifest v(N+1).  Each manifest maps every live
+   partition to the LIST of staging directories that make it up:
+   *replace* resets a partition's list to this write's directory,
+   *append* adds to it — so a multi-epoch streaming append never
+   erases earlier epochs that touched the same partition value.  The
+   manifest lands via write-to-temp + ``os.link`` (EEXIST on
+   collision).  On a collision the loser RE-READS the newest manifest
+   and re-merges its own delta on top before retrying, so two racing
+   writers both land and neither's partitions/txids are lost.
 3. If ``txid`` is already in the committed set, the call returns
    without writing anything — EXACTLY-ONCE under retries: the Airflow
    "task succeeded but the scheduler retried it anyway" rerun that
    duplicates the reference's table becomes a no-op here.
 
-``read_table`` resolves the newest manifest and reads ONLY the
+Each manifest also records the write's SCHEMA (json) — later writes
+may add columns (schema evolution; ``read_table`` unions by name with
+nulls for missing columns) — and every version stays on disk, so
+``read_table(..., version=N)`` is a pinned time-travel read and
+``table_history`` exposes the commit log as a DataFrame.
+
+``read_table`` resolves the requested manifest and reads ONLY the
 referenced directories (manifest-level partition pruning: a
 ``partition_filter`` skips directories before any file is listed —
 at 100 TB the manifest is a few KB while the table is billions of
 files).  ``vacuum`` deletes data directories the current manifest no
-longer references (orphans from crashes + replaced partition versions).
+longer references (orphans from crashes + replaced partition
+versions); vacuuming invalidates time travel to versions that needed
+the removed files, same trade Delta's ``VACUUM`` makes.
 """
 
 from __future__ import annotations
@@ -67,13 +79,38 @@ def _manifest_versions(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def current_manifest(root: str) -> dict:
-    """Newest committed manifest, or the empty table state."""
+def _empty_manifest() -> dict:
+    return {"version": 0, "partitions": {}, "txids": []}
+
+
+def manifest_at(root: str, version: int | None = None) -> dict:
+    """Manifest at ``version`` (newest when None), or the empty state."""
     versions = _manifest_versions(root)
     if not versions:
-        return {"version": 0, "partitions": {}, "txids": []}
-    with open(versions[-1][1]) as fh:
+        if version not in (None, 0):
+            raise ValueError(f"no manifest v{version} at {root}")
+        return _empty_manifest()
+    if version is None:
+        path = versions[-1][1]
+    else:
+        by_v = dict(versions)
+        if version == 0:
+            return _empty_manifest()
+        if version not in by_v:
+            raise ValueError(f"no manifest v{version} at {root}")
+        path = by_v[version]
+    with open(path) as fh:
         return json.load(fh)
+
+
+def current_manifest(root: str) -> dict:
+    """Newest committed manifest, or the empty table state."""
+    return manifest_at(root, None)
+
+
+def _dirs(val) -> list[str]:
+    """Partition-map values: list of staging dirs (legacy str accepted)."""
+    return [val] if isinstance(val, str) else list(val)
 
 
 def _discover_partition_dirs(base: str, n_cols: int) -> list[str]:
@@ -92,50 +129,70 @@ def _discover_partition_dirs(base: str, n_cols: int) -> list[str]:
     return found
 
 
-def _commit(root: str, manifest: dict) -> None:
-    """Atomically publish ``manifest`` as the next version.
+def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
+           mode: str, partition_cols: list[str], schema_json: str) -> dict:
+    """Build the next manifest from ``prev`` + this transaction's delta."""
+    partitions = {k: _dirs(v) for k, v in prev["partitions"].items()}
+    for p in new_parts:
+        loc = f"{stage_rel}/{p}"
+        if mode == "replace":
+            partitions[p] = [loc]
+        else:  # append: accumulate epochs, never erase earlier ones
+            partitions.setdefault(p, []).append(loc)
+    return {
+        "version": prev["version"] + 1,
+        "partitions": partitions,
+        "txids": prev["txids"] + [txid],
+        "partition_cols": partition_cols,
+        "schema": schema_json,
+    }
+
+
+def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
+            txid: str, mode: str, partition_cols: list[str],
+            schema_json: str) -> dict:
+    """Atomically publish the next manifest version.
 
     Write to a temp file, hard-link to the final name (fails with
-    EEXIST if another writer claimed the version — retry on the next
-    number), unlink the temp.  Readers always see a complete file.
+    EEXIST if another writer claimed the version), unlink the temp —
+    readers always see a complete file.  On a version collision the
+    loser RE-READS the newest manifest and re-merges this
+    transaction's delta on top of it (a rebase that keeps BOTH
+    writers' partitions and txids), rather than re-publishing a
+    manifest built from stale state.
     """
     mdir = os.path.join(root, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    version = manifest["version"]
     while True:
+        if txid in prev["txids"]:
+            return prev  # a racing retry of the same txid already landed
+        manifest = _merge(prev, new_parts, stage_rel, txid, mode,
+                          partition_cols, schema_json)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
             fh.flush()
             os.fsync(fh.fileno())
-        final = os.path.join(mdir, f"v{version:06d}.json")
+        final = os.path.join(mdir, f"v{manifest['version']:06d}.json")
         try:
             os.link(tmp, final)
             os.unlink(tmp)
-            return
+            return manifest
         except FileExistsError:
-            # another writer claimed this version: rebase on top of it
             os.unlink(tmp)
-            version += 1
-            manifest["version"] = version
+            prev = current_manifest(root)  # rebase on the racing winner
 
 
-def replace_partitions(
+def _stage_and_commit(
     df: DataFrame,
     root: str,
     partition_cols: list[str],
     txid: str,
-    _crash_before_commit: Callable[[], None] | None = None,
+    mode: str,
+    _crash_before_commit: Callable[[], None] | None,
 ) -> dict:
-    """Exactly-once overwrite of the partitions present in ``df``.
-
-    Returns the committed manifest (or the already-committed one if
-    ``txid`` was seen before — the idempotent re-run path).
-    ``_crash_before_commit`` is a test seam: raising from it simulates
-    a writer dying after staging but before the commit rename.
-    """
     if not partition_cols:
-        raise ValueError("replace_partitions requires at least one partition column")
+        raise ValueError("at least one partition column is required")
     prev = current_manifest(root)
     if txid in prev["txids"]:
         return prev  # re-run of a committed write: exactly-once no-op
@@ -149,58 +206,126 @@ def replace_partitions(
     new_parts = _discover_partition_dirs(stage_abs, len(partition_cols))
     if _crash_before_commit is not None:
         _crash_before_commit()
-    partitions = dict(prev["partitions"])
-    for p in new_parts:
-        partitions[p] = f"{stage_rel}/{p}"
-    manifest = {
-        "version": prev["version"] + 1,
-        "partitions": partitions,
-        "txids": prev["txids"] + [txid],
-        "partition_cols": partition_cols,
-    }
-    _commit(root, manifest)
-    return manifest
+    schema_json = df.drop(*partition_cols).schema.json()
+    return _commit(root, prev, new_parts, stage_rel, txid, mode,
+                   partition_cols, schema_json)
+
+
+def replace_partitions(
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    txid: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once OVERWRITE of the partitions present in ``df``.
+
+    Every partition value appearing in ``df`` maps to this write's
+    directory alone afterwards; untouched partitions keep their data.
+    Returns the committed manifest (or the already-committed one if
+    ``txid`` was seen before — the idempotent re-run path).
+    ``_crash_before_commit`` is a test seam: raising from it simulates
+    a writer dying after staging but before the commit rename.
+    """
+    return _stage_and_commit(df, root, partition_cols, txid, "replace",
+                             _crash_before_commit)
+
+
+def append_partitions(
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    txid: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once APPEND: this write's rows ADD to each partition.
+
+    The manifest accumulates one staging directory per transaction per
+    partition value, so epoch N+1 of a streaming append never erases
+    epoch N's rows for a partition value both contain — the semantics a
+    micro-batch sink needs (``write_stream_exactly_once``).  Idempotent
+    under txid replay exactly like :func:`replace_partitions`.
+    """
+    return _stage_and_commit(df, root, partition_cols, txid, "append",
+                             _crash_before_commit)
 
 
 def read_table(
     spark: SparkSession,
     root: str,
     partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read the table at its newest committed version.
+    """Read the table at a committed version (newest when ``version``
+    is None — pass an older number for a pinned time-travel read).
 
     ``partition_filter`` receives each partition's ``{col: value}``
     dict (hive-encoded strings) and prunes AT THE MANIFEST — directories
     it rejects are never listed, let alone scanned.  Partition columns
-    come back as string columns (cast downstream as needed).
+    come back as string columns (cast downstream as needed).  Reads
+    union by name with null fill, so versions written before a column
+    was added surface it as null — add-column schema evolution.
     """
-    man = current_manifest(root)
+    man = manifest_at(root, version)
     parts = []
-    for pkey, rel in sorted(man["partitions"].items()):
+    for pkey, val in sorted(man["partitions"].items()):
         kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
         if partition_filter is not None and not partition_filter(kv):
             continue
-        pdf = spark.read.parquet(os.path.join(root, rel))
-        for col, val in kv.items():
-            pdf = pdf.withColumn(col, F.lit(val))
-        parts.append(pdf)
+        for rel in _dirs(val):
+            pdf = spark.read.parquet(os.path.join(root, rel))
+            for col, v in kv.items():
+                pdf = pdf.withColumn(col, F.lit(v))
+            parts.append(pdf)
     if not parts:
         raise ValueError(f"no partitions selected from {root} (v{man['version']})")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """The commit log as a DataFrame: one row per manifest version with
+    the committing txid, live-partition count, total staging-dir count,
+    and the number of columns in the committed schema — the
+    ``DESCRIBE HISTORY`` surface of this table format."""
+    rows = []
+    for v, path in _manifest_versions(root):
+        with open(path) as fh:
+            man = json.load(fh)
+        schema_fields = None
+        if man.get("schema"):
+            schema_fields = len(json.loads(man["schema"]).get("fields", []))
+        rows.append(
+            (
+                v,
+                man["txids"][-1] if man["txids"] else None,
+                len(man["partitions"]),
+                sum(len(_dirs(x)) for x in man["partitions"].values()),
+                schema_fields,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, txid string, n_partitions int, n_dirs int, n_cols int"
+    )
 
 
 def vacuum(root: str) -> list[str]:
     """Delete staging directories the CURRENT manifest doesn't reference
     (crash orphans + superseded partition versions).  Returns the
     removed relative paths.  Safe only under the single-writer
-    assumption this table makes everywhere else."""
+    assumption; invalidates time travel to versions whose data lived
+    only in the removed directories (the Delta ``VACUUM`` trade)."""
     import shutil
 
     man = current_manifest(root)
-    live = {rel.split("/")[1] for rel in man["partitions"].values() if rel.startswith(_STAGING_DIR)}
+    live = {
+        rel.split("/")[1]
+        for val in man["partitions"].values()
+        for rel in _dirs(val)
+        if rel.startswith(_STAGING_DIR)
+    }
     sdir = os.path.join(root, _STAGING_DIR)
     removed = []
     if os.path.isdir(sdir):

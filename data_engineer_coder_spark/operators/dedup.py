@@ -1433,12 +1433,13 @@ seg AS (
   FROM w, unnest(range(1, CAST(len(ws) // {_SEG_WORDS} AS INT) + 1)) AS g(i)
 ),
 keep AS (
-  SELECT seg, MIN(doc_id * 1000 + pos) AS keep_key FROM seg GROUP BY seg
+  SELECT seg, MIN({{'doc_id': doc_id, 'pos': pos}}) AS keeper FROM seg GROUP BY seg
 ),
 kept AS (
   SELECT s.doc_id, s.pos, s.seg
   FROM seg s JOIN keep k ON s.seg = k.seg
-  WHERE s.doc_id * 1000 + s.pos = k.keep_key
+  WHERE s.doc_id = struct_extract(k.keeper, 'doc_id')
+    AND s.pos = struct_extract(k.keeper, 'pos')
 )
 SELECT doc_id,
        COUNT(*) AS n_kept,
@@ -1449,9 +1450,13 @@ GROUP BY doc_id
     tags=("dedup", "llm", "segments"),
     doc=(
         "L10: C4-style segment dedup transform — every exact 8-word "
-        "segment keeps only its first corpus occurrence (min doc_id, pos; "
-        "partial-agg argmin, no hot-segment window), docs rebuilt from "
-        "survivors.  Docs under 8 words have no segments and drop out."
+        "segment keeps only its first corpus occurrence: lexicographic "
+        "min over a (doc_id, pos) STRUCT (ADVICE r7: the old "
+        "doc_id*1000+pos scalar key collides once a doc has ≥1000 "
+        "segments, both engines order structs identically so the argmin "
+        "is exact at any doc length), partial-agg, no hot-segment "
+        "window; docs rebuilt from survivors.  Docs under 8 words have "
+        "no segments and drop out."
     ),
 )
 def segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,13 +1477,16 @@ def segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = w.select("doc_id", F.explode(segs_arr).alias("s")).select(
         "doc_id", "s.pos", "s.seg"
     )
-    # first-occurrence key per segment: partial-agg min — a boilerplate
-    # segment with df 10^8 still costs one combiner cell per task
+    # first-occurrence keeper per segment: partial-agg min over a
+    # (doc_id, pos) struct — lexicographic, collision-free at any doc
+    # length; a boilerplate segment with df 10^8 still costs one
+    # combiner cell per task
     keep = seg.groupBy("seg").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("keep_key")
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("keeper")
     )
     kept = seg.join(keep, "seg").filter(
-        F.col("doc_id") * 1000 + F.col("pos") == F.col("keep_key")
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("pos") == F.col("keeper.pos"))
     )
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

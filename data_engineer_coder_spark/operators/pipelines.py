@@ -307,11 +307,12 @@ seg AS (
          array_to_string(ws[(g.i-1)*8+1:g.i*8], ' ') AS seg
   FROM w, unnest(range(1, CAST(len(ws) // 8 AS INT) + 1)) AS g(i)
 ),
-keep AS (SELECT seg, MIN(doc_id * 1000 + pos) AS keep_key FROM seg GROUP BY seg),
+keep AS (SELECT seg, MIN({{'doc_id': doc_id, 'pos': pos}}) AS keeper FROM seg GROUP BY seg),
 kept AS (
   SELECT s.doc_id, s.source
   FROM seg s JOIN keep k ON s.seg = k.seg
-  WHERE s.doc_id * 1000 + s.pos = k.keep_key
+  WHERE s.doc_id = struct_extract(k.keeper, 'doc_id')
+    AND s.pos = struct_extract(k.keeper, 'pos')
 ),
 src AS (
   SELECT sv.source,
@@ -396,10 +397,11 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(segs_arr).alias("s")
     ).select("doc_id", "source", "s.pos", "s.seg")
     keep = seg.groupBy("seg").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("keep_key")
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("keeper")
     )
     kept = seg.join(keep, "seg").filter(
-        F.col("doc_id") * 1000 + F.col("pos") == F.col("keep_key")
+        (F.col("doc_id") == F.col("keeper.doc_id"))
+        & (F.col("pos") == F.col("keeper.pos"))
     )
     seg_in = seg.groupBy("source").agg(F.count("*").alias("n_segments_in"))
     seg_kept = kept.groupBy("source").agg(F.count("*").alias("n_segments_kept"))
@@ -411,17 +413,22 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_tail_dropped"))
     )
+    # LEFT joins from docs_kept (ADVICE r7): a source whose surviving
+    # docs are all under 8 words has ZERO segments — inner joins would
+    # drop it from the ledger while the oracle keeps it with 0 counts
     t = (
-        docs_kept.join(seg_in, "source")
-        .join(seg_kept, "source")
+        docs_kept.join(seg_in, "source", "left")
+        .join(seg_kept, "source", "left")
         .join(dropped, "source", "left")
         .select(
             "source",
             "n_docs_kept",
             F.coalesce("n_tail_dropped", F.lit(0)).alias("n_tail_dropped"),
-            "n_segments_in",
-            "n_segments_kept",
-            (F.col("n_segments_kept") * k).cast("bigint").alias("tokens"),
+            F.coalesce("n_segments_in", F.lit(0)).alias("n_segments_in"),
+            F.coalesce("n_segments_kept", F.lit(0)).alias("n_segments_kept"),
+            (F.coalesce("n_segments_kept", F.lit(0)) * k)
+            .cast("bigint")
+            .alias("tokens"),
         )
     )
     # UniMax waterfill over the per-source aggregate (~|sources| rows)

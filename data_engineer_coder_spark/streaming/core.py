@@ -175,16 +175,21 @@ def write_stream_exactly_once(
     plain parquet append duplicates it (the streaming version of the
     reference's rerun-append bug, ``my_data_pipeline.py:106-115``).
     Routing each micro-batch through the ACID table's
-    ``replace_partitions`` with ``txid = epoch id`` closes the gap: the
+    ``append_partitions`` with ``txid = epoch id`` closes the gap: the
     manifest's committed-txid set makes the replayed epoch a no-op, so
     the sink is exactly-once end-to-end with nothing but parquet +
     atomic rename underneath (tests/test_streaming.py replays an epoch
-    to prove it).
+    to prove it).  APPEND semantics matter here: each epoch's staging
+    dir is ADDED to the partition's directory list, so epoch N+1
+    touching a partition value epoch N also wrote (the normal case —
+    e.g. ``lang=en`` rows arrive every epoch) accumulates instead of
+    silently replacing the earlier epochs' rows
+    (tests/test_streaming.py runs a 2-epoch stream to prove it).
     """
-    from ..io.acid_table import replace_partitions
+    from ..io.acid_table import append_partitions
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
-        replace_partitions(df, root, partition_cols, f"epoch-{epoch_id}")
+        append_partitions(df, root, partition_cols, f"epoch-{epoch_id}")
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
@@ -203,16 +208,17 @@ def write_stream_with_quarantine(
     rule predicate (dict name → boolean Column over the batch schema);
     rows passing EVERY rule commit to the good table, failures land in
     the quarantine table tagged with the names of the rules they broke.
-    Both sides go through the ACID table with the epoch id as txid, so
-    the split is exactly-once and a replayed epoch cannot double-count
-    either side — the production "bad rows must not poison the table,
-    but must not vanish either" contract.
+    Both sides go through the ACID table's APPEND path with the epoch
+    id as txid, so the split is exactly-once across any number of
+    micro-batches and a replayed epoch cannot double-count either side
+    — the production "bad rows must not poison the table, but must not
+    vanish either" contract.
     """
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    from ..io.acid_table import replace_partitions
+    from ..io.acid_table import append_partitions
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         flagged = df.withColumn(
@@ -230,8 +236,8 @@ def write_stream_with_quarantine(
         bad = flagged.filter(F.size("_failed") > 0).withColumn(
             "failed_rules", F.array_join("_failed", ",")
         ).drop("_failed")
-        replace_partitions(good, good_root, partition_cols, f"epoch-{epoch_id}")
-        replace_partitions(bad, quarantine_root, partition_cols, f"epoch-{epoch_id}")
+        append_partitions(good, good_root, partition_cols, f"epoch-{epoch_id}")
+        append_partitions(bad, quarantine_root, partition_cols, f"epoch-{epoch_id}")
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"

@@ -275,3 +275,49 @@ def test_curation_funnel_v2_conserves_counts(spark, sf_dir):
         assert r["allocation"] <= r["tokens"]
     total = int(out["tokens"].sum())
     assert int(out["allocation"].sum()) <= total * 8 // 10
+
+
+def test_segment_dedup_keeper_key_survives_1000_segments(spark, tmp_path):
+    """ADVICE r7 regression: the old scalar keeper key doc_id*1000+pos
+    collides once a doc has ≥1000 segments — (doc 1, pos 1001) and
+    (doc 2, pos 1) shared key 2001, so the duplicated segment could be
+    kept TWICE and 'first occurrence' could resolve to the wrong doc.
+    The struct argmin must keep the shared segment exactly once, in the
+    lexicographically-first (doc_id, pos) slot, and still hash-match
+    the (also fixed) DuckDB oracle on this adversarial fixture."""
+    import os
+
+    import duckdb
+
+    from data_engineer_coder_spark import registry
+    from data_engineer_coder_spark.operators.dedup import (
+        _SEG_WORDS,
+        segment_dedup_keep_first,
+    )
+    from data_engineer_coder_spark.testing import run_compare
+
+    k = _SEG_WORDS
+    # doc 1: 1001 segments; the LAST one (pos 1001) is the shared segment
+    shared = " ".join(["x"] * k)
+    doc1 = " ".join(f"w{i}" for i in range(1000 * k)) + " " + shared
+    # doc 2: shared segment FIRST (pos 1 → old key 2*1000+1 == 1*1000+1001)
+    doc2 = shared + " " + " ".join(f"z{i}" for i in range(k))
+    fixture = str(tmp_path / "collision")
+    os.makedirs(fixture)
+    spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id int, text string"
+    ).coalesce(1).write.parquet(os.path.join(fixture, "documents.parquet"))
+
+    out = segment_dedup_keep_first(spark, fixture).toPandas().set_index("doc_id")
+    assert int(out.loc[1, "n_kept"]) == 1001  # doc 1 keeps everything
+    assert int(out.loc[2, "n_kept"]) == 1  # shared segment cut from doc 2
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fixture}/documents.parquet/*.parquet')"
+    )
+    oracle = registry.oracle_sql()["segment_dedup_keep_first"]
+    problems = run_compare(spark, con, segment_dedup_keep_first, oracle, fixture)
+    con.close()
+    assert not problems, problems

@@ -636,17 +636,83 @@ def test_acid_manifest_prune_and_vacuum(spark, tmp_path):
 
 
 def test_acid_commit_version_race_rebases(tmp_path):
-    """Two writers claiming the same manifest version must not clobber:
-    os.link fails with EEXIST and the loser rebases onto the next
-    version number."""
-    from data_engineer_coder_spark.io.acid_table import _commit, current_manifest
+    """Two writers racing for the same manifest version must BOTH land:
+    os.link fails with EEXIST and the loser re-reads the winner's
+    manifest and re-merges its own delta on top — no lost update."""
+    from data_engineer_coder_spark.io.acid_table import (
+        _commit,
+        _empty_manifest,
+        current_manifest,
+    )
 
     root = str(tmp_path / "t")
-    _commit(root, {"version": 1, "partitions": {}, "txids": ["a"]})
-    _commit(root, {"version": 1, "partitions": {}, "txids": ["b"]})  # the race
+    stale = _empty_manifest()  # both writers snapshot the empty table
+    _commit(root, stale, ["day=1"], "_staging/a", "a", "replace", ["day"], "{}")
+    # writer B commits from the SAME stale snapshot → version collision
+    _commit(root, stale, ["day=2"], "_staging/b", "b", "append", ["day"], "{}")
     man = current_manifest(root)
     assert man["version"] == 2
-    assert man["txids"] == ["b"]
+    assert man["txids"] == ["a", "b"]  # neither writer's commit was dropped
+    assert man["partitions"] == {
+        "day=1": ["_staging/a/day=1"],
+        "day=2": ["_staging/b/day=2"],
+    }
+
+
+def test_acid_append_accumulates_epochs(spark, tmp_path):
+    """append_partitions must ADD each txid's rows to a partition that
+    earlier txids also wrote — the multi-epoch streaming-append shape
+    that replace semantics would silently truncate."""
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        current_manifest,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    append_partitions(_acid_rows(spark, "2024-01-01", [1.0, 2.0]), root, ["day"], "e0")
+    append_partitions(_acid_rows(spark, "2024-01-01", [3.0]), root, ["day"], "e1")
+    got = read_table(spark, root).toPandas()
+    assert sorted(got["v"].tolist()) == [1.0, 2.0, 3.0]  # e0 rows survived e1
+    # txid replay is still a no-op
+    v = current_manifest(root)["version"]
+    append_partitions(_acid_rows(spark, "2024-01-01", [3.0]), root, ["day"], "e1")
+    assert current_manifest(root)["version"] == v
+    assert read_table(spark, root).count() == 3
+
+
+def test_acid_time_travel_and_schema_evolution(spark, tmp_path):
+    """Version-pinned reads see the table as of that commit; a later
+    write may add a column and old versions surface it as null."""
+    from pyspark.sql import Row
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        read_table,
+        replace_partitions,
+        table_history,
+    )
+
+    root = str(tmp_path / "t")
+    replace_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "t1")
+    append_partitions(_acid_rows(spark, "2024-01-01", [2.0]), root, ["day"], "t2")
+    evolved = spark.createDataFrame(
+        [Row(day="2024-01-02", k=0, v=9.0, src="api")]
+    )
+    append_partitions(evolved, root, ["day"], "t3")
+
+    assert read_table(spark, root, version=1).count() == 1
+    assert sorted(read_table(spark, root, version=2).toPandas()["v"]) == [1.0, 2.0]
+    cur = read_table(spark, root).toPandas()
+    assert len(cur) == 3
+    assert "src" in cur.columns  # evolved column, null for old rows
+    assert cur[cur["day"] == "2024-01-01"]["src"].isna().all()
+
+    hist = table_history(spark, root).toPandas().sort_values("version")
+    assert hist["version"].tolist() == [1, 2, 3]
+    assert hist["txid"].tolist() == ["t1", "t2", "t3"]
+    assert hist["n_dirs"].tolist() == [1, 2, 3]
+    assert hist["n_cols"].tolist() == [2, 2, 3]  # (k,v) then (k,v,src)
 
 
 def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):

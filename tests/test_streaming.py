@@ -212,9 +212,9 @@ def test_stream_exactly_once_sink_survives_epoch_replay(spark, sf_dir):
     crash-replay), and assert the table is unchanged — then compare the
     final table against the batch source."""
     from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
         current_manifest,
         read_table,
-        replace_partitions,
     )
     from data_engineer_coder_spark.streaming.core import (
         stream_documents,
@@ -233,13 +233,42 @@ def test_stream_exactly_once_sink_survives_epoch_replay(spark, sf_dir):
 
     # crash-replay: re-commit epoch 0's logical write with the same txid
     batch = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    replace_partitions(batch, root, ["lang"], man["txids"][0])
+    append_partitions(batch, root, ["lang"], man["txids"][0])
     man2 = current_manifest(root)
     assert man2["version"] == v_before  # no new commit
     assert read_table(spark, root).count() == n_before  # no duplicates
 
     got = read_table(spark, root).select("doc_id", "lang", "n_chars")
     assert _sorted_rows(got) == _sorted_rows(batch)
+
+
+def test_stream_exactly_once_sink_accumulates_multi_epoch(spark, sf_dir, tmp_path):
+    """T8b under a genuinely MULTI-epoch stream (ADVICE r7 high): every
+    epoch carries rows for the same ``lang`` partition values, so a
+    replace-semantics sink would silently drop all but the last epoch's
+    rows per partition.  The append-manifest sink must conserve every
+    epoch."""
+    from data_engineer_coder_spark.io.acid_table import current_manifest, read_table
+    from data_engineer_coder_spark.streaming.core import write_stream_exactly_once
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src_dir = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src_dir)  # 2 files → 2 micro-batches
+    schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    root = str(tmp_path / "t")
+    q = write_stream_exactly_once(sdf, root, ["lang"])
+    q.awaitTermination(300)
+
+    man = current_manifest(root)
+    assert len(man["txids"]) >= 2, "fixture failed to produce multiple epochs"
+    got = read_table(spark, root)
+    assert got.count() == docs.count()  # earlier epochs' rows survived
+    assert _sorted_rows(got.select("doc_id", "lang", "n_chars")) == _sorted_rows(docs)
 
 
 def test_stream_quarantine_splits_and_conserves_rows(spark, sf_dir):
@@ -277,10 +306,10 @@ def test_stream_quarantine_splits_and_conserves_rows(spark, sf_dir):
     zh = bad[bad["lang"] == "zh"]
     assert zh["failed_rules"].str.contains("lang_allowed").all()
     # replaying the epoch is a no-op on both sides
-    from data_engineer_coder_spark.io.acid_table import current_manifest, replace_partitions
+    from data_engineer_coder_spark.io.acid_table import append_partitions, current_manifest
 
     man = current_manifest(good_root)
-    replace_partitions(
+    append_partitions(
         spark.createDataFrame(good), good_root, ["lang"], man["txids"][0]
     )
     assert read_table(spark, good_root).count() == len(good)
