@@ -1499,46 +1499,58 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# L12b: Misra-Gries heavy hitters (round 7) — the mergeable frequent-
-# items sketch (Misra & Gries '82; merge rule: Agarwal et al. '13).
-# Per-shard MG summaries (k counters) run in applyInPandas over a
-# deterministic doc_id shard, merge in a second tiny stage (sum counters
-# → subtract the (k+1)-th largest → keep positives), and the merged
-# candidate set — GUARANTEED to contain every token with true count
-# > N/(k+1) — is exact-verified by a broadcast semi-join re-count that
-# touches only candidate terms.  The oracle is the plain exact top-10:
-# the sketch passes iff its candidates really did contain the heavy
-# hitters.  At 100 TB the full-vocab count this replaces is a
-# vocabulary-sized shuffle; the sketch's exchange is shards × k rows.
-# Determinism: stream order is pinned (sort by doc_id, pos inside each
-# shard), so the sketch state is reproducible run-to-run.
+# L12b: Misra-Gries heavy hitters (round 7; rebuilt round 8 per ADVICE)
+# — the mergeable frequent-items sketch (Misra & Gries '82; merge rule:
+# Agarwal et al. '13).  Per-PARTITION MG summaries (k counters) run in
+# mapInPandas directly over the document partitions — the token stream
+# is tokenized and consumed INSIDE each task, never shuffled, and no
+# task ever materializes more than one Arrow batch of documents (the r7
+# version shuffled every token into 16 groups and loaded 1/16 of the
+# corpus into a single pandas frame — exactly the hot-key single-task
+# shape this repo bans).  Summaries tree-merge in two tiny stages (sum
+# counters → subtract the (k+1)-th largest → keep positives, error adds
+# across merges but stays ≤ N/(k+1) total), and the merged candidate
+# set — GUARANTEED to contain every token with true count > N/(k+1) —
+# is exact-verified by a broadcast semi-join re-count that touches only
+# candidate terms.  The oracle is the plain exact top-10: the gate is
+# therefore ADMISSIBLE only when every true top-10 count exceeds the
+# N/(k+1) merge-error bound (the fixture's zipf head clears it by
+# orders of magnitude); flatter distributions need a larger k, and the
+# final ranking always uses TRUE counts, so extra candidates are
+# harmless.  At 100 TB the full-vocab count this replaces is a
+# vocabulary-sized shuffle; the sketch's exchange is tasks × k rows.
 # --------------------------------------------------------------------------
 
 _MG_K = 32
-_MG_SHARDS = 16
+_MG_MERGE_FAN = 32  # level-1 tree-merge groups (tasks × k → fan × k → k)
 _MG_TOP = 10
 
 
-def _mg_sketch_pdf(pdf):
-    """One shard's token stream → ≤ _MG_K (term, w) counters."""
+def _mg_partition_sketch(batches):
+    """One task's document stream → ≤ _MG_K (term, w) counters.
+
+    Runs under mapInPandas: iterates Arrow batches of documents,
+    tokenizes and folds into the counter dict in-place — peak memory is
+    one Arrow batch + k counters, independent of partition size."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["doc_id", "pos"])  # pin stream order
     counters: dict[str, int] = {}
-    for t in pdf["term"]:
-        if t in counters:
-            counters[t] += 1
-        elif len(counters) < _MG_K:
-            counters[t] = 1
-        else:
-            dead = []
-            for key in counters:
-                counters[key] -= 1
-                if counters[key] == 0:
-                    dead.append(key)
-            for key in dead:
-                del counters[key]
-    return pd.DataFrame(
+    for pdf in batches:
+        for text in pdf["text"]:
+            for t in text.split(" "):
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < _MG_K:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+    yield pd.DataFrame(
         {"term": list(counters.keys()), "w": [int(v) for v in counters.values()]}
     )
 
@@ -1573,24 +1585,32 @@ SELECT rank, term, cnt FROM (
         "L12: Misra-Gries heavy-hitter top-10 — per-shard mergeable "
         f"sketches (k={_MG_K}), exact re-count of candidates only.  The "
         "oracle is the exact top-10: the gate passes iff the sketch's "
-        "guarantee (every token with count > N/(k+1) survives) held."
+        "guarantee (every token with count > N/(k+1) survives) held — "
+        "admissible only while every true top-10 count clears that "
+        "bound; flatter distributions need a larger k."
     ),
 )
 def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
-    ).withColumn("shard", (F.col("doc_id") % _MG_SHARDS).cast("int"))
-    shard_sketches = tok.groupBy("shard").applyInPandas(
-        lambda pdf: _mg_sketch_pdf(pdf), "term string, w long"
+    docs = table(spark, sf_dir, "documents").select("text")
+    # stage 1: one MG summary per document partition — zero shuffle of
+    # the token stream, streaming Arrow-batch consumption inside tasks
+    sketches = docs.mapInPandas(_mg_partition_sketch, "term string, w long")
+    # stages 2+3: tree-merge whole summaries (a summary is never split
+    # across groups — the merge rule needs complete counter sets).
+    # Exchange volume: tasks×k rows, then _MG_MERGE_FAN×k, then k.
+    level1 = (
+        sketches.withColumn("_g", F.spark_partition_id() % _MG_MERGE_FAN)
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: _mg_merge_pdf(pdf), "term string, w long")
     )
     merged = (
-        shard_sketches.withColumn("_g", F.lit(1))
+        level1.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(lambda pdf: _mg_merge_pdf(pdf), "term string, w long")
     )
     # exact verification pass touches candidate terms only (≤ k rows,
     # broadcast): the final ranking uses TRUE counts, never sketch w
+    tok = docs.select(F.explode(F.split("text", " ")).alias("term"))
     cand_counts = (
         tok.join(F.broadcast(merged.select("term")), "term")
         .groupBy("term")

@@ -80,11 +80,12 @@ def test_bigram_logprob_bounds_and_counts(spark, sf_dir):
 def test_mg_sketch_guarantee_on_synthetic_zipf():
     """Pure-pandas check of the sketch itself under real eviction (the
     parquet fixture's 31-word vocab never evicts): every item with true
-    count > N/(k+1) must survive shard sketches + merge."""
+    count > N/(k+1) must survive per-partition sketches + the two-level
+    tree merge — exactly the stages approx_topk_tokens runs."""
     from data_engineer_coder_spark.operators.textops import (
         _MG_K,
         _mg_merge_pdf,
-        _mg_sketch_pdf,
+        _mg_partition_sketch,
     )
 
     rng = np.random.default_rng(3)
@@ -94,19 +95,23 @@ def test_mg_sketch_guarantee_on_synthetic_zipf():
         rng.integers(0, 8, n),  # 8 heavy hitters share 40%
         rng.integers(8, 5000, n),  # 5k-term tail
     ).astype(str)
-    df = pd.DataFrame(
-        {
-            "doc_id": rng.integers(0, 1000, n),
-            "pos": np.arange(n),
-            "term": terms,
-            "shard": rng.integers(0, 16, n),
-        }
-    )
-    shards = pd.concat(
-        [_mg_sketch_pdf(g) for _, g in df.groupby("shard")], ignore_index=True
-    )
-    merged = _mg_merge_pdf(shards)
-    true_counts = df["term"].value_counts()
+    # pack the stream into 10-token documents across 16 "partitions",
+    # each partition fed to the sketch as two Arrow-batch-sized chunks
+    docs = [" ".join(terms[i : i + 10]) for i in range(0, n, 10)]
+    parts = [docs[p::16] for p in range(16)]
+    sketches = []
+    for pdocs in parts:
+        half = len(pdocs) // 2
+        batches = iter(
+            [pd.DataFrame({"text": pdocs[:half]}), pd.DataFrame({"text": pdocs[half:]})]
+        )
+        sketches.extend(_mg_partition_sketch(batches))
+    # two-level tree merge: 16 summaries → 4 groups → 1
+    level1 = [
+        _mg_merge_pdf(pd.concat(sketches[g::4], ignore_index=True)) for g in range(4)
+    ]
+    merged = _mg_merge_pdf(pd.concat(level1, ignore_index=True))
+    true_counts = pd.Series(terms).value_counts()
     heavy = set(true_counts[true_counts > n / (_MG_K + 1)].index)
     assert heavy, "fixture lost its heavy hitters"
     missed = heavy - set(merged["term"])
