@@ -457,3 +457,80 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+# S8 (round 8): ACID-table commit log through the driver gate — builds a
+# three-commit table (replace, append, schema-evolving append) from the
+# documents fixture in a scratch dir, then returns the commit history
+# with a TIME-TRAVEL row count per version (read_table(version=v)).
+# The oracle recomputes every ledger column from the same doc_id % 3
+# split in plain SQL, so manifest accounting, append accumulation, and
+# version-pinned reads are all value-hash-checked by the driver.  This
+# is the lakehouse surface that replaces the reference's CREATE TABLE
+# IF NOT EXISTS + blind append (my_data_pipeline.py:106-115): its
+# silent rerun duplication and silent schema drift both become
+# impossible here.  Scratch IO is ~the sf0.01 documents table; the
+# dir is removed before returning (history/counts are already driver-
+# side rows).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_table_history",
+    oracle="""
+WITH s AS (SELECT doc_id, lang, CAST(doc_id % 3 AS INT) AS m FROM documents),
+v AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(version))
+SELECT v.version,
+       't' || CAST(v.version AS VARCHAR) AS txid,
+       (SELECT COUNT(DISTINCT lang) FROM s WHERE m < v.version) AS n_partitions,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT m, lang FROM s WHERE m < v.version)) AS n_dirs,
+       CAST(CASE WHEN v.version = 3 THEN 3 ELSE 2 END AS BIGINT) AS n_cols,
+       (SELECT COUNT(*) FROM s WHERE m < v.version) AS n_rows
+FROM v
+""",
+    tags=("sink", "acid", "lakehouse"),
+    doc=(
+        "S8: ACID table commit log + time travel — replace, append, and "
+        "schema-evolving append commits over the documents table; one "
+        "row per version with partition/dir/schema accounting and the "
+        "version-pinned row count."
+    ),
+)
+def acid_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import (
+        append_partitions,
+        read_table,
+        replace_partitions,
+        table_history,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", (F.col("doc_id") % 3).cast("int").alias("m")
+    )
+    base = tempfile.mkdtemp(prefix="acid_hist_")
+    root = os.path.join(base, "t")
+    try:
+        replace_partitions(docs.filter("m = 0").drop("m"), root, ["lang"], "t1")
+        append_partitions(docs.filter("m = 1").drop("m"), root, ["lang"], "t2")
+        evolved = docs.filter("m = 2").drop("m").withColumn("ingest", F.lit("batch3"))
+        append_partitions(evolved, root, ["lang"], "t3")
+        hist = table_history(spark, root)
+        rows = [
+            (v, read_table(spark, root, version=v).count()) for v in (1, 2, 3)
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    counts = spark.createDataFrame(rows, "version int, n_rows long")
+    return hist.join(counts, "version").select(
+        "version",
+        "txid",
+        F.col("n_partitions").cast("bigint").alias("n_partitions"),
+        F.col("n_dirs").cast("bigint").alias("n_dirs"),
+        F.col("n_cols").cast("bigint").alias("n_cols"),
+        "n_rows",
+    )

@@ -74,7 +74,48 @@ def _money(rng: np.random.Generator, n: int, lo: float, hi: float) -> np.ndarray
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def gen(sf: float, outdir: str) -> None:
+def _zipf_vocab(size: int = 100_000, s: float = 1.07):
+    """Open-vocabulary model: ``size`` ranked words with Zipf(s)
+    probabilities — the realistic corpus shape the 31-word closed vocab
+    can't express (BASELINE.md r7: the closed vocab saturates the
+    shingle/signature space and makes the true near-dup answer itself
+    quadratic).  Returns (words, p)."""
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    p /= p.sum()
+    words = np.array([f"w{i}" for i in range(size)])
+    return words, p
+
+
+def _gen_documents(rng, n_doc: int, open_vocab: bool):
+    """Document texts + dup/near-dup families (shared by both modes)."""
+    if open_vocab:
+        vocab, vp = _zipf_vocab()
+    else:
+        vocab, vp = np.array(VOCAB), None
+    lens = rng.integers(10, 101, n_doc)
+    all_words = rng.choice(len(vocab), size=int(lens.sum()), p=vp)
+    texts: list[str] = []
+    off = 0
+    for ln in lens:
+        texts.append(" ".join(vocab[all_words[off : off + ln]]))
+        off += ln
+    # exact dups: ~0.3% of docs copy an earlier doc (sf0.1 measured: 8
+    # dup pairs / 5000 docs); near dups: ~1% copy with a 1-word mutation.
+    n_exact = max(2, int(n_doc * 0.0032 / 2))
+    n_near = max(2, int(n_doc * 0.01))
+    for i in rng.integers(0, n_doc, n_exact):
+        texts[(i + 1) % n_doc] = texts[i]
+    for i in rng.integers(0, n_doc, n_near):
+        words = texts[i].split()
+        words[int(rng.integers(0, len(words)))] = str(
+            vocab[int(rng.choice(len(vocab), p=vp))]
+        )
+        texts[(i + 7) % n_doc] = " ".join(words)
+    return texts
+
+
+def gen(sf: float, outdir: str, open_vocab: bool = False, docs_only: bool = False) -> None:
     k = sf * 1000  # multiplier relative to the sf0.001 base counts
     n_li = int(6000 * k)
     n_ord = int(1500 * k)
@@ -89,6 +130,13 @@ def gen(sf: float, outdir: str) -> None:
 
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
+
+    if docs_only:
+        # the dedup/LSH scaling campaign needs only documents+embeddings;
+        # skipping lineitem/orders keeps sf10 generation cheap
+        _gen_docs_and_embeddings(rng, outdir, n_doc, n_emb, open_vocab)
+        _stamp(outdir, sf, open_vocab, docs_only)
+        return
 
     # --- dims -------------------------------------------------------------
     _write(outdir, "region", pa.table({
@@ -174,22 +222,13 @@ def gen(sf: float, outdir: str) -> None:
         "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
     }))
 
-    # --- documents (with dup families for the dedup ops) ------------------
-    vocab = np.array(VOCAB)
-    lens = rng.integers(10, 101, n_doc)
-    texts: list[str] = []
-    for ln in lens:
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
-    # exact dups: ~0.3% of docs copy an earlier doc (sf0.1 measured: 8
-    # dup pairs / 5000 docs); near dups: ~1% copy with a 1-word mutation.
-    n_exact = max(2, int(n_doc * 0.0032 / 2))
-    n_near = max(2, int(n_doc * 0.01))
-    for i in rng.integers(0, n_doc, n_exact):
-        texts[(i + 1) % n_doc] = texts[i]
-    for i in rng.integers(0, n_doc, n_near):
-        words = texts[i].split()
-        words[int(rng.integers(0, len(words)))] = str(vocab[int(rng.integers(0, len(vocab)))])
-        texts[(i + 7) % n_doc] = " ".join(words)
+    # --- documents / embeddings -------------------------------------------
+    _gen_docs_and_embeddings(rng, outdir, n_doc, n_emb, open_vocab)
+    _stamp(outdir, sf, open_vocab, docs_only)
+
+
+def _gen_docs_and_embeddings(rng, outdir, n_doc, n_emb, open_vocab):
+    texts = _gen_documents(rng, n_doc, open_vocab)
     _write(outdir, "documents", pa.table({
         "doc_id": pa.array(np.arange(1, n_doc + 1), pa.int64()),
         "text": texts,
@@ -197,8 +236,6 @@ def gen(sf: float, outdir: str) -> None:
         "source": [f"src{i}" for i in rng.integers(0, 20, n_doc)],
         "n_chars": pa.array(rng.integers(40, 600, n_doc), pa.int64()),
     }))
-
-    # --- embeddings -------------------------------------------------------
     vecs = rng.normal(0.0, 0.1, (n_emb, 64)).astype(np.float32)
     _write(outdir, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(1, n_emb + 1), pa.int64()),
@@ -206,12 +243,27 @@ def gen(sf: float, outdir: str) -> None:
         "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     }))
 
+
+def _stamp(outdir, sf, open_vocab, docs_only):
     with open(os.path.join(outdir, "GENERATED.json"), "w") as fh:
-        json.dump({"sf": sf, "seed": 42, "generator": "scripts/gen_fixture.py"}, fh)
+        json.dump(
+            {
+                "sf": sf,
+                "seed": 42,
+                "generator": "scripts/gen_fixture.py",
+                "vocab": "zipf-100k" if open_vocab else "closed-31",
+                "docs_only": docs_only,
+            },
+            fh,
+        )
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    outdir = sys.argv[2] if len(sys.argv) > 2 else f"perfdata/sf{sf:g}"
-    print(f"generating sf={sf} into {outdir}")
-    gen(sf, outdir)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sf = float(args[0]) if args else 1.0
+    open_vocab = "--open-vocab" in flags
+    default_dir = f"perfdata/{'ov-' if open_vocab else ''}sf{sf:g}"
+    outdir = args[1] if len(args) > 1 else default_dir
+    print(f"generating sf={sf} into {outdir} (vocab={'zipf-100k' if open_vocab else 'closed-31'})")
+    gen(sf, outdir, open_vocab=open_vocab, docs_only="--docs-only" in flags)

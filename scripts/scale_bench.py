@@ -73,7 +73,10 @@ HEAVY = [
 def _time_queries(spark, sf_dir: str, passes: int, names=None) -> dict[str, float]:
     names = names or HEAVY
     qs = registry.queries()
-    qs["pricing_summary"](spark, sf_dir).collect()  # JIT warmup
+    # JIT warmup on a query the fixture can serve (docs-only fixtures
+    # carry no lineitem)
+    warm = "pricing_summary" if os.path.exists(os.path.join(sf_dir, "lineitem.parquet")) else names[0]
+    qs[warm](spark, sf_dir).collect()
     best = {n: float("inf") for n in names}
     for _ in range(passes):
         for name in names:
