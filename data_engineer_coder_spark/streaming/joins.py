@@ -96,6 +96,135 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(attributed_purchases(purchases, clicks), "append", shuffle_partitions=8)
 
 
+def attributed_purchases_outer(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """LEFT OUTER variant: every purchase survives — with its qualifying
+    clicks when any exist, with null click columns otherwise.
+
+    In Structured Streaming the null (unmatched) results for a purchase
+    are emitted only once the watermark passes its event time (no
+    earlier click can still arrive), so the outer side's completeness
+    is watermark-gated — the registered query trims to that horizon.
+    """
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_GAP_MIN} MINUTES")),
+        "left_outer",
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        ts_str("p_ts").alias("purchase_ts"),
+        ts_str("c_ts").alias("click_ts"),
+        "purchase_value",
+    )
+
+
+# Outer-join oracle: the batch LEFT JOIN restricted to purchases at or
+# below the stream's final watermark horizon.  Catalyst pushes each
+# branch's event-type filter BELOW its EventTimeWatermark node, so each
+# branch tracks max event time over its own type only and the query's
+# final watermark is min(max purchase ts, max click ts) - 1h (measured:
+# a late non-click/non-purchase event does NOT advance it).  The
+# closing no-data batch emits null rows for purchases below that
+# watermark; later purchases stay buffered when availableNow
+# terminates.  Equivalence with the batch left join therefore holds on
+# ts <= min(max_p, max_c) - 90min (1h watermark + 30min margin for the
+# join-interval component of the eviction threshold) — we trim BOTH
+# engines there.
+_SSJ_OUTER_ORACLE = f"""
+WITH mx AS (
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+  ) AS m
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events, mx
+  WHERE event_type = 'purchase' AND ts <= mx.m - INTERVAL 90 MINUTE
+),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       p.value AS purchase_value
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {_GAP_MIN} MINUTE
+"""
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle=_SSJ_OUTER_ORACLE,
+    tags=("streaming", "join", "real-stream"),
+    doc=(
+        "T stream-stream LEFT OUTER: purchases with no qualifying click "
+        "survive with null click columns once the watermark closes; two "
+        "real readStream inputs -> memory sink, trimmed to the final "
+        "watermark horizon where streaming == the batch left join "
+        "(shared oracle)."
+    ),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    clicks = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = run_to_memory(
+        attributed_purchases_outer(purchases, clicks), "append", shuffle_partitions=8
+    )
+    horizon = _outer_horizon(spark, sf_dir)
+    # purchase_ts is 'YYYY-MM-DD HH:MM:SS' — lexicographic == chronological
+    return out.filter(F.col("purchase_ts") <= horizon)
+
+
+def _outer_horizon(spark: SparkSession, sf_dir: str) -> str:
+    """min(max purchase ts, max click ts) - 90 min, formatted — the
+    point below which the streaming outer join is provably complete."""
+    import datetime
+
+    ev = table(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    return (m - datetime.timedelta(minutes=90)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+@register(
+    "purchase_attribution_outer_batch",
+    oracle=_SSJ_OUTER_ORACLE,
+    tags=("streaming", "join"),
+    doc=(
+        "Batch twin of stream_stream_left_outer_join (same transformation "
+        "and horizon trim, spark.read input)."
+    ),
+)
+def purchase_attribution_outer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return attributed_purchases_outer(ev, ev).filter(
+        F.col("purchase_ts") <= _outer_horizon(spark, sf_dir)
+    )
+
+
 @register(
     "purchase_attribution_batch",
     oracle=_SSJ_ORACLE,

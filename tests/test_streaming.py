@@ -313,3 +313,56 @@ def test_stream_quarantine_splits_and_conserves_rows(spark, sf_dir):
         spark.createDataFrame(good), good_root, ["lang"], man["txids"][0]
     )
     assert read_table(spark, good_root).count() == len(good)
+
+
+def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
+    """T9 outer: a purchase with NO qualifying click (none at all, or
+    only one outside the 30-min window) must surface with null click
+    columns once the watermark closes — the rows an inner join drops."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from data_engineer_coder_spark.streaming.joins import (
+        stream_stream_left_outer_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, etype):
+        return Row(
+            event_id=eid,
+            ts=t0 + datetime.timedelta(minutes=minutes),
+            user_id=user,
+            event_type=etype,
+            value=float(eid),
+            props="{}",
+        )
+
+    rows = [
+        ev(1, 0, 1, "click"),      # user 1: click 10 min before purchase
+        ev(2, 10, 1, "purchase"),  #   -> attributed
+        ev(3, 10, 2, "purchase"),  # user 2: no click at all -> null row
+        ev(4, 0, 3, "click"),      # user 3: click 40 min before purchase
+        ev(5, 40, 3, "purchase"),  #   -> outside the window -> null row
+        # horizon pushers: the watermark is min over the two FILTERED
+        # branches (Catalyst pushes the event-type filter below the
+        # watermark node), so BOTH a late click and a late purchase are
+        # needed to close it past the purchases above
+        ev(6, 600, 9, "click"),
+        ev(7, 600, 9, "purchase"),
+    ]
+    fixture = str(tmp_path / "outer")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(
+        f"{fixture}/events.parquet"
+    )
+    got = (
+        stream_stream_left_outer_join(spark, fixture)
+        .toPandas()
+        .set_index("purchase_id")
+    )
+    assert got.loc[2, "click_id"] == 1  # matched pair intact
+    assert set(got.index) == {2, 3, 5}
+    assert pd.isna(got.loc[3, "click_id"]) and pd.isna(got.loc[3, "click_ts"])
+    assert pd.isna(got.loc[5, "click_id"])  # too-old click doesn't attribute
