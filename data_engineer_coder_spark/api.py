@@ -17,15 +17,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from . import registry
+from .config import EngineConfig, set_config
 from .io.tables import TABLES, register_views, table
 from .operators.misc import pipeline  # noqa: F401  (re-export)
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        config: EngineConfig | None = None,
+    ):
+        """``config`` sets the process-wide scale knobs (shuffle widths,
+        candidate budgets — sizing rules in ``config.py``); when it
+        carries ``auto_broadcast_mb`` the session threshold is written
+        here too, since that one lives in Spark conf, not in plans."""
         self.spark = spark
         self.sf_dir = sf_dir
         self._views_registered = False
+        if config is not None:
+            set_config(config)
+            if config.auto_broadcast_mb is not None:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold",
+                    str(config.auto_broadcast_mb * 1024 * 1024),
+                )
 
     def table(self, name: str) -> DataFrame:
         return table(self.spark, self.sf_dir, name)

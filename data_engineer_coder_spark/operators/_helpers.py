@@ -62,10 +62,18 @@ def shuffle_parts(df_or_spark) -> int:
     byte counts, coalescing the parallelism away.  A literal 32 was right
     for this local[32] host but undersizes a 1000-executor cluster, so
     derive the count from ``sparkContext.defaultParallelism`` (total
-    scheduler cores on a real cluster) instead.
+    scheduler cores on a real cluster) — overridable through
+    ``config.EngineConfig.shuffle_partitions`` (sizing rule there).
     """
+    from ..config import get_config
+
+    cfg = get_config()
+    if cfg.shuffle_partitions is not None:
+        return cfg.shuffle_partitions
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
-    return max(int(spark.sparkContext.defaultParallelism), 8)
+    return max(
+        int(spark.sparkContext.defaultParallelism), cfg.min_shuffle_partitions
+    )
 
 
 def with_global_pos(df, order_cols, pos_name: str = "pos", num_partitions: int = 32):

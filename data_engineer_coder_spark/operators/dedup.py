@@ -82,11 +82,16 @@ def _drop_frequent_shingles(sh: DataFrame) -> DataFrame:
 # generate.  The exact-Jaccard generators exist as sf-bounded ground truth
 # for the LSH recall gates; at corpus scale the budget trips BEFORE the
 # quadratic join runs and the error message points at the LSH path.
+# Default lives in config.EngineConfig.exact_pair_budget (sizing rule
+# there); this module alias remains for tests that reference it.
+from ..config import get_config as _cfg
+
 _EXACT_PAIR_BUDGET = 200_000_000
 
 # SimHash chunk-bucket candidate ceiling (round 7): trips when signature
-# saturation (closed-vocab corpora) makes even the true Hamming ≤ 3 pair
-# set quadratic — see the guard comment at the simhash candidate join.
+# saturation makes even the true Hamming ≤ 3 pair set quadratic — see
+# the guard comment at the simhash candidate join.  Default in
+# config.EngineConfig.simhash_cand_budget.
 _SIMHASH_CAND_BUDGET = 500_000_000
 
 
@@ -325,9 +330,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_g",
             F.assert_true(
-                F.col("_cand_budget") <= F.lit(float(_EXACT_PAIR_BUDGET)),
+                F.col("_cand_budget") <= F.lit(float(_cfg().exact_pair_budget)),
                 F.format_string(
-                    f"candidate budget exceeded (%s > {_EXACT_PAIR_BUDGET}): "
+                    f"candidate budget exceeded (%s > {_cfg().exact_pair_budget}): "
                     "use the MinHash-LSH path (minhash_lsh_neardup / "
                     "dedup_clusters_minhash) at this scale",
                     F.col("_cand_budget"),
@@ -541,6 +546,26 @@ def minhash_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token but the signature pass is one map-side scan either way.
 # --------------------------------------------------------------------------
 
+def _md5_bit_lut():
+    """nibble value → its 4 ±1 bit votes, LSB-first (matches the oracle's
+    (>> i%4) & 1).  A 16-entry literal lookup replaces the shift/and
+    arithmetic — measured 33% off the signature pass at sf0.1."""
+    return F.array(
+        *[F.array(*[F.lit(((v >> b) & 1) * 2 - 1) for b in range(4)]) for v in range(16)]
+    )
+
+
+def _md5_tok_bits(t, lut):
+    """64 ±1 contributions per token: 16 md5 hex nibbles × 4 bits."""
+    h = F.substring(F.md5(t), 1, 16)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: F.element_at(lut, F.conv(h.substr(j, F.lit(1)), 16, 10).cast("int") + 1),
+        )
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -552,6 +577,54 @@ tb AS (
                     >> (g.i % 4)) & 1 = 1
               THEN 1 ELSE -1 END AS v
   FROM tok, generate_series(0, 63) AS g(i)
+),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+  FROM (SELECT doc_id, i, SUM(v) AS s FROM tb GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, g.c, h.s,
+         substr(sig, 1 + 16 * g.c, 16) AS chunk,
+         substr(substr(sig, 1, 16 * g.c) || substr(sig, 16 * g.c + 17),
+                1 + 12 * h.s, 12) AS sub
+  FROM sig, generate_series(0, 3) AS g(c), generate_series(0, 3) AS h(s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.s = b.s AND a.chunk = b.chunk
+              AND a.sub = b.sub AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 65), i -> substr(sa, i, 1) <> substr(sb, i, 1))) AS INT)
+         AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65), i -> substr(sa, i, 1) <> substr(sb, i, 1))) <= 3
+"""
+
+# IDF-weighted signature prefix (round 8): each token votes with weight
+# floor(ln(N/df)·1e6) — an exact integer grid both engines reproduce —
+# so head tokens (df ≈ N) contribute ~0 and stop collapsing every doc
+# onto the majority signature.  Block/verify SQL is shared verbatim
+# with the unweighted oracle above.
+_SIMHASH_IDF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+idf AS (
+  SELECT t, CAST(FLOOR(LN(n / COUNT(DISTINCT doc_id)) * 1e6) AS BIGINT) AS widf
+  FROM tok, nd GROUP BY t, n
+),
+tb AS (
+  SELECT doc_id, g.i,
+         CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (g.i // 4) + 1, 1)) - 1)
+                    >> (g.i % 4)) & 1 = 1
+              THEN widf ELSE -widf END AS v
+  FROM tok JOIN idf USING (t), generate_series(0, 63) AS g(i)
 ),
 sig AS (
   SELECT doc_id,
@@ -601,44 +674,35 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
         "doc_id", _words(F.col("text")).alias("ws")
     )
-
-    # nibble value → its 4 ±1 bit votes, LSB-first (matches the oracle's
-    # (>> i%4) & 1).  A 16-entry literal lookup replaces the shift/and
-    # arithmetic — measured 33% off the signature pass at sf0.1.
-    lut = F.array(
-        *[F.array(*[F.lit(((v >> b) & 1) * 2 - 1) for b in range(4)]) for v in range(16)]
-    )
-
-    def tok_bits(t):
-        # 64 ±1 contributions per token: 16 md5 hex nibbles × 4 bits.
-        h = F.substring(F.md5(t), 1, 16)
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda j: F.element_at(lut, F.conv(h.substr(j, F.lit(1)), 16, 10).cast("int") + 1),
-            )
-        )
-
+    lut = _md5_bit_lut()
     # One pass: element-wise sum of the per-token ±1 vectors, then sign.
     vec = F.aggregate(
         F.col("ws"),
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+        lambda acc, t: F.zip_with(acc, _md5_tok_bits(t, lut), lambda a, b: a + b),
     )
     sig_expr = F.array_join(
         F.transform(vec, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
     )
     sigs = w.select("doc_id", sig_expr.alias("sig"))
+    return _simhash_pairs_from_sigs(sigs)
 
-    # Two-level pigeonhole blocking, EXACT for Hamming ≤ 3: a true pair
-    # agrees on ≥1 of the 4 16-bit chunks, and among the remaining 48
-    # bits carries ≤3 diffs, so it also agrees on ≥1 of that chunk's 4
-    # 12-bit sub-blocks.  Keying on (chunk, sub-block) — 16 keys/doc —
-    # splits hot chunk buckets multiplicatively: on a near-saturated
-    # signature distribution (closed-vocab corpora, boilerplate) the
-    # measured candidate count dropped 13.8M → 1.3M at 50k docs and the
-    # sf0.1→sf1 runtime exponent from 1.22 to 0.87, with zero recall
-    # loss (tests assert equality with brute-force Hamming ≤ 3 pairs).
+
+def _simhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → Hamming ≤ 3 near-dup pairs.  Shared blocking +
+    verification tail of both SimHash variants.
+
+    Two-level pigeonhole blocking, EXACT for Hamming ≤ 3: a true pair
+    agrees on ≥1 of the 4 16-bit chunks, and among the remaining 48
+    bits carries ≤3 diffs, so it also agrees on ≥1 of that chunk's 4
+    12-bit sub-blocks.  Keying on (chunk, sub-block) — 16 keys/doc —
+    splits hot chunk buckets multiplicatively: on a near-saturated
+    signature distribution (closed-vocab corpora, boilerplate) the
+    measured candidate count dropped 13.8M → 1.3M at 50k docs and the
+    sf0.1→sf1 runtime exponent from 1.22 to 0.87, with zero recall
+    loss (tests assert equality with brute-force Hamming ≤ 3 pairs).
+    """
+
     def rest(c: int):
         # the 48 signature bits outside chunk c, as a string
         if c == 0:
@@ -671,13 +735,20 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary the true Hamming ≤ 3 pair count itself grows ~n²
     # (measured: 4.9k pairs at 50k docs → 426k at 500k — signature
     # space saturates), so past a point no blocking scheme can stay
-    # subquadratic: the OUTPUT is quadratic.  Open-vocab corpora keep
-    # near-constant per-doc pair density and never hit this.  The guard
-    # converts the pathological case into a fast, explicit failure.
+    # subquadratic: the OUTPUT is quadratic.  Round-8 correction: an
+    # open Zipf vocabulary does NOT save unweighted SimHash either —
+    # the head tokens appear in nearly every doc and pull all 64 bits
+    # toward the same majority signature, so chunk buckets skew and the
+    # CANDIDATE set (not the true answer) went quadratic at ov-sf10
+    # (measured 1.42×10⁹ candidates / 500k docs; true pairs stayed
+    # linear).  That is the textbook motivation for idf-WEIGHTED
+    # SimHash — implemented as simhash_idf_neardup below, which keeps
+    # this bucketing subquadratic on Zipf corpora.  The guard converts
+    # both pathological cases into a fast, explicit failure.
     chunks = _pair_budget_guard(
         chunks,
         "chunk_key",
-        _SIMHASH_CAND_BUDGET,
+        _cfg().simhash_cand_budget,
         "signature space is saturated (closed-vocab/boilerplate corpus) — "
         "near-dup density makes even the true pair set quadratic here; "
         "shard the corpus or dedup exact-first",
@@ -704,6 +775,69 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "simhash_idf_neardup",
+    oracle=_SIMHASH_IDF_ORACLE,
+    tags=("dedup", "llm", "approx"),
+    doc=(
+        "L2: idf-WEIGHTED 64-bit SimHash (Charikar '02 as deployed: each "
+        "token votes ±floor(ln(N/df)·1e6), so head tokens vote ~0) — the "
+        "variant that keeps chunk blocking subquadratic on Zipf corpora, "
+        "where unweighted SimHash's candidate set measured ~n² at "
+        "ov-sf10 (head tokens pull every doc toward one majority "
+        "signature).  Same md5 bit mapping, blocking, and Hamming ≤ 3 "
+        "verification as simhash_neardup; the oracle rebuilds identical "
+        "signatures on the integer idf grid."
+    ),
+)
+def simhash_idf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted SimHash near-dup pairs.
+
+    Scale shape: the only corpus-sized exchanges are the token→idf join
+    (the tf-idf shuffle every weighting scheme pays) and the per-doc
+    64-column partial agg; signatures then enter the shared
+    (chunk, sub-block) pigeonhole path.  The idf weights are exact
+    integers (1e-6 ln grid), so signatures are engine-portable and the
+    driver value-hashes the pair set.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.repartition(shuffle_parts(docs), F.col("doc_id")).select(
+        "doc_id", _words(F.col("text")).alias("ws")
+    )
+    tok = w.select("doc_id", F.explode("ws").alias("t"))
+    # fold duplicate tokens per doc first: the idf join and the md5 bit
+    # expansion then run once per (doc, term), not per occurrence —
+    # on natural text tf > 1 is common and the sum is identical (c×widf)
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))  # rows already distinct per doc
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    idf = df_.crossJoin(F.broadcast(nd)).select(
+        "t",
+        F.floor(F.log(F.col("n") / F.col("df")) * 1e6).cast("bigint").alias("widf"),
+    )
+    lut = _md5_bit_lut()
+    tokb = tf.join(idf, "t").select(
+        "doc_id",
+        F.transform(
+            _md5_tok_bits(F.col("t"), lut),
+            lambda b: b.cast("bigint") * F.col("widf") * F.col("c"),
+        ).alias("bv"),
+    )
+    # 64 partial-aggregated sums — one combiner cell per (task, doc);
+    # no window, no per-bit explode
+    sums = tokb.groupBy("doc_id").agg(
+        *[F.sum(F.element_at(F.col("bv"), i + 1)).alias(f"_b{i}") for i in range(64)]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"_b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
+    )
+    sigs = sums.select("doc_id", sig.alias("sig"))
+    return _simhash_pairs_from_sigs(sigs)
 
 
 # --------------------------------------------------------------------------
@@ -933,7 +1067,17 @@ def _star_contract(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFr
     edges = pairs.localCheckpoint()  # pair mining runs once
     converged = False
     for _ in range(_BIGSTAR_MAX_ROUNDS):
-        new = _small_star(_large_star(edges)).localCheckpoint()
+        # Two contraction rounds per driver cycle (r8): each probe +
+        # checkpoint is a synchronous driver round-trip, and at 20
+        # cycles those dominate the tiny edge-set jobs.  Doubling the
+        # contractions per probe halves the round-trips; correctness is
+        # unaffected because the contraction sequence has no 2-cycles —
+        # every non-fixed-point round strictly decreases the potential
+        # (Kiveris et al. Thm 2), so double-step fixed point ⇒ single-
+        # step fixed point.  (Measured numbers in BASELINE.md r8.)
+        new = _small_star(
+            _large_star(_small_star(_large_star(edges)))
+        ).localCheckpoint()
         sym_diff = (
             new.withColumn("_side", F.lit(1))
             .unionByName(edges.withColumn("_side", F.lit(-1)))

@@ -81,7 +81,13 @@ def _time_queries(spark, sf_dir: str, passes: int, names=None) -> dict[str, floa
     for _ in range(passes):
         for name in names:
             t0 = time.time()
-            qs[name](spark, sf_dir).collect()
+            try:
+                qs[name](spark, sf_dir).collect()
+            except Exception as e:  # record, keep measuring the rest
+                msg = str(e).split("\n")[0][:200]
+                print(f"    [{sf_dir.split('/')[-1]}] {name}: FAILED {msg}", flush=True)
+                best[name] = float("nan")
+                continue
             dt = time.time() - t0
             best[name] = min(best[name], dt)
             print(f"    [{sf_dir.split('/')[-1]}] {name}: {dt:.1f}s", flush=True)
