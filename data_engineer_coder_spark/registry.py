@@ -72,33 +72,26 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-4 NTZ cohort, round-5 cohort, and the round-6 cohort of 9 —
-    # convergence probe, decimal-cast window sums, md5-portability
-    # graduations — all pruned: re-proven green in CORRECTNESS_r04/r05/r06.)
-    # round 7: semdedup assignment rewritten flat-K-broadcast → two-level
-    # IVF-style (coarse broadcast + coarse_id join); RESULTS change (a
-    # vector's globally-nearest fine centroid can sit in another coarse
-    # cell), oracle replays the new rule.
-    "semdedup_prune",
-    # round 7: frequent-shingle guard rewritten count-window → partial-agg
-    # count + broadcast anti-join (same filter semantics, new plan), plus
-    # the exact path gained the in-plan candidate-budget assert.  Re-prove
-    # the two base pipelines and their heaviest compositions.
-    "ngram_jaccard_pairs",
-    "minhash_lsh_neardup",
-    "minhash_lsh_recall_check",
-    "dedup_clusters_minhash",
-    "dedup_clusters",
-    # round 7 (ADVICE r6 item 2): dsir per-token mean decimal-cast before
-    # ROUND (cross-engine double-ROUND hazard).
-    "dsir_importance_weights",
-    # round 7 (VERDICT r6 #3): per-doc distinct-token set now capped at 512
-    # via md5-minwise sampling (bounds the O(distinct²) pair buffer); cap
-    # inactive on the fixture but both engines' expressions changed.
-    "token_cooccurrence_topk",
-    # round 7 (sf10 decade finding): candidate join gained the in-plan
-    # saturation budget guard — plan changed post-green, output unchanged.
+    # (round-7 cohort — semdedup two-level assignment, shingle-guard
+    # rewrite + budget asserts, dsir decimal cast, cooccurrence minwise
+    # cap, simhash saturation guard — all pruned: re-proven green in
+    # CORRECTNESS_r07.)
+    # round 8 (ADVICE r7): keeper key doc_id*1000+pos → (doc_id, pos)
+    # struct argmin in BOTH engines; results can differ once a doc has
+    # ≥1000 segments, and curation_funnel_v2 also left-joins its segment
+    # counts now.
+    "segment_dedup_keep_first",
+    "curation_funnel_v2",
+    # round 8 (ADVICE r7): sketch stage rewritten groupBy-shard
+    # applyInPandas → per-partition mapInPandas + two-level tree merge;
+    # candidate set (not the final ranking) is partitioning-dependent.
+    "approx_topk_tokens",
+    # round 8: signature/blocking tail factored into a shared helper
+    # (plan changed post-green, output unchanged).
     "simhash_neardup",
+    # round 8: two contractions per convergence probe (driver round-trip
+    # halving) — fixed point provably identical, plan changed.
+    "dedup_clusters_bigstar",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
