@@ -121,6 +121,12 @@ HEADLINE = [
     "unimax_allocation",
     "ccnet_perplexity_buckets",
     "dedup_clusters_minhash",
+    # round 8: idf-weighted simhash, lakehouse commit log + time travel,
+    # watermarked outer attribution join, streaming exactly-once append
+    "simhash_idf_neardup",
+    "acid_table_history",
+    "stream_stream_left_outer_join",
+    "purchase_attribution_outer_batch",
 ]
 
 

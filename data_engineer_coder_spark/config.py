@@ -36,6 +36,15 @@ Knobs and how to size them:
     Size to ~2% of executor memory; the operators broadcast dimensions
     explicitly where they KNOW the side is bounded, so this only
     affects Catalyst's automatic choices.
+``star_contractions_per_probe``
+    Large/small-star contraction rounds executed between convergence
+    probes in ``_star_contract`` (default 1).  Raise only when driver
+    round-trip latency dominates the per-round jobs — i.e. a remote
+    driver with many-round (high-diameter) graphs.  Measured at sf0.1
+    (BASELINE.md r8): the MinHash pair graph converges in 2 probes
+    either way, so 2-per-probe doubles the contraction work for zero
+    saved round-trips (11.4 s → 18.0 s) — hence the conservative
+    default.
 
 Thread-local-free by design: the config is process-global (Spark apps
 configure once at startup), with a context manager for tests.
@@ -54,6 +63,7 @@ class EngineConfig:
     exact_pair_budget: int = 200_000_000
     simhash_cand_budget: int = 500_000_000
     auto_broadcast_mb: int | None = None
+    star_contractions_per_probe: int = 1
 
 
 _current = EngineConfig()

@@ -1066,18 +1066,22 @@ def _star_contract(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFr
     exact-pair-graph and MinHash-pair-graph clustering ops."""
     edges = pairs.localCheckpoint()  # pair mining runs once
     converged = False
+    # Contractions per convergence probe are configurable (r8).  The
+    # hypothesis was that at 20 driver cycles the synchronous probe +
+    # checkpoint round-trips dominate; measurement killed it for local
+    # mode — the MinHash pair graph reaches its fixed point in 2 probes
+    # either way, so batching doubles the contraction work for zero
+    # saved round-trips (sf0.1: 11.4 s → 18.0 s, BASELINE.md r8).
+    # Default stays 1; a remote driver with a high-diameter graph can
+    # raise it — correctness is unaffected because every non-fixed-
+    # point round strictly decreases the potential (Kiveris et al.
+    # Thm 2), so k-step fixed point ⇒ single-step fixed point.
+    per_probe = _cfg().star_contractions_per_probe
     for _ in range(_BIGSTAR_MAX_ROUNDS):
-        # Two contraction rounds per driver cycle (r8): each probe +
-        # checkpoint is a synchronous driver round-trip, and at 20
-        # cycles those dominate the tiny edge-set jobs.  Doubling the
-        # contractions per probe halves the round-trips; correctness is
-        # unaffected because the contraction sequence has no 2-cycles —
-        # every non-fixed-point round strictly decreases the potential
-        # (Kiveris et al. Thm 2), so double-step fixed point ⇒ single-
-        # step fixed point.  (Measured numbers in BASELINE.md r8.)
-        new = _small_star(
-            _large_star(_small_star(_large_star(edges)))
-        ).localCheckpoint()
+        new = edges
+        for _k in range(per_probe):
+            new = _small_star(_large_star(new))
+        new = new.localCheckpoint()
         sym_diff = (
             new.withColumn("_side", F.lit(1))
             .unionByName(edges.withColumn("_side", F.lit(-1)))
