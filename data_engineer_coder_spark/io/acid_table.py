@@ -49,6 +49,26 @@ files).  ``vacuum`` deletes data directories the current manifest no
 longer references (orphans from crashes + replaced partition
 versions); vacuuming invalidates time travel to versions that needed
 the removed files, same trade Delta's ``VACUUM`` makes.
+
+Round 8 adds the two remaining lakehouse table services:
+
+* **Zone maps (file-level data skipping).**  Every commit records, per
+  staged parquet FILE, the row count and per-column min/max lifted
+  from the parquet footers (driver-side metadata reads — KB per file,
+  no data scan).  ``read_table(..., stats_filter=...)`` consults them
+  to drop whole files whose value range cannot match, BEFORE Spark
+  lists them — the add-file-with-stats design Delta/Iceberg use, and
+  the difference between "scan the year" and "scan the day" on a
+  100 TB table.  Skipping is conservative: a file with missing or
+  non-portable stats for a consulted column is always read.
+* **Compaction.**  A multi-epoch streaming append accumulates one
+  staging directory per epoch per partition — the classic small-files
+  problem (a year of 1-minute micro-batches is ~500k dirs/partition).
+  ``compact_partitions`` rewrites each multi-dir partition into one
+  staging dir under a new txid and commits a manifest that swaps the
+  dir LIST for the single compacted dir — logically a no-op (same
+  rows), physically the difference between millions of file opens and
+  one.  Pre-compaction versions stay time-travelable until ``vacuum``.
 """
 
 from __future__ import annotations
@@ -129,8 +149,68 @@ def _discover_partition_dirs(base: str, n_cols: int) -> list[str]:
     return found
 
 
+def _json_safe_stat(v):
+    """Footer stat value → JSON-storable value, or None if non-portable."""
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max carries no skipping power worth the edge cases
+    if isinstance(v, (int, float, str)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    if iso is not None:  # date / datetime → lexicographically ordered strings
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(stage_abs: str, stage_rel: str,
+                        new_parts: list[str]) -> dict[str, list[dict]]:
+    """Per-file row counts and per-column min/max from parquet FOOTERS.
+
+    Driver-side metadata reads only (a footer is KB); a column whose
+    stats are absent or non-portable in ANY row group of a file is
+    omitted for that file, which ``read_table`` treats as must-read —
+    skipping never risks correctness.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[dict]] = {}
+    for p in new_parts:
+        pdir = os.path.join(stage_abs, p)
+        entries = []
+        for name in sorted(os.listdir(pdir)):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(pdir, name)).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            bad: set[str] = set()
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname or cname in bad:
+                        continue  # nested leaves: out of scope
+                    st = col.statistics
+                    lo = _json_safe_stat(st.min) if st is not None and st.has_min_max else None
+                    hi = _json_safe_stat(st.max) if st is not None and st.has_min_max else None
+                    if lo is None or hi is None:
+                        bad.add(cname)
+                        mins.pop(cname, None)
+                        maxs.pop(cname, None)
+                        continue
+                    mins[cname] = lo if cname not in mins else min(mins[cname], lo)
+                    maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
+            entries.append({
+                "path": name,
+                "rows": md.num_rows,
+                "stats": {c: [mins[c], maxs[c]] for c in mins},
+            })
+        out[f"{stage_rel}/{p}"] = entries
+    return out
+
+
 def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
-           mode: str, partition_cols: list[str], schema_json: str) -> dict:
+           mode: str, partition_cols: list[str], schema_json: str,
+           file_stats: dict[str, list[dict]] | None = None) -> dict:
     """Build the next manifest from ``prev`` + this transaction's delta."""
     partitions = {k: _dirs(v) for k, v in prev["partitions"].items()}
     for p in new_parts:
@@ -139,18 +219,22 @@ def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
             partitions[p] = [loc]
         else:  # append: accumulate epochs, never erase earlier ones
             partitions.setdefault(p, []).append(loc)
+    dir_files = dict(prev.get("dir_files", {}))
+    dir_files.update(file_stats or {})
     return {
         "version": prev["version"] + 1,
         "partitions": partitions,
         "txids": prev["txids"] + [txid],
         "partition_cols": partition_cols,
         "schema": schema_json,
+        "dir_files": dir_files,
     }
 
 
 def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
             txid: str, mode: str, partition_cols: list[str],
-            schema_json: str) -> dict:
+            schema_json: str, file_stats: dict[str, list[dict]] | None = None,
+            expect_dirs: dict[str, list[str]] | None = None) -> dict:
     """Atomically publish the next manifest version.
 
     Write to a temp file, hard-link to the final name (fails with
@@ -166,8 +250,20 @@ def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
     while True:
         if txid in prev["txids"]:
             return prev  # a racing retry of the same txid already landed
+        if expect_dirs is not None:
+            # Compaction rewrote a SNAPSHOT of each partition; if a
+            # racing writer changed any target partition since, a
+            # replace here would silently drop that writer's rows.
+            # Delta's answer, and ours: detect and abort — the caller
+            # re-runs compaction against the new state.
+            for pkey, dirs in expect_dirs.items():
+                if _dirs(prev["partitions"].get(pkey, [])) != dirs:
+                    raise RuntimeError(
+                        f"compaction conflict on partition {pkey!r}: "
+                        "it changed since the snapshot; re-run compaction"
+                    )
         manifest = _merge(prev, new_parts, stage_rel, txid, mode,
-                          partition_cols, schema_json)
+                          partition_cols, schema_json, file_stats)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -204,11 +300,12 @@ def _stage_and_commit(
         .parquet(stage_abs)
     )
     new_parts = _discover_partition_dirs(stage_abs, len(partition_cols))
+    file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
     if _crash_before_commit is not None:
         _crash_before_commit()
     schema_json = df.drop(*partition_cols).schema.json()
     return _commit(root, prev, new_parts, stage_rel, txid, mode,
-                   partition_cols, schema_json)
+                   partition_cols, schema_json, file_stats)
 
 
 def replace_partitions(
@@ -255,6 +352,7 @@ def read_table(
     root: str,
     partition_filter: Callable[[dict[str, str]], bool] | None = None,
     version: int | None = None,
+    stats_filter: Callable[[dict[str, tuple]], bool] | None = None,
 ) -> DataFrame:
     """Read the table at a committed version (newest when ``version``
     is None — pass an older number for a pinned time-travel read).
@@ -265,15 +363,36 @@ def read_table(
     come back as string columns (cast downstream as needed).  Reads
     union by name with null fill, so versions written before a column
     was added surface it as null — add-column schema evolution.
+
+    ``stats_filter`` is the zone-map hook: it receives a file's
+    ``{col: (min, max)}`` footer stats and returns whether the file
+    COULD contain matching rows; files it rejects are dropped before
+    Spark ever lists them.  It must be range-conservative (return True
+    when any value in [min, max] could match).  Files with no recorded
+    stats — legacy commits, or columns whose stats were non-portable —
+    are always read.
     """
     man = manifest_at(root, version)
+    dir_files = man.get("dir_files", {})
     parts = []
     for pkey, val in sorted(man["partitions"].items()):
         kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
         if partition_filter is not None and not partition_filter(kv):
             continue
         for rel in _dirs(val):
-            pdf = spark.read.parquet(os.path.join(root, rel))
+            src: str | list[str] = os.path.join(root, rel)
+            if stats_filter is not None and rel in dir_files:
+                kept = [
+                    os.path.join(root, rel, f["path"])
+                    for f in dir_files[rel]
+                    if not f.get("stats")
+                    or stats_filter({c: tuple(v) for c, v in f["stats"].items()})
+                ]
+                if not kept:
+                    continue  # every file in this dir provably irrelevant
+                src = kept
+            pdf = (spark.read.parquet(*src) if isinstance(src, list)
+                   else spark.read.parquet(src))
             for col, v in kv.items():
                 pdf = pdf.withColumn(col, F.lit(v))
             parts.append(pdf)
@@ -283,6 +402,92 @@ def read_table(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def files_selected(
+    root: str,
+    version: int | None = None,
+    stats_filter: Callable[[dict[str, tuple]], bool] | None = None,
+) -> dict[str, list[tuple[str, bool]]]:
+    """Skipping audit: per live directory, each file's (name, would-read)
+    under ``stats_filter`` — the dry-run twin of :func:`read_table`'s
+    pruning decision, for tests and EXPLAIN-style tooling."""
+    man = manifest_at(root, version)
+    dir_files = man.get("dir_files", {})
+    out: dict[str, list[tuple[str, bool]]] = {}
+    for val in man["partitions"].values():
+        for rel in _dirs(val):
+            decisions = []
+            for f in dir_files.get(rel, []):
+                keep = (
+                    stats_filter is None
+                    or not f.get("stats")
+                    or stats_filter({c: tuple(v) for c, v in f["stats"].items()})
+                )
+                decisions.append((f["path"], bool(keep)))
+            out[rel] = decisions
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    txid: str,
+    min_dirs: int = 2,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Rewrite every partition backed by ≥ ``min_dirs`` staging dirs
+    (multi-epoch appends — the small-files problem) into ONE directory
+    under ``_staging/<txid>/`` and commit the swap as a new version.
+
+    Logically a no-op: the compacted version holds exactly the rows of
+    the current version (schema-evolved dirs union by name with null
+    fill, so the compacted files carry the widest schema).  Physically
+    it collapses one-dir-per-epoch into one dir per partition.  Crash
+    before commit leaves unreferenced files (invisible, vacuumable);
+    ``txid`` replay is an exactly-once no-op; pre-compaction versions
+    remain time-travelable until ``vacuum`` removes their dirs.
+    """
+    prev = current_manifest(root)
+    if txid in prev["txids"]:
+        return prev
+    targets = {
+        pkey: _dirs(val)
+        for pkey, val in prev["partitions"].items()
+        if len(_dirs(val)) >= min_dirs
+    }
+    if not targets:
+        return prev
+    stage_rel = f"{_STAGING_DIR}/{txid}"
+    stage_abs = os.path.join(root, stage_rel)
+    for pkey, rels in sorted(targets.items()):
+        merged = None
+        for rel in rels:
+            pdf = spark.read.parquet(os.path.join(root, rel))
+            merged = pdf if merged is None else merged.unionByName(
+                pdf, allowMissingColumns=True
+            )
+        # One output file per ~128 MB of input — small partitions
+        # compact to a single file, huge ones stay parallel.
+        nbytes = sum(
+            os.path.getsize(os.path.join(root, rel, f))
+            for rel in rels
+            for f in os.listdir(os.path.join(root, rel))
+            if f.endswith(".parquet")
+        )
+        nfiles = max(1, -(-nbytes // (128 << 20)))
+        merged.coalesce(nfiles).write.mode("overwrite").parquet(
+            os.path.join(stage_abs, pkey)
+        )
+    new_parts = sorted(targets)
+    file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
+    if _crash_before_commit is not None:
+        _crash_before_commit()
+    return _commit(
+        root, prev, new_parts, stage_rel, txid, "replace",
+        prev.get("partition_cols", []), prev.get("schema", ""), file_stats,
+        expect_dirs=targets,
+    )
 
 
 def table_history(spark: SparkSession, root: str) -> DataFrame:

@@ -534,3 +534,163 @@ def acid_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cols").cast("bigint").alias("n_cols"),
         "n_rows",
     )
+
+
+# --------------------------------------------------------------------------
+# S8b (round 8): zone-map data skipping through the driver gate.  The
+# documents table is committed hive-partitioned by (lang, bucket) where
+# bucket = ⌊doc_id/100⌋, so every parquet file's doc_id footer range
+# lies inside one 100-id window.  A doc_id BETWEEN 150 AND 349 stats
+# filter then prunes files BEFORE listing; because doc_ids are integers
+# and each file's min/max are actual row values inside a single bucket
+# window, a file's range overlapping the predicate is EXACTLY "the file
+# contains a matching row" — so the per-directory was_read decision the
+# engine makes must equal the SQL truth ∃ row in range, which is what
+# the oracle recomputes.  This is the Delta/Iceberg add-file-with-stats
+# design: at 100 TB the manifest's KB of footer ranges decide between
+# scanning the year and scanning the day.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_zone_map_skipping",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, CAST(FLOOR(doc_id / 100) AS INT) AS bucket FROM documents
+)
+SELECT lang, bucket,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       COUNT(*) AS n_rows,
+       MAX(CASE WHEN doc_id BETWEEN 150 AND 349 THEN 1 ELSE 0 END) = 1 AS was_read
+FROM s GROUP BY lang, bucket
+""",
+    tags=("sink", "acid", "lakehouse", "scan"),
+    doc=(
+        "S8b: file-level zone-map skipping — per (lang, bucket) "
+        "partition, the engine's prune-before-list decision under a "
+        "doc_id range stats filter, checked against the SQL truth."
+    ),
+)
+def acid_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import files_selected, read_table, replace_partitions
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / 100).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="acid_zm_")
+    root = os.path.join(base, "t")
+
+    def in_range(stats: dict) -> bool:
+        lo, hi = stats.get("doc_id", (None, None))
+        if lo is None or hi is None:
+            return True  # no usable stats: must read
+        return hi >= 150 and lo <= 349
+
+    try:
+        replace_partitions(docs, root, ["lang", "bucket"], "t1")
+        decisions = []
+        for rel, files in files_selected(root, stats_filter=in_range).items():
+            kv = dict(
+                seg.split("=", 1) for seg in rel.split("/")[2:]
+            )  # _staging/<txid>/lang=…/bucket=…
+            decisions.append(
+                (kv["lang"], int(kv["bucket"]), any(k for _, k in files))
+            )
+        full = read_table(spark, root).groupBy(
+            "lang", F.col("bucket").cast("int").alias("bucket")
+        ).agg(
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.count("*").alias("n_rows"),
+        )
+        read_flags = spark.createDataFrame(
+            decisions, "lang string, bucket int, was_read boolean"
+        )
+        out = full.join(read_flags, ["lang", "bucket"]).select(
+            "lang", "bucket", "min_id", "max_id", "n_rows", "was_read"
+        )
+        out = out.localCheckpoint()  # scratch dir is deleted in finally
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# S8c (round 8): compaction of a multi-epoch append through the driver
+# gate.  Three streaming-style append epochs (doc_id % 3) land one
+# staging dir per epoch per lang; compact_partitions collapses every
+# multi-dir partition to ONE dir under a maintenance txid — logically a
+# no-op (v4 row count must equal v3's), physically the small-files fix
+# a year of micro-batches needs.  The oracle recomputes the whole dir
+# ledger (appends accumulate; compaction leaves exactly one dir per
+# surviving lang) and the per-version time-travel row counts in SQL.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_compaction_audit",
+    oracle="""
+WITH s AS (SELECT doc_id % 3 AS m, lang FROM documents),
+le AS (SELECT DISTINCT lang, m FROM s),
+v AS (SELECT * FROM (VALUES (1), (2), (3), (4)) AS t(version))
+SELECT v.version,
+       CASE WHEN v.version <= 3
+            THEN (SELECT COUNT(*) FROM le WHERE m < v.version)
+            ELSE (SELECT COUNT(DISTINCT lang) FROM le) END AS n_dirs,
+       (SELECT COUNT(*) FROM s WHERE m < LEAST(v.version, 3)) AS n_rows
+FROM v
+""",
+    tags=("sink", "acid", "lakehouse"),
+    doc=(
+        "S8c: small-file compaction — per version, the staging-dir "
+        "count and time-travel row count across three append epochs "
+        "and the compacting commit (same rows, one dir per partition)."
+    ),
+)
+def acid_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        read_table,
+        table_history,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", (F.col("doc_id") % 3).alias("m")
+    )
+    base = tempfile.mkdtemp(prefix="acid_compact_")
+    root = os.path.join(base, "t")
+    try:
+        for epoch in (0, 1, 2):
+            append_partitions(
+                docs.filter(F.col("m") == epoch).drop("m"),
+                root, ["lang"], f"e{epoch + 1}",
+            )
+        compact_partitions(spark, root, "c1")
+        hist = table_history(spark, root).select("version", "n_dirs")
+        counts = spark.createDataFrame(
+            [
+                (v, read_table(spark, root, version=v).count())
+                for v in (1, 2, 3, 4)
+            ],
+            "version int, n_rows long",
+        )
+        out = hist.join(counts, "version").select(
+            "version",
+            F.col("n_dirs").cast("bigint").alias("n_dirs"),
+            "n_rows",
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -715,6 +715,167 @@ def test_acid_time_travel_and_schema_evolution(spark, tmp_path):
     assert hist["n_cols"].tolist() == [2, 2, 3]  # (k,v) then (k,v,src)
 
 
+def test_acid_zone_map_skipping_is_lossless_and_actually_skips(spark, tmp_path):
+    """Footer-stats skipping must (a) drop at least one file that a
+    range predicate provably can't match and (b) lose no matching rows
+    versus the unskipped read — conservative in exactly one direction."""
+    from pyspark.sql import Row
+
+    from data_engineer_coder_spark.io.acid_table import (
+        files_selected,
+        read_table,
+        replace_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [Row(day="2024-01-01", b=i // 10, k=i, v=float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    replace_partitions(df, root, ["day", "b"], "t1")  # k ∈ [10b, 10b+9] per dir
+
+    def k_under_15(stats):
+        lo, hi = stats.get("k", (None, None))
+        return lo is None or lo <= 15
+
+    sel = files_selected(root, stats_filter=k_under_15)
+    kept = [k for files in sel.values() for _, k in files]
+    assert not all(kept), "no file was skipped — zone maps did nothing"
+
+    got = (
+        read_table(spark, root, stats_filter=k_under_15)
+        .filter(F.col("k") <= 15)
+        .toPandas()
+    )
+    assert sorted(got["k"].tolist()) == list(range(16))  # lossless
+
+    # a file with NO recorded stats (legacy manifest) must always be
+    # read, even under a filter that rejects everything — strip one
+    # file's stats from the manifest on disk and re-check
+    import json
+
+    from data_engineer_coder_spark.io.acid_table import (
+        _MANIFEST_DIR,
+        current_manifest,
+    )
+
+    man = current_manifest(root)
+    some_rel = next(iter(man["dir_files"]))
+    man["dir_files"][some_rel][0]["stats"] = {}
+    mpath = os.path.join(
+        root, _MANIFEST_DIR, f"v{man['version']:06d}.json"
+    )
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    sel2 = files_selected(root, stats_filter=lambda s: False)
+    assert sel2[some_rel][0][1] is True  # statless file: must-read
+    # every file that still has stats is skipped by the reject-all filter
+    others = [k for rel, files in sel2.items() for i, (_, k) in enumerate(files)
+              if not (rel == some_rel and i == 0)]
+    assert others and not any(others)
+
+
+def test_acid_compaction_same_rows_fewer_dirs(spark, tmp_path):
+    """Three append epochs → 3 staging dirs; compaction → 1 dir with
+    identical rows; the pre-compaction version stays time-travelable;
+    txid replay is a no-op; vacuum then removes the 3 old dirs."""
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        current_manifest,
+        read_table,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    for e, vals in enumerate(([1.0, 2.0], [3.0], [4.0, 5.0])):
+        append_partitions(_acid_rows(spark, "2024-01-01", vals), root, ["day"], f"e{e}")
+    man = current_manifest(root)
+    assert len(man["partitions"]["day=2024-01-01"]) == 3
+
+    compact_partitions(spark, root, "c1")
+    man2 = current_manifest(root)
+    assert len(man2["partitions"]["day=2024-01-01"]) == 1
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    # pre-compaction version still readable (dirs not vacuumed yet)
+    assert sorted(read_table(spark, root, version=3).toPandas()["v"]) == [
+        1.0, 2.0, 3.0, 4.0, 5.0,
+    ]
+    # replaying the compaction txid is a no-op
+    compact_partitions(spark, root, "c1")
+    assert current_manifest(root)["version"] == man2["version"]
+    # compacted files carry footer stats for future skipping
+    rel = man2["partitions"]["day=2024-01-01"][0]
+    assert man2["dir_files"][rel], "compacted dir has no file stats"
+    assert all(f["stats"].get("k") for f in man2["dir_files"][rel])
+    # vacuum drops the three superseded epoch dirs
+    removed = vacuum(root)
+    assert len(removed) == 3
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_acid_compaction_crash_and_conflict(spark, tmp_path):
+    """A compactor that dies before commit leaves the table untouched;
+    a partition changed between snapshot and commit aborts the
+    compaction instead of silently dropping the racing writer's rows."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        current_manifest,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    append_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "e0")
+    append_partitions(_acid_rows(spark, "2024-01-01", [2.0]), root, ["day"], "e1")
+    v = current_manifest(root)["version"]
+
+    def boom():
+        raise RuntimeError("compactor died")
+
+    with pytest.raises(RuntimeError, match="compactor died"):
+        compact_partitions(spark, root, "c1", _crash_before_commit=boom)
+    assert current_manifest(root)["version"] == v  # nothing committed
+
+    # simulate a racing append landing between snapshot and commit
+    def racing_append():
+        append_partitions(_acid_rows(spark, "2024-01-01", [9.0]), root, ["day"], "e2")
+
+    with pytest.raises(RuntimeError, match="compaction conflict"):
+        compact_partitions(spark, root, "c2", _crash_before_commit=racing_append)
+    # the racing writer's rows are intact and visible
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 9.0]
+    # a rerun against the settled state succeeds and keeps all rows
+    compact_partitions(spark, root, "c3")
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 9.0]
+    assert len(current_manifest(root)["partitions"]["day=2024-01-01"]) == 1
+
+
+def test_acid_compaction_merges_evolved_schemas(spark, tmp_path):
+    """Compacting dirs written before and after an add-column evolution
+    must union by name with null fill — the compacted files carry the
+    widest schema."""
+    from pyspark.sql import Row
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        current_manifest,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    append_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "t1")
+    evolved = spark.createDataFrame([Row(day="2024-01-01", k=0, v=2.0, src="api")])
+    append_partitions(evolved, root, ["day"], "t2")
+    compact_partitions(spark, root, "c1")
+    assert len(current_manifest(root)["partitions"]["day=2024-01-01"]) == 1
+    got = read_table(spark, root).toPandas().sort_values("v")
+    assert got["v"].tolist() == [1.0, 2.0]
+    assert got["src"].tolist()[0] is None or got["src"].isna().iloc[0]
+    assert got["src"].tolist()[1] == "api"
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
     """Z-order vs single-column sort, measured on the actual parquet
     footers: under an x-only sort the per-file y-range spans ~the whole
