@@ -1853,3 +1853,111 @@ def psi_ingest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("pm").cast("bigint").alias("psi_e6"))
     )
+
+
+# --------------------------------------------------------------------------
+# L10f (round 8): cross-source contamination matrix — pairwise shingle
+# Jaccard between SOURCES.  The per-document near-dup family answers
+# "which docs repeat"; a curation decision also needs "which FEEDS
+# overlap" (a crawl that re-ingests another feed, a mirror, a vendor
+# reselling the same scrape).  Shape: one explode to distinct
+# (source, shingle), then per-shingle source-SETS (bounded by the
+# source count, never by corpus size) expanded to ordered pairs with a
+# higher-order transform — no shingle self-join, so a boilerplate
+# shingle shared by every source costs |sources|² rows, not df².
+# Zero-overlap pairs are kept (bounded source×source broadcast cross)
+# so the output is the full upper-triangular matrix.  jaccard_micro =
+# FLOOR(1e6·|∩|/|∪|) on exact integer counts — engine-portable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT source, s
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, LEN(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+    FROM w
+  )
+),
+na AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       sa.n AS n_a, sb.n AS n_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       CAST(FLOOR(1e6 * COALESCE(i.n_common, 0)
+                  / (sa.n + sb.n - COALESCE(i.n_common, 0))) AS BIGINT)
+         AS jaccard_micro
+FROM (SELECT a.source AS src_a, b.source AS src_b
+      FROM na a JOIN na b ON a.source < b.source) p
+JOIN na sa ON sa.source = p.src_a
+JOIN na sb ON sb.source = p.src_b
+LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+""",
+    tags=("text", "llm", "dedup", "audit"),
+    doc=(
+        "L10: pairwise shingle-Jaccard between sources — the feed-level "
+        "contamination matrix (full upper triangle, zero pairs kept)."
+    ),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingles
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    sh = (
+        docs.select("source", F.explode(_shingles(F.col("ws"))).alias("s"))
+        .distinct()
+    )
+    na = sh.groupBy("source").agg(F.count("*").alias("n"))
+    # per-shingle ordered source pairs: |sources|-bounded arrays, so the
+    # hot-shingle cost is |sources|² rows — corpus-size-independent
+    pair_struct = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS src_a, y AS src_b))))"
+    )
+    inter = (
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_struct).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        na.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                na.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            nc.alias("n_common"),
+            F.floor(F.lit(1e6) * nc / (F.col("n_a") + F.col("n_b") - nc))
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )
