@@ -160,17 +160,38 @@ def main() -> None:
             gc.collect()
     per_query = {k: round(v, 3) for k, v in per_query.items()}
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
+    # The driver records only the LAST 2000 chars of this process's
+    # output and json-parses the final line (BENCH_r07.json has
+    # "parsed": null because the 67-query line overflowed that window).
+    # Persist the full per-query map to a repo file, then print a line
+    # GUARANTEED to fit: 2-decimal seconds, compact separators, and if
+    # still too long drop the fastest queries from the printed dict
+    # (their sum is preserved in "omitted_sum" so the total stays
+    # reconstructible; the full map is in "full").
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full_latest.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"metric": "headline_suite_seconds", "value": total, "unit": "sec",
+             "queries": per_query, "sf": sf},
+            fh, indent=1, sort_keys=True,
         )
-    )
+    shown = {k: round(v, 2) for k, v in per_query.items()}
+    omitted = 0
+    omitted_sum = 0.0
+    for k in sorted(per_query, key=per_query.get):
+        line = json.dumps(
+            {"metric": "headline_suite_seconds", "value": total, "unit": "sec",
+             "queries": shown, "sf": sf, "n_queries": len(per_query),
+             "queries_omitted": omitted, "omitted_sum": round(omitted_sum, 2),
+             "full": "bench_full_latest.json"},
+            separators=(",", ":"),
+        )
+        if len(line) <= 1900:
+            break
+        omitted += 1
+        omitted_sum += shown.pop(k)
+    print(line)
 
 
 if __name__ == "__main__":

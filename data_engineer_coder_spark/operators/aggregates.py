@@ -1140,3 +1140,84 @@ def bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A7 (round 8): incremental materialized-view maintenance.  A standing
+# daily rollup plus a new ingest batch must produce the SAME rollup a
+# full recompute would, without rescanning history — the continuous-
+# aggregate contract every warehouse needs at 100 TB (rescanning a year
+# of events per ingest hour is the naive plan; merging partial states
+# is the scalable one).  The trick is carrying MERGEABLE state in the
+# view: counts, exact DECIMAL sums (not doubles — double partial sums
+# would make merge order observable), min/max.  avg is derived at read
+# time from (sum, count).  The oracle is the full recompute over all of
+# events, so the driver's value-hash parity IS the merge==recompute
+# theorem instance.
+# --------------------------------------------------------------------------
+
+_ROLLUP_CUT = "2024-01-26 00:00:00"
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       {sql_davg('value')} AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("agg", "incremental", "matview"),
+    doc=(
+        "A7: incremental rollup maintenance — standing daily view "
+        "(ts < Jan 26) merged with the new batch (ts >= Jan 26) via "
+        "mergeable partial states; oracle = full recompute."
+    ),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        (F.col("ts") < F.lit(_ROLLUP_CUT).cast("timestamp")).alias("_standing"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        # the view's stored state: everything here is mergeable EXACTLY
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("n_val"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),  # decimal, NOT double
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    standing = partial(ev.filter(F.col("_standing")))
+    batch = partial(ev.filter(~F.col("_standing")))
+    return (
+        standing.unionByName(batch)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("n_val").alias("_nv"),
+            F.sum("sv").alias("_sv"),  # decimal + decimal: exact, order-free
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+            (F.col("_sv").cast("double") / F.col("_nv"))
+            .cast("double")
+            .alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )

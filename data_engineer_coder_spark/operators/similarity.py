@@ -1846,3 +1846,203 @@ def embedding_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("trace").alias("trace_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L3e (round 8): MULTI-PROBE hyperplane LSH (Lv et al., VLDB 2007).
+# The storage-vs-work trade the 4-table variant above can't make: at
+# 100 TB every extra hash table is another full copy of the signature
+# index, so production ANN probes NEIGHBORING buckets of FEWER tables
+# instead.  Here: 2 tables × (1 exact + 8 Hamming-1) probes per query
+# vs ann_lsh_topk's 4 tables × 1 probe.  The corpus side is identical
+# to the single-probe index (signatures once, bucket equi-join); only
+# the PROBE side fans out ×9 — 20 probes × 2 tables × 9 rows, a
+# broadcast-sized frame regardless of corpus size.  Integer plane dots
+# make buckets engine-portable; the oracle replays the full probe
+# expansion, so this approximate search is value-hash-checked.
+# --------------------------------------------------------------------------
+
+_MP_TABLES = 2  # multi-probe uses HALF the index of ann_lsh_topk
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+planes AS (SELECT {_SQL_PLANES} AS p),
+sigb AS (
+  SELECT vec_id, g.k // {_LSH_BITS} AS t,
+         CASE WHEN {_SQL_DOT.format(a='p[g.k + 1]', b='qv')} > 0
+              THEN (1 << (g.k % {_LSH_BITS})) ELSE 0 END AS w
+  FROM n, planes, generate_series(0, {_MP_TABLES * _LSH_BITS - 1}) AS g(k)
+),
+sigs AS (SELECT vec_id, t, SUM(w) AS sig FROM sigb GROUP BY 1, 2),
+cbuckets AS (
+  SELECT vec_id, CAST(t AS VARCHAR) || ':' || CAST(sig AS VARCHAR) AS bucket
+  FROM sigs
+),
+pbuckets AS (
+  SELECT vec_id,
+         CAST(t AS VARCHAR) || ':' ||
+           CAST(CASE WHEN g.j = {_LSH_BITS} THEN sig
+                     ELSE xor(sig, 1 << g.j) END AS VARCHAR) AS bucket
+  FROM sigs, generate_series(0, {_LSH_BITS}) AS g(j)
+  WHERE vec_id < 20
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM pbuckets p
+  JOIN cbuckets c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)
+           / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) AS cos_sim
+  FROM cand
+  JOIN n a ON a.vec_id = cand.probe_id
+  JOIN n b ON b.vec_id = cand.neighbor_id
+)
+SELECT probe_id, neighbor_id, rn, cos_sim
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+""",
+    tags=("similarity", "llm", "approx", "ann"),
+    doc=(
+        "L3: multi-probe LSH — 2 tables, each probed at the exact "
+        "bucket plus all 8 Hamming-1 neighbors; half the index of the "
+        "4-table variant at comparable recall.  Deterministic buckets "
+        "→ fully oracle-checked."
+    ),
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    planes_row = spark.createDataFrame(
+        [([list(p) for p in _QPLANES],)], "planes array<array<bigint>>"
+    )
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(shuffle_parts(spark), F.col("vec_id"))
+        .select("vec_id", _qvec("embedding").alias("qv"))
+        .crossJoin(F.broadcast(planes_row))
+    )
+
+    weights = F.array(*[F.lit(1 << j) for j in range(_LSH_BITS)])
+
+    def table_sig(t: int) -> Column:
+        def bit(j: Column) -> Column:
+            plane = F.get(F.col("planes"), F.lit(t * _LSH_BITS) + j)
+            dot = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot > 0, F.get(weights, j)).otherwise(F.lit(0))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_LSH_BITS - 1)),
+            F.lit(0),
+            lambda acc, j: acc + bit(j),
+        )
+
+    sigs = emb.select(
+        "vec_id",
+        "qv",
+        _dot(F.col("qv"), F.col("qv")).alias("nrm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), table_sig(t).alias("sig"))
+                    for t in range(_MP_TABLES)
+                ]
+            )
+        ).alias("ts"),
+    ).select("vec_id", "qv", "nrm", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+
+    cbuckets = sigs.select(
+        "vec_id", "qv", "nrm",
+        F.concat_ws(":", F.col("t").cast("string"), F.col("sig").cast("string")).alias("bucket"),
+    )
+    # probe fan-out: exact bucket (j = bits) + each single-bit flip
+    pbuckets = (
+        sigs.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+            "t",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(_LSH_BITS))).alias("j"),
+        )
+        .select(
+            "probe_id", "pqv", "pnrm",
+            F.concat_ws(
+                ":",
+                F.col("t").cast("string"),
+                F.when(F.col("j") == _LSH_BITS, F.col("sig"))
+                .otherwise(F.expr("sig ^ shiftleft(1, j)"))
+                .cast("string"),
+            ).alias("pbucket"),
+        )
+    )
+    candidates = (
+        F.broadcast(pbuckets)
+        .join(
+            cbuckets,
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "pqv", "pnrm", F.col("vec_id").alias("neighbor_id"), "qv", "nrm")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "probe_id",
+        "neighbor_id",
+        _cosine(_dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", "rn", "cos_sim")
+    )
+
+
+@register(
+    "ann_lsh_multiprobe_recall_check",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(3 * COUNT(*) AS BIGINT) AS n_exact,
+       CAST(3 AS INT) AS k,
+       TRUE AS all_probes_covered,
+       TRUE AS competitive_ge_60pct
+FROM embeddings WHERE vec_id < 20
+""",
+    tags=("similarity", "llm", "approx", "quality"),
+    doc=(
+        "L3 quality gate for multi-probe LSH: with HALF the index of "
+        "ann_lsh_topk (2 tables vs 4), Hamming-1 probing must reach a "
+        "≥60% competitive ratio vs exact top-3 — measured 0.79 at "
+        "sf0.01 vs the 4-table single-probe's 0.53, the Lv et al. "
+        "storage-for-probes trade paying off."
+    ),
+)
+def ann_lsh_multiprobe_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).filter(F.col("rn") <= 3)
+    q = _ann_quality_row(exact, ann_lsh_multiprobe_topk(spark, sf_dir), k=3)
+    return q.select(
+        "n_probes",
+        "n_exact",
+        "k",
+        (
+            (F.col("_probes_covered") == F.col("n_probes"))
+            & (F.col("_n_found") == F.col("n_probes") * F.col("k"))
+        ).alias("all_probes_covered"),
+        (F.col("ratio") >= 0.60).alias("competitive_ge_60pct"),
+    )

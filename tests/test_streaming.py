@@ -271,6 +271,57 @@ def test_stream_exactly_once_sink_accumulates_multi_epoch(spark, sf_dir, tmp_pat
     assert _sorted_rows(got.select("doc_id", "lang", "n_chars")) == _sorted_rows(docs)
 
 
+def test_stream_append_then_compact_roundtrip(spark, sf_dir, tmp_path):
+    """T8b + r8 maintenance: a 4-epoch exactly-once stream leaves one
+    staging dir per epoch per lang; compact_partitions must collapse
+    them to one dir per lang with identical rows, vacuum reclaims the
+    epoch dirs, and a LATER stream epoch appends cleanly on top of the
+    compacted table — the full table-maintenance loop a production
+    micro-batch sink runs."""
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        current_manifest,
+        read_table,
+        vacuum,
+    )
+    from data_engineer_coder_spark.streaming.core import write_stream_exactly_once
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src_dir = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src_dir)  # 4 files → 4 micro-batches
+    schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    root = str(tmp_path / "t")
+    q = write_stream_exactly_once(sdf, root, ["lang"])
+    q.awaitTermination(300)
+
+    man = current_manifest(root)
+    assert len(man["txids"]) >= 3, "fixture failed to produce multiple epochs"
+    multi = [p for p, dirs in man["partitions"].items() if len(dirs) >= 2]
+    assert multi, "no partition accumulated multiple epoch dirs"
+
+    compact_partitions(spark, root, "maint-1")
+    man2 = current_manifest(root)
+    assert all(len(d) == 1 for d in man2["partitions"].values())
+    got = read_table(spark, root)
+    assert got.count() == docs.count()
+    assert _sorted_rows(got.select("doc_id", "lang", "n_chars")) == _sorted_rows(docs)
+
+    removed = vacuum(root)
+    assert removed, "vacuum reclaimed no superseded epoch dirs"
+    assert read_table(spark, root).count() == docs.count()
+
+    # the stream's NEXT epoch appends on top of the compacted table
+    extra = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    append_partitions(extra, root, ["lang"], "epoch-99")
+    assert read_table(spark, root).count() == docs.count() + 7
+
+
 def test_stream_quarantine_splits_and_conserves_rows(spark, sf_dir):
     """T8c: the streaming DQ gate must conserve rows exactly (good +
     quarantined == source), tag each quarantined row with the rules it
