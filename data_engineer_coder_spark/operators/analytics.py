@@ -1125,3 +1125,92 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AN-f (round 8): ordered conversion funnel (the windowFunnel shape).
+# Per user, the deepest strictly-ordered view → click → purchase chain:
+# t1 = first view, t2 = first click AFTER t1, t3 = first purchase AFTER
+# t2.  Each level is one filtered agg joined back on user_id — three
+# small hash aggs over an events scan, no window over the whole stream,
+# no per-user collect_list (a user with millions of events costs three
+# partial-agg rows, not a sort).  Timestamps emitted as strings (repo
+# temporal rule); funnel_level 0–3 covers users who never viewed.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel_levels",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id,
+       CASE WHEN p.t3 IS NOT NULL THEN 3
+            WHEN c.t2 IS NOT NULL THEN 2
+            WHEN v.t1 IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_level,
+       strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS first_click_after,
+       strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_after
+FROM u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+""",
+    tags=("analytics", "events", "funnel"),
+    doc=(
+        "AN: ordered conversion funnel — per user the deepest strictly "
+        "time-ordered view→click→purchase chain, as three filtered "
+        "min-aggs joined on user_id (no stream-wide window, no "
+        "collect_list)."
+    ),
+)
+def event_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+            F.date_format("t1", fmt).alias("first_view"),
+            F.date_format("t2", fmt).alias("first_click_after"),
+            F.date_format("t3", fmt).alias("first_purchase_after"),
+        )
+    )

@@ -412,3 +412,69 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dq") > 0).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L6e (round 8): WEIGHTED reservoir sampling without replacement
+# (Efraimidis–Spirakis A-Res): each item draws u ∈ (0, 1] and ranks by
+# u^(1/w); the top-k per group is a w-weighted sample.  One pass, no
+# global sort, mergeable (take the per-partition top-k, then re-take) —
+# the one-scan way to draw "sample ∝ length" from a 100 TB corpus.
+# Portability: raw pow/ln keys are libm-dependent, so the rank key is
+# rebuilt on the repo's integer grid — u from md5 (+1 so u > 0),
+# a = FLOOR(ln(u)·1e9) (the proven ln-grid), and the A-Res order
+# u^(1/w) ≡ ln(u)/w realized as CAST(a AS DOUBLE)/w — a single IEEE
+# division of exact integers, which IS correctly rounded and therefore
+# bit-identical in both engines (pow is not).
+# --------------------------------------------------------------------------
+
+_ARES_K = 10
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, GREATEST(n_chars, 1) AS w,
+         FLOOR(LN((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) * 1e9) AS a
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, w,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(a AS DOUBLE) / w DESC, doc_id
+         ) AS rn
+  FROM d
+)
+SELECT source, rn, doc_id, w AS weight FROM r WHERE rn <= {_ARES_K}
+""",
+    tags=("sampling", "llm"),
+    doc=(
+        "L6: Efraimidis–Spirakis A-Res weighted reservoir — top-10 per "
+        "source by ln(u)/w on the integer ln-grid (u from md5, w = doc "
+        "length); a one-pass mergeable weighted sample."
+    ),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    unit = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = docs.withColumn("a", F.floor(F.log(unit) * 1e9))
+    w = Window.partitionBy("source").orderBy(
+        (F.col("a").cast("double") / F.col("w")).desc(), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ARES_K)
+        .select("source", "rn", "doc_id", F.col("w").alias("weight"))
+    )
