@@ -127,6 +127,17 @@ HEADLINE = [
     "acid_table_history",
     "stream_stream_left_outer_join",
     "purchase_attribution_outer_batch",
+    # round 8 late: lakehouse services, PQ ANN, funnel, incremental
+    # matview merge, feed-overlap audit, weighted reservoir
+    "acid_zone_map_skipping",
+    "acid_compaction_audit",
+    "pq_ann_topk",
+    "pq_ann_rerank_topk",
+    "event_funnel_levels",
+    "incremental_rollup_merge",
+    "source_overlap_matrix",
+    "weighted_reservoir_sample",
+    "ann_lsh_multiprobe_topk",
 ]
 
 

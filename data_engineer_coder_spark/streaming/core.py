@@ -242,3 +242,79 @@ def write_stream_with_quarantine(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+def write_stream_rollup_merge(
+    sdf: DataFrame,
+    root: str,
+    checkpoint: str | None = None,
+):
+    """T8d (round 8): streaming MATERIALIZED-VIEW maintenance.
+
+    Each micro-batch merges into a standing per-(day, event_type)
+    rollup table instead of appending raw rows — the continuous
+    aggregate a 100 TB events pipeline serves dashboards from.  The
+    stored state is MERGEABLE (counts, exact DECIMAL sums, min/max; the
+    same states ``incremental_rollup_merge`` proves equal a full
+    recompute), so each epoch:
+
+    1. partial-aggregates the batch by (day, event_type);
+    2. reads the standing rollup rows for ONLY the days the batch
+       touched (manifest partition pruning — history stays unread);
+    3. unions + re-aggregates (decimal sums: order-free, exact);
+    4. ``replace_partitions`` of those days with txid = epoch id —
+       exactly-once under replay, atomic under crash, like every other
+       ACID sink here.
+
+    Per-epoch cost is O(batch + touched-day rollup rows), independent
+    of table history — the difference between a dashboard that rescans
+    a year per hour and one that merges a few hundred rows.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import current_manifest, read_table, replace_partitions
+
+    DEC = "decimal(38,6)"
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("n_val"),
+            F.sum(F.col("value").cast(DEC)).alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        batch = _partial(
+            df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value"
+            )
+        )
+        days = [r["day"] for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        merged = batch
+        if current_manifest(root)["partitions"]:
+            try:
+                standing = read_table(
+                    spark=df.sparkSession,
+                    root=root,
+                    partition_filter=lambda kv: kv.get("day") in days,
+                ).select("day", "event_type", "n", "n_val", "sv", "mn", "mx")
+                standing = standing.withColumn("sv", F.col("sv").cast(DEC))
+                merged = batch.unionByName(standing)
+            except ValueError:
+                pass  # no standing rows for these days yet
+        merged = merged.groupBy("day", "event_type").agg(
+            F.sum("n").alias("n"),
+            F.sum("n_val").alias("n_val"),
+            F.sum("sv").alias("sv"),  # decimal: exact, order-free
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        replace_partitions(merged, root, ["day"], f"epoch-{epoch_id}")
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

@@ -417,3 +417,71 @@ def test_stream_stream_left_outer_emits_null_rows(spark, tmp_path):
     assert set(got.index) == {2, 3, 5}
     assert pd.isna(got.loc[3, "click_id"]) and pd.isna(got.loc[3, "click_ts"])
     assert pd.isna(got.loc[5, "click_id"])  # too-old click doesn't attribute
+
+
+def test_stream_rollup_merge_equals_full_recompute(spark, sf_dir, tmp_path):
+    """T8d: the streaming matview sink must, after N micro-batches,
+    hold exactly the rollup a full batch recompute produces — the
+    merge==recompute contract of incremental_rollup_merge, proven
+    through the streaming path, with replay staying exactly-once."""
+    from data_engineer_coder_spark.io.acid_table import current_manifest, read_table
+    from data_engineer_coder_spark.streaming.core import write_stream_rollup_merge
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    src_dir = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src_dir)  # 3 files → 3 micro-batches
+    schema = spark.read.parquet(src_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    root = str(tmp_path / "t")
+    q = write_stream_rollup_merge(sdf, root)
+    q.awaitTermination(300)
+
+    man = current_manifest(root)
+    assert len(man["txids"]) >= 2, "fixture failed to produce multiple epochs"
+
+    got = (
+        read_table(spark, root)
+        .select(
+            "day", "event_type", "n",
+            F.col("sv").cast("double").alias("sum_v"), "mn", "mx",
+        )
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_v"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["sum_v"].values == want["sum_v"].values).all()  # decimal-exact merge
+    assert (got["mn"].values == want["mn"].values).all()
+    assert (got["mx"].values == want["mx"].values).all()
+
+    # replaying a committed epoch is a no-op (exactly-once)
+    v = current_manifest(root)["version"]
+    n_before = read_table(spark, root).count()
+    from data_engineer_coder_spark.io.acid_table import replace_partitions
+
+    first_txid = man["txids"][0]
+    replace_partitions(
+        read_table(spark, root).limit(1).drop("day").withColumn("day", F.lit("x")),
+        root, ["day"], first_txid,
+    )
+    assert current_manifest(root)["version"] == v
+    assert read_table(spark, root).count() == n_before
