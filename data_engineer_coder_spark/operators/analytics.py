@@ -1214,3 +1214,100 @@ def event_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("t3", fmt).alias("first_purchase_after"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AN-g (round 8): EWMA smoothing, exact.  The streaming-monitoring
+# staple y_i = α·x_i + (1−α)·y_{i−1}, truncated at 16 lags so it's a
+# bounded window op.  Floating pow((1−α), d) is libm-dependent, but
+# α = 1/4 makes every weight an exact rational: α(1−α)^d = 3^d/4^(d+1),
+# so the smoothed value is Σ x_int·3^d·4^(15−d) / (4^16·10^6) — one
+# integer dot product (≤ 2.4e18 < 2^63 at this fixture's value range)
+# and ONE correctly-rounded IEEE division.  Shape: row_number per user,
+# a bounded self-join (rn−15 ≤ rn_b ≤ rn), coefficient lookup from a
+# 16-row broadcast — 16n rows max, no collect_list, no unbounded frame.
+# --------------------------------------------------------------------------
+
+_EWMA_LAGS = 16  # α = 1/4, weights 3^d / 4^(d+1), d = 0..15
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+w AS (
+  SELECT * FROM (VALUES {", ".join(f"({d}, {3**d * 4**(15 - d)})" for d in range(16))}) AS t(d, coef)
+),
+s AS (
+  SELECT a.user_id, a.event_id, a.ts,
+         SUM(b.x * w.coef) AS num
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id AND a.rn - b.rn BETWEEN 0 AND {_EWMA_LAGS - 1}
+  JOIN w ON w.d = a.rn - b.rn
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(num AS DOUBLE) / {4**16 * 10**6} AS ewma
+FROM s
+""",
+    tags=("analytics", "timeseries"),
+    doc=(
+        "AN: 16-lag truncated EWMA (α=1/4) per user — exact-rational "
+        "weights 3^d/4^(d+1) make the smoothed series one integer dot "
+        "product and one IEEE division; bounded self-join, no frames."
+    ),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("bigint").alias("x"),
+        rn.alias("rn"),
+    )
+    coefs = spark.createDataFrame(
+        [(d, 3**d * 4 ** (15 - d)) for d in range(_EWMA_LAGS)], "d int, coef long"
+    )
+    # Banded self-join: joining on user_id alone would materialize
+    # |events_u|² pairs per user before the range filter — quadratic on
+    # a hot user.  Bucketing rn into 16-row blocks and probing (block,
+    # block−1) bounds the intermediate at 32 candidates per row, the
+    # same trick as range_join_events.
+    blk = F.floor((F.col("rn") - 1) / _EWMA_LAGS)
+    a = e.withColumn(
+        "blk",
+        F.explode(F.array(blk.cast("long"), (blk - 1).cast("long"))),
+    )
+    b = e.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("x").alias("xb"),
+        F.col("rn").alias("rnb"),
+        F.floor((F.col("rn") - 1) / _EWMA_LAGS).cast("long").alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & ((F.col("rn") - F.col("rnb")).between(0, _EWMA_LAGS - 1)),
+        )
+        .join(F.broadcast(coefs), F.col("d") == F.col("rn") - F.col("rnb"))
+        .groupBy("user_id", "event_id", "ts")
+        .agg(F.sum(F.col("xb") * F.col("coef")).alias("num"))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            (F.col("num").cast("double") / F.lit(float(4**16 * 10**6))).alias("ewma"),
+        )
+    )
