@@ -82,17 +82,10 @@ def _drop_frequent_shingles(sh: DataFrame) -> DataFrame:
 # generate.  The exact-Jaccard generators exist as sf-bounded ground truth
 # for the LSH recall gates; at corpus scale the budget trips BEFORE the
 # quadratic join runs and the error message points at the LSH path.
-# Default lives in config.EngineConfig.exact_pair_budget (sizing rule
-# there); this module alias remains for tests that reference it.
+# Budgets live in config.EngineConfig (exact_pair_budget,
+# simhash_cand_budget — sizing rules there); the guards read the live
+# config so deployments and tests steer them via config_overrides.
 from ..config import get_config as _cfg
-
-_EXACT_PAIR_BUDGET = 200_000_000
-
-# SimHash chunk-bucket candidate ceiling (round 7): trips when signature
-# saturation makes even the true Hamming ≤ 3 pair set quadratic — see
-# the guard comment at the simhash candidate join.  Default in
-# config.EngineConfig.simhash_cand_budget.
-_SIMHASH_CAND_BUDGET = 500_000_000
 
 
 def _pair_budget_guard(df: DataFrame, key: str, budget: int, hint: str) -> DataFrame:
@@ -309,7 +302,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ground-truth generator for the recall gates, NEVER the production
     # path (that's minhash_lsh_neardup).  The in-plan guard fails fast
     # if the surviving shingle frequencies imply more candidate pairs
-    # than _EXACT_PAIR_BUDGET, so this op cannot be pointed at corpus
+    # than the configured exact_pair_budget, so this op cannot be pointed at corpus
     # scale by accident (tests exercise the trip).  Layout: repartition
     # on s FIRST, then derive the df counts, the frequent set, and the
     # budget from the repartitioned stream — ReuseExchange makes every

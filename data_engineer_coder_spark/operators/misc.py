@@ -555,20 +555,27 @@ def acid_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "acid_zone_map_skipping",
     oracle="""
-WITH s AS (
-  SELECT doc_id, lang, CAST(FLOOR(doc_id / 100) AS INT) AS bucket FROM documents
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, lang, CAST((doc_id * 5) // nn.n AS INT) AS bucket
+  FROM documents, nn
 )
 SELECT lang, bucket,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
        COUNT(*) AS n_rows,
-       MAX(CASE WHEN doc_id BETWEEN 150 AND 349 THEN 1 ELSE 0 END) = 1 AS was_read
+       MAX(CASE WHEN doc_id BETWEEN (SELECT (3 * n) // 10 FROM nn)
+                              AND (SELECT (7 * n) // 10 - 1 FROM nn)
+                THEN 1 ELSE 0 END) = 1 AS was_read
 FROM s GROUP BY lang, bucket
 """,
     tags=("sink", "acid", "lakehouse", "scan"),
     doc=(
         "S8b: file-level zone-map skipping — per (lang, bucket) "
         "partition, the engine's prune-before-list decision under a "
-        "doc_id range stats filter, checked against the SQL truth."
+        "doc_id range stats filter, checked against the SQL truth.  "
+        "Buckets are 5 corpus-relative id ranges, so the scratch table "
+        "is 25 dirs at EVERY scale factor (the first draft's fixed-width "
+        "buckets made 250 dirs × multi-file writes at sf0.1 — 212 s)."
     ),
 )
 def acid_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,22 +585,31 @@ def acid_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io.acid_table import files_selected, read_table, replace_partitions
 
-    docs = table(spark, sf_dir, "documents").select(
+    base_docs = table(spark, sf_dir, "documents")
+    # one bounded scalar: the corpus size drives the bucket edges and
+    # the predicate, both of which the driver-side stats filter needs
+    n = base_docs.count()
+    lo, hi = (3 * n) // 10, (7 * n) // 10 - 1
+    docs = base_docs.select(
         "doc_id",
         "lang",
-        F.floor(F.col("doc_id") / 100).cast("int").alias("bucket"),
+        ((F.col("doc_id") * 5) / n).cast("int").alias("bucket"),
     )
     base = tempfile.mkdtemp(prefix="acid_zm_")
     root = os.path.join(base, "t")
 
     def in_range(stats: dict) -> bool:
-        lo, hi = stats.get("doc_id", (None, None))
-        if lo is None or hi is None:
+        s = stats.get("doc_id", (None, None))
+        if s[0] is None or s[1] is None:
             return True  # no usable stats: must read
-        return hi >= 150 and lo <= 349
+        return s[1] >= lo and s[0] <= hi
 
     try:
-        replace_partitions(docs, root, ["lang", "bucket"], "t1")
+        # one file per (lang, bucket) dir: hash-repartition on the
+        # partition cols so 32 write tasks don't each spray 25 files
+        replace_partitions(
+            docs.repartition("lang", "bucket"), root, ["lang", "bucket"], "t1"
+        )
         decisions = []
         for rel, files in files_selected(root, stats_filter=in_range).items():
             kv = dict(
@@ -673,7 +689,9 @@ def acid_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for epoch in (0, 1, 2):
             append_partitions(
-                docs.filter(F.col("m") == epoch).drop("m"),
+                # one file per lang dir per epoch (32 write tasks would
+                # otherwise each emit a file into every dir)
+                docs.filter(F.col("m") == epoch).drop("m").repartition("lang"),
                 root, ["lang"], f"e{epoch + 1}",
             )
         compact_partitions(spark, root, "c1")

@@ -1917,11 +1917,28 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "source", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 3)
-    sh = (
+    # Shape (measured across the ov decade, BASELINE r8): a plain
+    # hash-agg DISTINCT dedups the raw occurrence stream first (125M →
+    # 23M rows at ov-sf10 — collect_set straight off the occurrences
+    # trips the sort-based ObjectHashAggregate fallback and measured
+    # 1.9× slower), then ONE per-shingle collect_set builds the source
+    # sets, checkpointed because they feed three consumers (the first
+    # draft re-evaluated the whole explode subtree 3× and measured
+    # 1.35-superlinear from re-evaluation alone).  Both downstream needs
+    # derive from the sets: per-source distinct counts by re-exploding,
+    # intersections by |sources|-bounded pair expansion.
+    per = (
         docs.select("source", F.explode(_shingles(F.col("ws"))).alias("s"))
         .distinct()
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint()
     )
-    na = sh.groupBy("source").agg(F.count("*").alias("n"))
+    na = (
+        per.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     # per-shingle ordered source pairs: |sources|-bounded arrays, so the
     # hot-shingle cost is |sources|² rows — corpus-size-independent
     pair_struct = F.expr(
@@ -1930,9 +1947,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(x AS src_a, y AS src_b))))"
     )
     inter = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .filter(F.size("srcs") >= 2)
+        per.filter(F.size("srcs") >= 2)
         .select(F.explode(pair_struct).alias("p"))
         .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")

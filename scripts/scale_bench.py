@@ -67,6 +67,13 @@ HEAVY = [
     "source_token_kl",
     "semdedup_greedy_keep_first",
     "embedding_anisotropy_score",
+    # round 8 additions
+    "simhash_idf_neardup",
+    "pq_ann_topk",
+    "pq_ann_rerank_topk",
+    "source_overlap_matrix",
+    "incremental_rollup_merge",
+    "ewma_user_value",
 ]
 
 

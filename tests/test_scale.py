@@ -228,18 +228,21 @@ def test_shingle_df_cap_has_no_hot_key_window(spark, sf_dir):
         assert "BroadcastHashJoin LeftAnti" in plan, plan
 
 
-def test_exact_pair_budget_guard_trips(spark, sf_dir, monkeypatch):
+def test_exact_pair_budget_guard_trips(spark, sf_dir):
     """The exact all-pairs generator must fail fast in-plan when the
     shingle df distribution implies more candidates than the budget —
     it is ground truth for the recall gates, never the production path."""
     import pytest
     from py4j.protocol import Py4JJavaError
 
+    from data_engineer_coder_spark.config import config_overrides
     from data_engineer_coder_spark.operators import dedup
 
-    monkeypatch.setattr(dedup, "_EXACT_PAIR_BUDGET", 1)
-    with pytest.raises(Py4JJavaError, match="candidate budget exceeded"):
-        dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    # the guard reads the LIVE config (r8: the old module constant was
+    # the pre-config default and is gone — overriding it did nothing)
+    with config_overrides(exact_pair_budget=1):
+        with pytest.raises(Py4JJavaError, match="candidate budget exceeded"):
+            dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
 
 
 def test_semdedup_assignment_is_two_level(spark, sf_dir):
