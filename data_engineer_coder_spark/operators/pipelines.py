@@ -472,3 +472,133 @@ def curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             alloc.alias("allocation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L8d (round 8): the DATASET CARD — the one-page corpus summary a data
+# team publishes with a training set (size, composition, dedup rate,
+# quality mass, per-lang/source breakdown).  Every value is a BIGINT
+# (counts, exact-decimal quality mass ×1e4) so the tall frame
+# value-hashes cross-engine.  Shape: four column-pruned scans of
+# documents (corpus scalars / exact-dup groups / per-lang / top-source),
+# each a partial-agg shuffle of group-cardinality rows — nothing
+# corpus-sized moves.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dataset_card_report",
+    oracle=f"""
+WITH {_QUALITY_SQL_CTE},
+tok AS (SELECT doc_id, lang, source, n_chars, LEN(string_split(text, ' ')) AS n_tokens FROM documents),
+dup AS (
+  SELECT COUNT(*) FILTER (WHERE c > 1) AS dup_groups,
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_docs
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+)
+SELECT 'corpus' AS section, 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL SELECT 'corpus', 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL SELECT 'corpus', 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL SELECT 'corpus', 'n_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM tok
+UNION ALL SELECT 'corpus', 'n_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+UNION ALL SELECT 'corpus', 'min_tokens', CAST(MIN(n_tokens) AS BIGINT) FROM tok
+UNION ALL SELECT 'corpus', 'max_tokens', CAST(MAX(n_tokens) AS BIGINT) FROM tok
+UNION ALL SELECT 'dedup', 'n_exact_dup_groups', CAST(dup_groups AS BIGINT) FROM dup
+UNION ALL SELECT 'dedup', 'n_exact_dup_docs', CAST(dup_docs AS BIGINT) FROM dup
+UNION ALL SELECT 'quality', 'n_keep', CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) FROM q
+UNION ALL SELECT 'quality', 'quality_mass_e4',
+          CAST(FLOOR(SUM(CAST(quality AS DECIMAL(38,6))) * 10000) AS BIGINT) FROM q
+UNION ALL SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY lang
+UNION ALL SELECT * FROM (
+  SELECT 'source_top', source, CAST(SUM(n_tokens) AS BIGINT) AS value
+  FROM tok GROUP BY source ORDER BY value DESC, source LIMIT 5
+)
+""",
+    tags=("llm", "audit", "report"),
+    doc=(
+        "L8: dataset card — tall (section, metric, value) corpus "
+        "summary: size, composition, exact-dup rate, quality mass, "
+        "per-lang counts, top-5 sources by tokens; all-BIGINT values."
+    ),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import with_quality
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    b = F.lit  # brevity
+
+    corpus = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(b("corpus").alias("section"), b(m).alias("metric"),
+                             F.col(m).cast("bigint").alias("value"))
+                    for m in ("n_docs", "n_langs", "n_sources", "n_tokens",
+                              "n_chars", "min_tokens", "max_tokens")
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    dup = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count(F.when(F.col("c") > 1, 1)).alias("dup_groups"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), b(0)).alias("dup_docs"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(b("dedup").alias("section"), b("n_exact_dup_groups").alias("metric"),
+                             F.col("dup_groups").cast("bigint").alias("value")),
+                    F.struct(b("dedup").alias("section"), b("n_exact_dup_docs").alias("metric"),
+                             F.col("dup_docs").cast("bigint").alias("value")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+    q = with_quality(docs).agg(
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        F.floor(F.sum(F.col("quality").cast("decimal(38,6)")) * 10000)
+        .cast("bigint")
+        .alias("qmass"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(b("quality").alias("section"), b("n_keep").alias("metric"),
+                         F.col("n_keep").cast("bigint").alias("value")),
+                F.struct(b("quality").alias("section"), b("quality_mass_e4").alias("metric"),
+                         F.col("qmass").alias("value")),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    langs = docs.groupBy("lang").agg(F.count("*").alias("value")).select(
+        b("lang").alias("section"), F.col("lang").alias("metric"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+    src_top = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("value"))
+        .orderBy(F.desc("value"), F.asc("source"))
+        .limit(5)
+        .select(
+            b("source_top").alias("section"), F.col("source").alias("metric"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    return corpus.unionByName(dup).unionByName(q).unionByName(langs).unionByName(src_top)
