@@ -1912,46 +1912,78 @@ LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
     ),
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itertools import chain
+
     from .dedup import _shingles
 
     docs = table(spark, sf_dir, "documents").select(
         "source", F.split("text", " ").alias("ws")
     ).filter(F.size("ws") >= 3)
-    # Shape (measured across the ov decade, BASELINE r8): a plain
-    # hash-agg DISTINCT dedups the raw occurrence stream first (125M →
-    # 23M rows at ov-sf10 — collect_set straight off the occurrences
-    # trips the sort-based ObjectHashAggregate fallback and measured
-    # 1.9× slower), then ONE per-shingle collect_set builds the source
-    # sets, checkpointed because they feed three consumers (the first
-    # draft re-evaluated the whole explode subtree 3× and measured
-    # 1.35-superlinear from re-evaluation alone).  Both downstream needs
-    # derive from the sets: per-source distinct counts by re-exploding,
-    # intersections by |sources|-bounded pair expansion.
-    per = (
-        docs.select("source", F.explode(_shingles(F.col("ws"))).alias("s"))
+    # Shape (third draft; measurement trail in BASELINE r8).  Sources
+    # are a bounded dimension, so each shingle's source SET fits a
+    # 64-bit BITMAP: explode → hash-agg distinct (the one unavoidable
+    # corpus-sized pass) → per-shingle bit_or (primitive long agg — the
+    # collect_set draft spent ~60 s/10⁷ shingles building tiny object
+    # sets) → collapse to the bitmap HISTOGRAM, after which every
+    # remaining step runs on ≤ 2^|sources| (practically: thousands of)
+    # rows.  na and the full intersection matrix are exact linear
+    # functionals of that histogram — the count-min-style "aggregate
+    # the aggregate" collapse.  One linear pipeline, no checkpoint, no
+    # re-evaluation, nothing downstream grows with the corpus.
+    srcs = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )  # bounded dim (catalog-sized); the bitmap needs < 64 of them
+    if len(srcs) > 63:
+        raise ValueError(
+            f"source_overlap_matrix: {len(srcs)} sources exceed the 63-bit "
+            "bitmap — shard the matrix by source group"
+        )
+    id_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable((s, i) for i, s in enumerate(srcs))]
+    )
+    hist = (
+        docs.select(
+            id_map[F.col("source")].alias("sid"),
+            F.explode(_shingles(F.col("ws"))).alias("s"),
+        )
         .distinct()
         .groupBy("s")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .localCheckpoint()
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), sid)")).alias("bm"))
+        .groupBy("bm")
+        .agg(F.count("*").alias("cnt"))
     )
-    na = (
-        per.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
+    ids = F.expr(
+        f"filter(sequence(0, {len(srcs) - 1}), i -> (bm >> i) & 1 = 1)"
     )
-    # per-shingle ordered source pairs: |sources|-bounded arrays, so the
-    # hot-shingle cost is |sources|² rows — corpus-size-independent
+    na_ids = (
+        hist.select(F.explode(ids).alias("sid"), "cnt")
+        .groupBy("sid")
+        .agg(F.sum("cnt").alias("n"))
+    )
     pair_struct = F.expr(
-        "flatten(transform(srcs, (x, i) -> "
-        "transform(slice(srcs, i + 2, size(srcs)), "
-        "y -> struct(x AS src_a, y AS src_b))))"
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS sid_a, y AS sid_b))))"
     )
+    inter_ids = (
+        hist.select(ids.alias("ids"), "cnt")
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_struct).alias("p"), "cnt")
+        .groupBy("p.sid_a", "p.sid_b")
+        .agg(F.sum("cnt").alias("n_common"))
+    )
+    names = spark.createDataFrame(list(enumerate(srcs)), "sid int, source string")
+    na = na_ids.join(F.broadcast(names), "sid").select("source", "n")
     inter = (
-        per.filter(F.size("srcs") >= 2)
-        .select(F.explode(pair_struct).alias("p"))
-        .select("p.src_a", "p.src_b")
-        .groupBy("src_a", "src_b")
-        .agg(F.count("*").alias("n_common"))
+        inter_ids.join(
+            F.broadcast(names.select(F.col("sid").alias("sid_a"), F.col("source").alias("src_a"))),
+            "sid_a",
+        )
+        .join(
+            F.broadcast(names.select(F.col("sid").alias("sid_b"), F.col("source").alias("src_b"))),
+            "sid_b",
+        )
+        .select("src_a", "src_b", "n_common")
     )
     pairs = (
         na.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
