@@ -318,3 +318,33 @@ def write_stream_rollup_merge(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+def stream_progress_report(spark, query) -> DataFrame:
+    """T-obs (round 8): a StreamingQuery's recentProgress as a DataFrame
+    — per micro-batch input rows, processing rate, batch duration, and
+    the event-time watermark, i.e. the numbers an on-call engineer
+    graphs first (is the stream keeping up?  is the watermark
+    advancing?).  Pure driver-side metadata (Spark keeps the last ~100
+    progress objects); no executor work.
+    """
+    import json
+
+    rows = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        rows.append(
+            (
+                int(d.get("batchId", -1)),
+                int(d.get("numInputRows", 0) or 0),
+                float(d.get("processedRowsPerSecond", 0.0) or 0.0),
+                int((d.get("durationMs") or {}).get("triggerExecution", 0) or 0),
+                (d.get("eventTime") or {}).get("watermark"),
+                d.get("timestamp"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, input_rows long, rows_per_sec double, "
+        "trigger_ms long, watermark string, batch_ts string",
+    )

@@ -485,3 +485,26 @@ def test_stream_rollup_merge_equals_full_recompute(spark, sf_dir, tmp_path):
     )
     assert current_manifest(root)["version"] == v
     assert read_table(spark, root).count() == n_before
+
+
+def test_stream_progress_report_shows_batches_and_watermark(spark, sf_dir):
+    """T-obs: the progress report must surface one row per micro-batch
+    with non-zero input and an advancing watermark for a watermarked
+    aggregation."""
+    from data_engineer_coder_spark.streaming.core import stream_progress_report
+
+    agg = sw.watermarked_tumbling(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("prog_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rep = stream_progress_report(spark, q).toPandas()
+    assert len(rep) >= 1
+    assert rep["input_rows"].sum() > 0
+    assert rep["batch_id"].is_unique
+    # the watermark column must be populated once event time has flowed
+    assert rep["watermark"].notna().any()
