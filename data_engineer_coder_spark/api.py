@@ -66,3 +66,29 @@ class Engine:
             register_views(self.spark, self.sf_dir)
             self._views_registered = True
         return self.spark.sql(query)
+
+    def describe(self, name: str) -> dict:
+        """One query's metadata: doc line, tags, oracle availability."""
+        spec = registry.all_queries()[name]
+        return {
+            "name": name,
+            "doc": spec.doc,
+            "tags": list(spec.tags),
+            "has_oracle": spec.oracle is not None,
+        }
+
+    def search(self, tag: str) -> list[str]:
+        """Registry names carrying ``tag`` (e.g. 'dedup', 'ann',
+        'streaming') — the discoverability path into 250+ queries."""
+        return sorted(
+            n for n, s in registry.all_queries().items() if tag in s.tags
+        )
+
+    def explain(self, name: str) -> str:
+        """The FORMATTED physical plan for a named query — the review
+        surface this repo's plan-first rules are enforced against
+        (PLANS.md is the full-registry audit of exactly this output)."""
+        df = self.query(name)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )

@@ -79,3 +79,15 @@ def test_engine_applies_config_at_construction(spark, sf_dir):
     finally:
         set_config(prev_cfg)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+
+
+def test_engine_describe_search_explain(spark, sf_dir):
+    from data_engineer_coder_spark.api import Engine
+
+    eng = Engine(spark, sf_dir)
+    d = eng.describe("pricing_summary")
+    assert d["has_oracle"] and d["doc"]
+    hits = eng.search("dedup")
+    assert "minhash_lsh_neardup" in hits and "dedup_exact" in hits
+    plan = eng.explain("revenue_by_nation")
+    assert "BroadcastHashJoin" in plan  # the star stays broadcast
