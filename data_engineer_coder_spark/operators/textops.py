@@ -2008,3 +2008,124 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L13b (round 8): BPE APPLICATION — the encode half of tokenizer
+# induction (bpe_merge_candidates ranks the merges; this applies them).
+# Two engineering points:
+# 1. VOCABULARY-level, not corpus-level: encoding runs over the top-100
+#    distinct tokens (production: the whole distinct-token frame, still
+#    vocabulary-sized) and joins back by token — a 100 TB corpus pays
+#    one distinct + one broadcast join, never per-occurrence encoding.
+# 2. Pure JVM expressions: a symbol sequence is a \\x1f-delimited string
+#    with boundary separators, and applying ranked merge (L, R) is ONE
+#    `replace(s, SEP+L+SEP+R+SEP, SEP+LR+SEP)` — string replace is
+#    left-to-right non-overlapping in Spark, DuckDB, and Python alike
+#    (verified), so 20 chained replaces ARE the single-greedy-pass
+#    rank-ordered BPE application, bit-identical cross-engine, no UDF.
+# The merge table is the deterministic top-20 static pair ranking
+# (driver-collected — 20 bounded rows, the sanctioned Lloyd-state
+# pattern); true iterative BPE would recount between merges at the
+# cost of K corpus passes, which the docstring of the induction query
+# already notes.
+# --------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"
+_BPE_TOPW = 100
+
+
+def _bpe_oracle() -> str:
+    sep = "chr(31)"
+    chain = ["enc0"]
+    ctes = []
+    for k in range(1, 21):
+        prev = chain[-1]
+        cur = f"enc{k}"
+        # COALESCE to a never-matching sentinel so a <20-row merge table
+        # makes the step a no-op instead of NULLing the string
+        pat = (f"COALESCE((SELECT {sep} || pair[1:1] || {sep} || pair[2:2] || {sep} "
+               f"FROM m WHERE rnk = {k}), chr(30))")
+        rep = f"COALESCE((SELECT {sep} || pair || {sep} FROM m WHERE rnk = {k}), chr(30))"
+        ctes.append(f"{cur} AS (SELECT tok, freq, replace(s, {pat}, {rep}) AS s FROM {prev})")
+        chain.append(cur)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (
+  SELECT tok[i:i+1] AS pair
+  FROM t CROSS JOIN (SELECT unnest(range(1, 32)) AS i)
+  WHERE i + 1 <= LENGTH(tok)
+),
+m AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+  FROM b GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 20
+),
+v AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM t
+  GROUP BY tok ORDER BY freq DESC, tok LIMIT {_BPE_TOPW}
+),
+enc0 AS (
+  SELECT tok, freq,
+         {sep} || array_to_string(list_transform(range(1, LENGTH(tok) + 1),
+                                                 i -> tok[i:i]), {sep}) || {sep} AS s
+  FROM v
+),
+{cte_block}
+SELECT tok, freq, CAST(LENGTH(tok) AS INT) AS n_chars,
+       CAST(LENGTH(s) - LENGTH(replace(s, {sep}, '')) - 1 AS INT) AS n_symbols,
+       replace(substr(s, 2, LENGTH(s) - 2), {sep}, '|') AS encoded
+FROM {chain[-1]}
+"""
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=_bpe_oracle(),
+    tags=("text", "llm", "tokenizer"),
+    doc=(
+        "L13: rank-ordered BPE application over the vocabulary — top-20 "
+        "candidate merges applied as 20 chained separator-delimited "
+        "replaces (pure JVM, cross-engine bit-identical); per top-100 "
+        "token the symbol count and encoding."
+    ),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import bpe_merge_candidates  # self-module: ranking source
+
+    merges = [
+        r["pair"]
+        for r in bpe_merge_candidates(spark, sf_dir).collect()  # 20 bounded rows
+    ]
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(_BPE_TOPW)
+    )
+    sep = _BPE_SEP
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    s = F.concat(F.lit(sep), F.array_join(chars, sep), F.lit(sep))
+    for p in merges:
+        l, r = p[0], p[1]
+        s = F.replace(
+            s, F.lit(f"{sep}{l}{sep}{r}{sep}"), F.lit(f"{sep}{l}{r}{sep}")
+        )
+    n_sym = (F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit(""))) - 1).cast("int")
+    encoded = F.replace(
+        F.substring(s, 2, F.length(s) - 2).cast("string"), F.lit(sep), F.lit("|")
+    )
+    return vocab.select(
+        "tok",
+        "freq",
+        F.length("tok").cast("int").alias("n_chars"),
+        n_sym.alias("n_symbols"),
+        encoded.alias("encoded"),
+    )
