@@ -2129,3 +2129,105 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sym.alias("n_symbols"),
         encoded.alias("encoded"),
     )
+
+
+# --------------------------------------------------------------------------
+# L4j (round 8): Shannon-entropy quality signal — character-level and
+# token-level entropy per document.  Low char entropy flags repeated-
+# character junk (`aaaa…`, base64 walls score HIGH, binary-ish blobs);
+# low token entropy flags boilerplate/looping text that n-gram repetition
+# ratios can miss when the loop period is long.  Standard LLM-corpus
+# quality filter (C4/Gopher-family rules use the same signal class).
+#
+# 100 TB shape: pure per-row array expressions — distinct symbols ×
+# occurrence counts × the portable floor(ln·1e9) integer grid, folded by
+# `aggregate` — so the whole operator is map-side (zero shuffle, zero
+# UDF).  Per-row cost is O(distinct·len); distinct chars are bounded by
+# the alphabet and distinct tokens by doc length.
+# --------------------------------------------------------------------------
+
+
+def _entropy_micro(ws):
+    """Σ k·floor(ln(k/n)·1e9) over symbol counts k of array ``ws`` →
+    entropy in exact micro-nats: floor(-Σ/(n·1000) + 0.5).  Integer until
+    the final two IEEE ops, so DuckDB replays it bit-for-bit."""
+    n = F.size(ws).cast("bigint")
+    counts = F.transform(
+        F.array_distinct(ws),
+        lambda u: F.size(F.filter(ws, lambda c: c == u)).cast("bigint"),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, k: acc
+        + k
+        * F.floor(F.log(k.cast("double") / n.cast("double")) * 1e9).cast("bigint"),
+    )
+    return F.floor(-s / (n * F.lit(1000.0)) + F.lit(0.5)).cast("bigint")
+
+
+@register(
+    "entropy_quality",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, '') AS cs, string_split(text, ' ') AS ws
+  FROM documents WHERE LENGTH(text) > 0
+),
+k AS (
+  SELECT doc_id,
+         LEN(cs) AS n_chars,
+         LEN(ws) AS n_tokens,
+         list_transform(list_distinct(cs),
+                        u -> CAST(LEN(list_filter(cs, c -> c = u)) AS BIGINT)) AS kc,
+         list_transform(list_distinct(ws),
+                        u -> CAST(LEN(list_filter(ws, c -> c = u)) AS BIGINT)) AS kw
+  FROM base
+),
+e AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CAST(FLOOR(-CAST(list_sum(list_transform(kc,
+                k -> k * CAST(FLOOR(ln(CAST(k AS DOUBLE) / n_chars) * 1e9) AS BIGINT)))
+              AS BIGINT) / (n_chars * 1000.0) + 0.5) AS BIGINT) AS ce_micro,
+         CAST(FLOOR(-CAST(list_sum(list_transform(kw,
+                k -> k * CAST(FLOOR(ln(CAST(k AS DOUBLE) / n_tokens) * 1e9) AS BIGINT)))
+              AS BIGINT) / (n_tokens * 1000.0) + 0.5) AS BIGINT) AS te_micro
+  FROM k
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ce_micro / 1e6 AS char_entropy,
+       te_micro / 1e6 AS token_entropy,
+       ce_micro < 2500000 OR te_micro < 1500000 AS low_entropy
+FROM e
+""",
+    tags=("text", "llm", "quality"),
+    doc=(
+        "L4: per-doc character- and token-level Shannon entropy (nats, "
+        "6 dp on the integer ln-grid) + a low-entropy junk flag — the "
+        "repetitive-content quality filter; map-side only."
+    ),
+)
+def entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cs = F.split("text", "")
+    ws = F.split("text", " ")
+    ce = _entropy_micro(cs)
+    te = _entropy_micro(ws)
+    out = docs.select(
+        "doc_id",
+        F.size(cs).cast("bigint").alias("n_chars"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        ce.alias("ce_micro"),
+        te.alias("te_micro"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("ce_micro") / 1e6).alias("char_entropy"),
+        (F.col("te_micro") / 1e6).alias("token_entropy"),
+        ((F.col("ce_micro") < 2500000) | (F.col("te_micro") < 1500000)).alias(
+            "low_entropy"
+        ),
+    )
