@@ -58,3 +58,80 @@ def test_entropy_quality_registry_flags_repetitive_docs(spark, sf_dir):
         assert r["low_entropy"] == (
             r["char_entropy"] < 2.5 or r["token_entropy"] < 1.5
         )
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn_iterative: compare the 8 learned merges against a from-scratch
+# pure-Python Sennrich BPE trainer on the same fixture vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_train(vocab: list[tuple[str, int]], iters: int):
+    """Reference Sennrich '16 trainer over a (token, freq) vocabulary."""
+    enc = {tok: list(tok) for tok, _ in vocab}
+    freqs = dict(vocab)
+    merges = []
+    for rnk in range(1, iters + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for tok, syms in enc.items():
+            f = freqs[tok]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rnk, lhs, rhs, lhs + rhs, cnt))
+        # Merge via separator-delimited str.replace, exactly like the
+        # engine and the oracle do.  Non-overlapping left-to-right
+        # replace differs from a list-walk merge ONLY on a pair that
+        # overlaps itself (a,a,a): both engines share this convention,
+        # so the reference must too.
+        sep = T._BPE_SEP
+        for tok, syms in enc.items():
+            s = sep + sep.join(syms) + sep
+            s = s.replace(f"{sep}{lhs}{sep}{rhs}{sep}", f"{sep}{lhs}{rhs}{sep}")
+            enc[tok] = s[1:-1].split(sep)
+    return merges
+
+
+def test_bpe_learn_iterative_matches_python_reference(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: dict[str, int] = {}
+    for t in texts.column("text").to_pylist():
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: T._BPE_TOPW]
+    expect = _py_bpe_train(vocab, T._BPE_ITERS)
+
+    got = [
+        (r["rnk"], r["lhs"], r["rhs"], r["merged"], r["n_occurrences"])
+        for r in T.bpe_learn_iterative(spark, sf_dir).orderBy("rnk").collect()
+    ]
+    assert got == expect
+    # the loop must actually cascade: at least one later merge consumes an
+    # earlier merged symbol (else this is no better than one-shot ranking)
+    learned = {m[3] for m in expect}
+    assert any(m[1] in learned or m[2] in learned for m in expect[1:]), (
+        "no merge re-used a learned symbol on this fixture — iterative "
+        "semantics unexercised; enlarge _BPE_ITERS or check the fixture"
+    )
+
+
+def test_mutual_knn_clusters_structure(spark, sf_dir):
+    from data_engineer_coder_spark.operators.similarity import (
+        mutual_knn_clusters,
+    )
+
+    rows = mutual_knn_clusters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        assert r["is_canonical"] == (r["vec_id"] == r["cluster_id"])
+    for cid, members in by_cluster.items():
+        # label is the component minimum and itself a member
+        assert cid == min(members)
+    # the fixture must actually exercise multi-member clusters
+    assert any(len(m) > 1 for m in by_cluster.values())
