@@ -1066,11 +1066,18 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _star_contract(spark, sf_dir, pairs)
 
 
-def _star_contract(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+def _star_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
     """Run alternating large/small-star contraction over a (src, dst)
-    pair DataFrame to a fixed point and emit the full per-document
-    cluster labeling (members ∪ roots ∪ singletons).  Shared by the
-    exact-pair-graph and MinHash-pair-graph clustering ops."""
+    pair DataFrame to a fixed point and emit the full per-node cluster
+    labeling (members ∪ roots ∪ singletons).  Shared by the exact-pair-
+    graph and MinHash-pair-graph clustering ops; ``nodes`` (a single
+    ``doc_id`` column) overrides the default documents universe so the
+    same contraction serves embedding-graph clustering."""
     edges = pairs.localCheckpoint()  # pair mining runs once
     converged = False
     # Contractions per convergence probe are configurable (r8).  The
@@ -1119,7 +1126,11 @@ def _star_contract(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFr
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     members = members.unionByName(roots)
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        nodes
+        if nodes is not None
+        else table(spark, sf_dir, "documents").select("doc_id")
+    )
     singles = docs.join(members, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )

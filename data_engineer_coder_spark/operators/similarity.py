@@ -2390,3 +2390,153 @@ def pq_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("all_probes_covered"),
         (F.col("ratio") >= 0.80).alias("competitive_ge_80pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# L11b: mutual-kNN graph clustering — the standard robust topic/duplicate
+# clustering primitive over an embedding corpus (mutual edges kill the
+# hub-node chaining that plain kNN graphs suffer).  Scale shape: the kNN
+# search runs INSIDE the IVF coarse cells (same deterministic quantizer
+# as ivf_ann_topk), so candidate generation costs Σ (n/K)² with K growing
+# with the corpus — never all-pairs; the component step is the existing
+# O(log n) large/small-star contraction.  Fully deterministic (quantized
+# integer cosine, id tie-breaks) → the DuckDB oracle replays the cell
+# assignment, the per-vector top-k ranking, the mutuality filter, AND the
+# transitive closure.
+# --------------------------------------------------------------------------
+
+_MKNN_K = 2
+_MKNN_TAU = 0.30
+
+_MKNN_COS_AB = (
+    f"CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)"
+    " / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
+)
+
+
+@register(
+    "mutual_knn_clusters",
+    oracle=f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+),
+assigned AS (
+  SELECT vec_id, qv, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+  ) WHERE crn = 1
+),
+knn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           {_MKNN_COS_AB} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_MKNN_COS_AB} DESC, b.vec_id
+           ) AS rn
+    FROM assigned a
+    JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {_MKNN_K} AND cos_sim >= {_MKNN_TAU}
+),
+sel AS (
+  SELECT k1.vec_id AS s, k1.neighbor_id AS d
+  FROM knn k1
+  JOIN knn k2 ON k1.vec_id = k2.neighbor_id AND k1.neighbor_id = k2.vec_id
+  WHERE k1.vec_id < k1.neighbor_id
+),
+edges AS (SELECT s, d FROM sel UNION SELECT d, s FROM sel),
+walk(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, w.label FROM edges e JOIN walk w ON e.d = w.node
+),
+members AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+allm AS (
+  SELECT vec_id, cluster_id FROM members
+  UNION ALL
+  SELECT vec_id, vec_id AS cluster_id
+  FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM members)
+)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical FROM allm
+""",
+    tags=("similarity", "llm", "graph", "iterative"),
+    doc=(
+        "L11b: mutual-kNN graph clustering — IVF-cell-bounded top-2 "
+        "neighbors per vector (cos >= 0.30), keep only RECIPROCAL edges, "
+        "then large/small-star contraction to per-vector cluster labels.  "
+        "Candidate cost Σ(n/K)², never all-pairs; oracle replays search, "
+        "mutuality, and reachability (recursive CTE)."
+    ),
+)
+def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _star_contract
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = n.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    knn = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= _MKNN_K) & (F.col("cos_sim") >= _MKNN_TAU))
+        .select("vec_id", "neighbor_id")
+    )
+    k1, k2 = knn.alias("k1"), knn.alias("k2")
+    pairs = (
+        k1.join(
+            k2,
+            (F.col("k1.vec_id") == F.col("k2.neighbor_id"))
+            & (F.col("k1.neighbor_id") == F.col("k2.vec_id")),
+        )
+        .filter(F.col("k1.vec_id") < F.col("k1.neighbor_id"))
+        .select(F.col("k1.vec_id").alias("src"), F.col("k1.neighbor_id").alias("dst"))
+    )
+    labels = _star_contract(
+        spark, sf_dir, pairs, nodes=emb.select(F.col("vec_id").alias("doc_id"))
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
