@@ -138,6 +138,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "weighted_reservoir_sample",
     "ann_lsh_multiprobe_topk",
+    # round 8 final: iterative BPE training, mutual-kNN clustering
+    "bpe_learn_iterative",
+    "mutual_knn_clusters",
 ]
 
 

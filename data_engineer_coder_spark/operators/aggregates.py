@@ -1221,3 +1221,116 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A8c (round 8): AMS second-frequency-moment sketch (Alon–Matias–Szegedy
+# '96) — F2 = Σ f_tok² estimated from 16 ±1-sign counters (4 groups × 4,
+# mean-then-lower-median), next to the exact F2 for the error gate.  F2
+# is the self-join-size / skew statistic a planner wants BEFORE running
+# the join.  Completes the sketch family (HLL, count-min, bloom,
+# Misra-Gries).  Scale shape: the 16 counters are ONE ungrouped
+# aggregate over the token stream — 16 partial sums, map-side combined,
+# a single 16-value row crosses the wire; the exact side is the normal
+# hash-agg.  All integer arithmetic (signs, sums, squares) on md5-
+# derived bits, so DuckDB rebuilds the identical sketch bit-for-bit.
+# --------------------------------------------------------------------------
+
+_AMS_J = 16  # counters: 4 groups of 4
+
+
+def _ams_sign_sql(j: int) -> str:
+    return (
+        f"CASE WHEN substr(md5(tok || '|{j}'), 1, 1) >= '8' THEN 1 ELSE -1 END"
+    )
+
+
+def _ams_oracle() -> str:
+    zs = ",\n         ".join(
+        f"CAST(SUM({_ams_sign_sql(j)}) AS BIGINT) AS z{j}" for j in range(_AMS_J)
+    )
+    groups = ", ".join(
+        "(" + " + ".join(f"z{4 * g + i} * z{4 * g + i}" for i in range(4)) + ")"
+        for g in range(4)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT tok
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+z AS (
+  SELECT {zs}
+  FROM t
+),
+ex AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens
+  FROM (SELECT COUNT(*) AS cnt FROM t GROUP BY tok)
+),
+est AS (
+  SELECT list_sort([{groups}])[2] // 4 AS ams_estimate FROM z
+)
+SELECT n_tokens, exact_f2, ams_estimate,
+       (ams_estimate <= 2 * exact_f2 AND exact_f2 <= 2 * ams_estimate)
+         AS within_2x
+FROM ex CROSS JOIN est
+"""
+
+
+@register(
+    "ams_f2_sketch",
+    oracle=_ams_oracle(),
+    tags=("sketch", "llm", "approx"),
+    doc=(
+        "A8c: AMS F2 (self-join size) sketch — 16 md5-sign counters in "
+        "one ungrouped map-side aggregate, 4-group mean + lower-median "
+        "estimate vs the exact Σf², with a 2x error gate."
+    ),
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+    def sign(j: int):
+        h = F.md5(F.concat(F.col("tok"), F.lit(f"|{j}")))
+        return F.when(F.substring(h, 1, 1) >= "8", 1).otherwise(-1)
+
+    z = toks.agg(
+        *[F.sum(sign(j)).cast("bigint").alias(f"z{j}") for j in range(_AMS_J)]
+    )
+    group_sums = [
+        sum(
+            (F.col(f"z{4 * g + i}") * F.col(f"z{4 * g + i}") for i in range(4)),
+            start=F.lit(0).cast("bigint"),
+        )
+        for g in range(4)
+    ]
+    # lower median of the 4 group sums, then /4 (the in-group mean) as a
+    # pure-integer shift — group sums are non-negative, so >>2 == //4
+    # in both engines with no double intermediate.
+    est = z.select(
+        F.shiftright(F.sort_array(F.array(*group_sums)).getItem(1), 2)
+        .cast("bigint")
+        .alias("ams_estimate")
+    )
+    ex = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("exact_f2"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_tokens",
+        "exact_f2",
+        "ams_estimate",
+        (
+            (F.col("ams_estimate") <= 2 * F.col("exact_f2"))
+            & (F.col("exact_f2") <= 2 * F.col("ams_estimate"))
+        ).alias("within_2x"),
+    )

@@ -2379,3 +2379,128 @@ def bpe_learn_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rnk int, lhs string, rhs string, merged string, n_occurrences bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# L13d (round 8): tokenizer fertility report — the acceptance metric for
+# a trained tokenizer: symbols emitted per word (fertility) and chars
+# compressed per symbol, broken down by language.  High per-lang
+# fertility is the classic under-served-language signal (UniMax/XLM-R
+# papers gate vocab size on exactly this).  Scale shape: the corpus is
+# touched once (explode + partial-agg (lang, tok) counts); encoding runs
+# on the DISTINCT vocabulary only (20 chained JVM replaces — never
+# per-occurrence), then one equi-join back and a partial-agg rollup.
+# --------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    sep = "chr(31)"
+    ctes = []
+    for k in range(1, 21):
+        prev = f"enc{k - 1}"
+        pat = (f"COALESCE((SELECT {sep} || pair[1:1] || {sep} || pair[2:2] || {sep} "
+               f"FROM m WHERE rnk = {k}), chr(30))")
+        rep = f"COALESCE((SELECT {sep} || pair || {sep} FROM m WHERE rnk = {k}), chr(30))"
+        ctes.append(
+            f"enc{k} AS (SELECT tok, replace(s, {pat}, {rep}) AS s FROM {prev})"
+        )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT lang, tok
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+b AS (
+  SELECT tok[i:i+1] AS pair
+  FROM t CROSS JOIN (SELECT unnest(range(1, 32)) AS i)
+  WHERE i + 1 <= LENGTH(tok)
+),
+m AS MATERIALIZED (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+  FROM b GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 20
+),
+enc0 AS (
+  SELECT tok,
+         {sep} || array_to_string(list_transform(range(1, LENGTH(tok) + 1),
+                                                 i -> tok[i:i]), {sep}) || {sep} AS s
+  FROM (SELECT DISTINCT tok FROM t)
+),
+{cte_block},
+sym AS (
+  SELECT tok,
+         CAST(LENGTH(s) - LENGTH(replace(s, {sep}, '')) - 1 AS BIGINT) AS n_sym
+  FROM enc20
+),
+lt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY lang, tok)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_sym) AS BIGINT) AS n_symbols,
+       CAST(SUM(cnt * LENGTH(tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(cnt * n_sym) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS fertility,
+       CAST(SUM(cnt * LENGTH(tok)) AS DOUBLE) / CAST(SUM(cnt * n_sym) AS DOUBLE)
+         AS chars_per_symbol
+FROM lt JOIN sym USING (tok)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "tokenizer_fertility_report",
+    oracle=_fertility_oracle(),
+    tags=("text", "llm", "tokenizer"),
+    doc=(
+        "L13d: per-language tokenizer fertility (symbols/word) and "
+        "compression (chars/symbol) after applying the learned top-20 "
+        "merges — encoding runs on the distinct vocabulary only, one "
+        "corpus pass + join-back; the under-served-language audit."
+    ),
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [
+        r["pair"]
+        for r in bpe_merge_candidates(spark, sf_dir).collect()  # 20 bounded rows
+    ]
+    sep = _BPE_SEP
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    lt = toks.groupBy("lang", "tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    vocab = lt.select("tok").distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    s = F.concat(F.lit(sep), F.array_join(chars, sep), F.lit(sep))
+    for p in merges:
+        l, r = p[0], p[1]
+        s = F.replace(s, F.lit(f"{sep}{l}{sep}{r}{sep}"), F.lit(f"{sep}{l}{r}{sep}"))
+    n_sym = (
+        F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit(""))) - 1
+    ).cast("bigint")
+    sym = vocab.select("tok", n_sym.alias("n_sym"))
+    joined = lt.join(sym, "tok")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_symbols"),
+            F.sum(F.col("cnt") * F.length("tok")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_symbols",
+            "n_chars",
+            (
+                F.col("n_symbols").cast("double") / F.col("n_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("n_chars").cast("double") / F.col("n_symbols").cast("double")
+            ).alias("chars_per_symbol"),
+        )
+        .orderBy("lang")
+    )
