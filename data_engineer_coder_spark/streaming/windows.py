@@ -257,3 +257,73 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_memory(out, "append", shuffle_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# T2b (round 8): trending top-k — per 1-hour window the top-3 event
+# types by count.  The dashboard shape every event pipeline serves.
+# Streaming semantics: ranking is not a streaming-supported operator,
+# so the STREAM maintains only the mergeable per-(window, type) counts
+# (complete mode, bounded keyspace) and the rank is a batch view over
+# the sink — exactly how a production trending board is built (the
+# stateful agg scales; the rank runs on windows × types rows, not the
+# event stream).
+# --------------------------------------------------------------------------
+
+_TRENDING_ORACLE = """
+SELECT win_start, event_type, n, rnk FROM (
+  SELECT win_start, event_type, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY win_start ORDER BY n DESC, event_type
+         ) AS rnk
+  FROM (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rnk <= 3
+"""
+
+
+def _rank_topk_types(counts: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "event_type", "n", "rnk")
+    )
+
+
+@register(
+    "trending_topk_batch",
+    oracle=_TRENDING_ORACLE,
+    tags=("streaming", "window"),
+    doc="T2b batch twin: top-3 event types per 1-hour window.",
+)
+def trending_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = tumbling_hourly(table(spark, sf_dir, "events")).drop("sum_value")
+    return _rank_topk_types(counts)
+
+
+@register(
+    "stream_trending_topk",
+    oracle=_TRENDING_ORACLE,
+    tags=("streaming", "window", "real-stream"),
+    doc=(
+        "T2b real stream: readStream → per-(hour, type) counts "
+        "(complete mode, bounded keyspace) → memory sink; the top-3 "
+        "rank is the batch view over the maintained counts, matching "
+        "the batch twin's oracle."
+    ),
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = run_to_memory(
+        tumbling_hourly(stream_events(spark, sf_dir)).drop("sum_value"),
+        "complete",
+        shuffle_partitions=8,
+    )
+    return _rank_topk_types(counts)
