@@ -2540,3 +2540,199 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
+
+
+# --------------------------------------------------------------------------
+# L3e (round 8): CSLS bitext mining — cross-lingual parallel-pair
+# harvesting with hubness correction (Conneau et al. '18 MUSE;
+# Artetxe & Schwenk '19 margin mining).  Plain nearest-neighbor
+# retrieval across languages is polluted by hub vectors; CSLS rescales:
+#   csls(x, y) = 2·cos(x, y) − r(x) − r(y)
+# where r(v) is the mean cosine of v's top-4 cross-lingual candidates.
+# A pair is emitted only when x and y are each other's csls-argmax
+# (mutual best) — the forward-backward intersection that makes mined
+# bitext precision-viable.  Scale shape: candidates come from the IVF
+# coarse cells (Σ(n/K)², never all-pairs — the FAISS-backed layout the
+# MUSE reference uses); r(v) folds the top-4 cosines in SORTED order so
+# the double sum is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+_CSLS_K = 4
+
+_CSLS_COS = (
+    f"CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)"
+    " / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
+)
+
+
+@register(
+    "csls_bitext_mining",
+    oracle=f"""
+WITH n AS (
+  SELECT e.vec_id, d.lang, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings) e
+  JOIN documents d ON d.doc_id = e.vec_id
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+),
+assigned AS (
+  SELECT vec_id, lang, qv, nrm, centroid_id FROM (
+    SELECT n.vec_id, n.lang, n.qv, n.nrm, cents.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+  ) WHERE crn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS qid, a.lang AS qlang, b.vec_id AS cid, b.lang AS clang,
+         {_CSLS_COS} AS cos_sim
+  FROM assigned a
+  JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.lang <> b.lang
+),
+r AS (
+  SELECT qid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_sort(list(cos_sim ORDER BY cos_sim DESC, cid))),
+                     (acc, x) -> acc + x)
+           / LEAST(COUNT(*), {_CSLS_K}) AS r_mean
+  FROM (
+    SELECT qid, cid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+    FROM pairs
+  ) WHERE rn <= {_CSLS_K}
+  GROUP BY qid
+),
+scored AS (
+  SELECT p.qid, p.qlang, p.cid, p.clang,
+         p.cos_sim,
+         2 * p.cos_sim - rq.r_mean - rc.r_mean AS csls
+  FROM pairs p
+  JOIN r rq ON rq.qid = p.qid
+  JOIN r rc ON rc.qid = p.cid
+),
+best AS (
+  SELECT qid, qlang, cid, clang, cos_sim, csls FROM (
+    SELECT qid, qlang, cid, clang, cos_sim, csls,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csls DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT f.qid AS vec_a, f.qlang AS lang_a, f.cid AS vec_b, f.clang AS lang_b,
+       f.cos_sim, f.csls
+FROM best f
+JOIN best g ON g.qid = f.cid AND g.cid = f.qid
+WHERE f.qid < f.cid
+""",
+    tags=("similarity", "llm", "multilingual"),
+    doc=(
+        "L3e: CSLS bitext mining — within IVF cells, cross-language "
+        "candidates scored 2·cos − r(x) − r(y) (r = mean of top-4 "
+        "cross-lingual cosines, folded in sorted order), mutual-best "
+        "pairs only.  The MUSE/LASER parallel-data harvesting shape."
+    ),
+)
+def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    n = emb.join(docs, "vec_id").select(
+        "vec_id", "lang", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
+    )
+    cents = n.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "lang", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("lang", "centroid_id", "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.lang", "best.centroid_id", "best.qv", "best.nrm")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
+    pairs = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.lang") != F.col("b.lang")),
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("a.lang").alias("qlang"),
+        F.col("b.vec_id").alias("cid"),
+        F.col("b.lang").alias("clang"),
+        cos.alias("cos_sim"),
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    # mean of the top-4 cosines, folded in SORTED order (sort_array) so
+    # the IEEE sum is identical to the oracle's list_sort fold
+    r = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CSLS_K)
+        .groupBy("qid")
+        .agg(
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list("cos_sim")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.least(F.count("*"), F.lit(_CSLS_K))
+            ).alias("r_mean")
+        )
+    )
+    rq = r.select(F.col("qid"), F.col("r_mean").alias("rq_mean"))
+    rc = r.select(F.col("qid").alias("cid"), F.col("r_mean").alias("rc_mean"))
+    scored = (
+        pairs.join(rq, "qid")
+        .join(rc, "cid")
+        .select(
+            "qid",
+            "qlang",
+            "cid",
+            "clang",
+            "cos_sim",
+            (2 * F.col("cos_sim") - F.col("rq_mean") - F.col("rc_mean")).alias("csls"),
+        )
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc("csls"), F.asc("cid"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    f, g = best.alias("f"), best.alias("g")
+    return (
+        f.join(
+            g,
+            (F.col("g.qid") == F.col("f.cid")) & (F.col("g.cid") == F.col("f.qid")),
+        )
+        .filter(F.col("f.qid") < F.col("f.cid"))
+        .select(
+            F.col("f.qid").alias("vec_a"),
+            F.col("f.qlang").alias("lang_a"),
+            F.col("f.cid").alias("vec_b"),
+            F.col("f.clang").alias("lang_b"),
+            F.col("f.cos_sim").alias("cos_sim"),
+            F.col("f.csls").alias("csls"),
+        )
+    )
