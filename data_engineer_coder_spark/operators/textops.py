@@ -2504,3 +2504,174 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# L4m (round 8): linear probe — train an OLS model IN-PLAN via normal
+# equations and score its fit, no MLlib, no driver math.  The probe asks
+# the curation question "do cheap features (token count, char count)
+# predict the expensive signal (char entropy)?" — the standard ablation
+# before paying for a model-based quality filter.  Exactness story: the
+# 3×3 moment matrix accumulates as DECIMAL(38,0)/HUGEINT in ONE
+# ungrouped map-side aggregate; the solve is Cramer's rule on exact
+# integer determinants (det ≈ 1e20, numerators ≈ 1e27 — inside 38
+# digits); coefficients take exactly one integer→double cast + one IEEE
+# division each; R² comes from a second pass whose residuals round to
+# the integer grid (floor(ŷ+0.5)), so SSE/TSS are exact BIGINTs.  At
+# 100 TB: two corpus scans (moments, residuals), each a partial agg;
+# the model itself is a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+_OLS_CE = """CAST(FLOOR(-CAST(list_sum(list_transform(
+          list_transform(list_distinct(cs),
+                         u -> CAST(LEN(list_filter(cs, c -> c = u)) AS BIGINT)),
+          k -> k * CAST(FLOOR(ln(CAST(k AS DOUBLE) / LEN(cs)) * 1e9) AS BIGINT)))
+        AS BIGINT) / (LEN(cs) * 1000.0) + 0.5) AS BIGINT)"""
+
+
+@register(
+    "linear_probe_quality",
+    oracle=f"""
+WITH base AS (
+  SELECT string_split(text, '') AS cs, string_split(text, ' ') AS ws
+  FROM documents WHERE LENGTH(text) > 0
+),
+f AS (
+  SELECT CAST(LEN(ws) AS BIGINT) AS x1,
+         CAST(LEN(cs) AS BIGINT) AS x2,
+         {_OLS_CE} AS y
+  FROM base
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS sx1,
+         CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS sx11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS sx12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS sx22,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(y * x1) AS HUGEINT) AS syx1,
+         CAST(SUM(y * x2) AS HUGEINT) AS syx2,
+         CAST(COUNT(*) AS BIGINT) AS n_int,
+         CAST(SUM(y) AS BIGINT) AS sy_int
+  FROM f
+),
+model AS (
+  SELECT n_int,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS w0,
+         CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS w1,
+         CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS w2,
+         (2 * sy_int + n_int) // (2 * n_int) AS ybar
+  FROM (
+    SELECT n_int, sy_int,
+      n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+        + sx2*(sx1*sx12 - sx11*sx2) AS det,
+      sy*(sx11*sx22 - sx12*sx12) - sx1*(syx1*sx22 - sx12*syx2)
+        + sx2*(syx1*sx12 - sx11*syx2) AS det0,
+      n*(syx1*sx22 - sx12*syx2) - sy*(sx1*sx22 - sx12*sx2)
+        + sx2*(sx1*syx2 - syx1*sx2) AS det1,
+      n*(sx11*syx2 - syx1*sx12) - sx1*(sx1*syx2 - syx1*sx2)
+        + sy*(sx1*sx12 - sx11*sx2) AS det2
+    FROM m
+  )
+),
+fit AS (
+  SELECT n_int AS n_docs, w0, w1, w2,
+         CAST(SUM(resid * resid) AS BIGINT) AS sse,
+         CAST(SUM(dev * dev) AS BIGINT) AS tss
+  FROM (
+    SELECT n_int, w0, w1, w2,
+           y - CAST(FLOOR(w0 + w1 * x1 + w2 * x2 + 0.5) AS BIGINT) AS resid,
+           y - ybar AS dev
+    FROM f CROSS JOIN model
+  )
+  GROUP BY n_int, w0, w1, w2
+)
+SELECT n_docs, w0, w1, w2, sse, tss,
+       1 - CAST(sse AS DOUBLE) / CAST(tss AS DOUBLE) AS r2
+FROM fit
+""",
+    tags=("text", "llm", "quality", "ml"),
+    doc=(
+        "L4m: in-plan OLS linear probe — can (n_tokens, n_chars) "
+        "predict char entropy?  Exact DECIMAL/HUGEINT normal equations "
+        "solved by Cramer determinants, integer-grid residuals, "
+        "R² from exact SSE/TSS BIGINTs; two map-side corpus passes."
+    ),
+)
+def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cs = F.split("text", "")
+    ws = F.split("text", " ")
+    feats = docs.select(
+        F.size(ws).cast("bigint").alias("x1"),
+        F.size(cs).cast("bigint").alias("x2"),
+        _entropy_micro(cs).alias("y"),
+    ).localCheckpoint(eager=False)
+
+    def dsum(col) -> Column:
+        return F.sum(col.cast("decimal(38,0)"))
+
+    m = feats.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        dsum(F.col("x1")).alias("sx1"),
+        dsum(F.col("x2")).alias("sx2"),
+        dsum(F.col("x1") * F.col("x1")).alias("sx11"),
+        dsum(F.col("x1") * F.col("x2")).alias("sx12"),
+        dsum(F.col("x2") * F.col("x2")).alias("sx22"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("y") * F.col("x1")).alias("syx1"),
+        dsum(F.col("y") * F.col("x2")).alias("syx2"),
+        F.count("*").cast("bigint").alias("n_int"),
+        F.sum("y").cast("bigint").alias("sy_int"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("sx11") * c("sx22") - c("sx12") * c("sx12"))
+        - c("sx1") * (c("sx1") * c("sx22") - c("sx12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("sx12") - c("sx11") * c("sx2"))
+    )
+    det0 = (
+        c("sy") * (c("sx11") * c("sx22") - c("sx12") * c("sx12"))
+        - c("sx1") * (c("syx1") * c("sx22") - c("sx12") * c("syx2"))
+        + c("sx2") * (c("syx1") * c("sx12") - c("sx11") * c("syx2"))
+    )
+    det1 = (
+        c("n") * (c("syx1") * c("sx22") - c("sx12") * c("syx2"))
+        - c("sy") * (c("sx1") * c("sx22") - c("sx12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("syx2") - c("syx1") * c("sx2"))
+    )
+    det2 = (
+        c("n") * (c("sx11") * c("syx2") - c("syx1") * c("sx12"))
+        - c("sx1") * (c("sx1") * c("syx2") - c("syx1") * c("sx2"))
+        + c("sy") * (c("sx1") * c("sx12") - c("sx11") * c("sx2"))
+    )
+    model = m.select(
+        "n_int",
+        (det0.cast("double") / det.cast("double")).alias("w0"),
+        (det1.cast("double") / det.cast("double")).alias("w1"),
+        (det2.cast("double") / det.cast("double")).alias("w2"),
+        F.expr("(2 * sy_int + n_int) div (2 * n_int)").alias("ybar"),
+    )
+    resid = F.col("y") - F.floor(
+        c("w0") + c("w1") * c("x1") + c("w2") * c("x2") + F.lit(0.5)
+    ).cast("bigint")
+    dev = F.col("y") - F.col("ybar")
+    fit = (
+        feats.crossJoin(F.broadcast(model))
+        .select("n_int", "w0", "w1", "w2", resid.alias("resid"), dev.alias("dev"))
+        .groupBy("n_int", "w0", "w1", "w2")
+        .agg(
+            F.sum(c("resid") * c("resid")).cast("bigint").alias("sse"),
+            F.sum(c("dev") * c("dev")).cast("bigint").alias("tss"),
+        )
+    )
+    return fit.select(
+        F.col("n_int").alias("n_docs"),
+        "w0",
+        "w1",
+        "w2",
+        "sse",
+        "tss",
+        (F.lit(1) - c("sse").cast("double") / c("tss").cast("double")).alias("r2"),
+    )
