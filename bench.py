@@ -138,9 +138,14 @@ HEADLINE = [
     "source_overlap_matrix",
     "weighted_reservoir_sample",
     "ann_lsh_multiprobe_topk",
-    # round 8 final: iterative BPE training, mutual-kNN clustering
+    # round 8 final: iterative BPE training, mutual-kNN clustering,
+    # CSLS bitext mining, AMS F2, fertility report, in-plan OLS probe
     "bpe_learn_iterative",
     "mutual_knn_clusters",
+    "csls_bitext_mining",
+    "ams_f2_sketch",
+    "tokenizer_fertility_report",
+    "linear_probe_quality",
 ]
 
 

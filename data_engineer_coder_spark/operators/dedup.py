@@ -706,11 +706,18 @@ def _simhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
             F.substring("sig", 1, 16 * c), F.substring("sig", 16 * c + 17, 48 - 16 * c)
         )
 
+    # Materialize the narrow (doc_id, 64-char sig) frame BEFORE fanning
+    # out references: the signature expression is a corpus-pass of
+    # higher-order array folds that whole-stage codegen cannot subsume,
+    # so CollapseProject would otherwise inline it into sig + hi + lo +
+    # 16 chunk-key substrings on BOTH join sides — measured 3.1 → 8.0 s
+    # at sf0.1 when the hi/lo parse landed without this barrier.  ~80
+    # bytes/doc; the same bounded-checkpoint pattern the cluster ops use.
+    sigs = sigs.localCheckpoint(eager=False)
     # Parse each 64-char signature ONCE into two 32-bit integer halves:
     # candidate verification is then bit_count(xor) on 4 longs instead of
     # a 64-step substring walk per pair, and the dedup hash covers 6 longs
-    # instead of two 128-char strings.  Same hamming integers, same output
-    # (13.3 → 9.5 s at sf0.1, BASELINE.md round-8 additions table).
+    # instead of two 128-char strings.  Same hamming integers, same output.
     sigs = sigs.select(
         "doc_id",
         "sig",

@@ -2736,3 +2736,146 @@ def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.csls").alias("csls"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L3f (round 8): IVF index upsert audit — the maintenance loop a
+# production ANN index actually runs: a new ingest batch is assigned to
+# the STANDING index's centroids (no rebuild), and the audit reports
+# per-inverted-list growth and similarity drift — the reindex trigger.
+# Standing corpus = vec_id % 10 != 0, ingest batch = the rest; the
+# centroids are the standing subset of the deterministic [100,116) rule.
+# Mean similarities are exact: per-member floor((1+cos)·1e6)
+# (non-negative, so DuckDB's // and Spark's div agree) summed as
+# BIGINT, integer-divided by the count, then shifted back.  Scale: two broadcast-centroid argmax passes + one hash agg.
+# --------------------------------------------------------------------------
+
+
+def _ivf_upsert_assign_sql(pred: str) -> str:
+    return f"""(
+  SELECT vec_id, centroid_id,
+         FLOOR((c_sim + 1) * 1e6) AS sim_e6
+  FROM (
+    SELECT n.vec_id, cents.centroid_id,
+           CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+             / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE)))
+             AS c_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
+                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
+                      cents.centroid_id
+           ) AS crn
+    FROM n CROSS JOIN cents
+    WHERE {pred}
+  ) WHERE crn = 1
+)"""
+
+
+@register(
+    "ivf_index_upsert_audit",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K} AND vec_id % 10 <> 0
+),
+standing AS (
+  SELECT centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_standing,
+         CAST(SUM(sim_e6) AS BIGINT) // COUNT(*) - 1000000 AS standing_mean_sim_e6
+  FROM {_ivf_upsert_assign_sql('n.vec_id % 10 <> 0')}
+  GROUP BY centroid_id
+),
+batch AS (
+  SELECT centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_new,
+         CAST(SUM(sim_e6) AS BIGINT) // COUNT(*) - 1000000 AS new_mean_sim_e6
+  FROM {_ivf_upsert_assign_sql('n.vec_id % 10 = 0')}
+  GROUP BY centroid_id
+)
+SELECT s.centroid_id, s.n_standing, s.standing_mean_sim_e6,
+       CAST(COALESCE(b.n_new, 0) AS BIGINT) AS n_new,
+       b.new_mean_sim_e6,
+       CAST(FLOOR(10000.0 * COALESCE(b.n_new, 0) / s.n_standing) AS BIGINT)
+         AS growth_e4,
+       COALESCE(b.new_mean_sim_e6 < s.standing_mean_sim_e6 - 50000, FALSE)
+         AS drift_flag
+FROM standing s LEFT JOIN batch b USING (centroid_id)
+""",
+    tags=("similarity", "llm", "ann", "incremental"),
+    doc=(
+        "L3f: ANN index maintenance — assign the ingest batch "
+        "(vec_id %% 10 == 0) to the STANDING index's centroids, report "
+        "per-list growth and exact integer-grid similarity drift (the "
+        "reindex trigger).  Two broadcast argmax passes + one hash agg."
+    ),
+)
+def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cents = n.filter(
+        (F.col("vec_id") >= 100)
+        & (F.col("vec_id") < 100 + _IVF_K)
+        & (F.col("vec_id") % 10 != 0)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def assign(pred):
+        cos = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+        return (
+            n.filter(pred)
+            .crossJoin(F.broadcast(cents))
+            .select("vec_id", "centroid_id", cos.alias("c_sim"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("centroid_id", "c_sim"),
+                    F.struct(F.col("c_sim"), -F.col("centroid_id")),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.centroid_id").alias("centroid_id"),
+                F.floor((F.col("best.c_sim") + 1) * 1e6)
+                .cast("bigint")
+                .alias("sim_e6"),
+            )
+        )
+
+    def rollup(assigned, cnt_name, mean_name):
+        return assigned.groupBy("centroid_id").agg(
+            F.count("*").cast("bigint").alias(cnt_name),
+            (F.expr("sum(sim_e6) div count(*)") - 1000000)
+            .cast("bigint")
+            .alias(mean_name),
+        )
+
+    standing = rollup(
+        assign(F.col("vec_id") % 10 != 0), "n_standing", "standing_mean_sim_e6"
+    )
+    batch = rollup(assign(F.col("vec_id") % 10 == 0), "n_new", "new_mean_sim_e6")
+    return standing.join(batch, "centroid_id", "left").select(
+        "centroid_id",
+        "n_standing",
+        "standing_mean_sim_e6",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+        "new_mean_sim_e6",
+        F.floor(
+            10000.0 * F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_standing")
+        )
+        .cast("bigint")
+        .alias("growth_e4"),
+        F.coalesce(
+            F.col("new_mean_sim_e6") < F.col("standing_mean_sim_e6") - 50000,
+            F.lit(False),
+        ).alias("drift_flag"),
+    )

@@ -2675,3 +2675,102 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tss",
         (F.lit(1) - c("sse").cast("double") / c("tss").cast("double")).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# L10b (round 8): per-document duplicated-n-gram coverage — what
+# FRACTION of each document's tokens sits inside an 8-gram that also
+# occurs in another document.  Whole-doc dedup misses template pages
+# (90% shared boilerplate + 10% unique payload); this is the per-doc
+# signal that catches them (the "duplicate text fraction" rule in the
+# Gopher/C4 family, measured cross-document).  Scale shape: one gram
+# explode + hash agg for document frequency, an equi-join back (no
+# broadcast of the gram table — it is corpus-sized), then an 8×
+# bounded position explode and a distinct per (doc, token index) —
+# every stage partial-aggs or joins on hashed keys.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_dup_ngram_coverage",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + 7 <= LEN(ws)
+),
+dup AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS dd FROM g GROUP BY g)
+  WHERE dd >= 2
+),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT tok_i) AS covered
+  FROM (
+    SELECT doc_id, pos + k AS tok_i
+    FROM g JOIN dup USING (g)
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS k)
+  )
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(LEN(ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(FLOOR(10000.0 * COALESCE(covered, 0) / LEN(ws)) AS BIGINT)
+         AS dup_coverage_e4
+FROM t LEFT JOIN cov USING (doc_id)
+""",
+    tags=("text", "llm", "dedup", "quality"),
+    doc=(
+        "L10b: per-doc fraction of tokens covered by cross-document "
+        "duplicated 8-grams — the partial-template-duplication signal "
+        "whole-doc dedup misses.  Gram-df hash agg + equi-join back + "
+        "bounded position explode; basis-point-exact ratio."
+    ),
+)
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
+    ws = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        ngram_array(ws, 8).alias("grams"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "g")
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("dd"))
+        .filter(F.col("dd") >= 2)
+        .select("g")
+    )
+    covered = (
+        occ.join(dup, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok_i"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.floor(
+                10000.0
+                * F.coalesce(F.col("covered"), F.lit(0))
+                / F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("dup_coverage_e4"),
+        )
+    )

@@ -86,9 +86,13 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # applyInPandas → per-partition mapInPandas + two-level tree merge;
     # candidate set (not the final ranking) is partitioning-dependent.
     "approx_topk_tokens",
-    # round 8: signature/blocking tail factored into a shared helper
-    # (plan changed post-green, output unchanged).
+    # round 8: signature/blocking tail factored into a shared helper,
+    # then (late r8) sig frame checkpointed before the hi/lo parse —
+    # CollapseProject was re-evaluating the signature fold 3x per chunk
+    # row (3.1→8.0 s regression, reverted to 3.4 s).  Plans changed
+    # post-green, outputs unchanged (re-proven vs oracle this session).
     "simhash_neardup",
+    "simhash_idf_neardup",
     # round 8: two contractions per convergence probe (driver round-trip
     # halving) — fixed point provably identical, plan changed.
     "dedup_clusters_bigstar",
