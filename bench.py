@@ -146,6 +146,9 @@ HEADLINE = [
     "ams_f2_sketch",
     "tokenizer_fertility_report",
     "linear_probe_quality",
+    "doc_dup_ngram_coverage",
+    "ivf_index_upsert_audit",
+    "trending_topk_batch",
 ]
 
 

@@ -135,3 +135,58 @@ def test_mutual_knn_clusters_structure(spark, sf_dir):
         assert cid == min(members)
     # the fixture must actually exercise multi-member clusters
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_ams_f2_sketch_gate_holds(spark, sf_dir):
+    from data_engineer_coder_spark.operators.aggregates import ams_f2_sketch
+
+    row = ams_f2_sketch(spark, sf_dir).collect()[0]
+    assert row["exact_f2"] > 0 and row["ams_estimate"] > 0
+    assert row["within_2x"] is True
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    from data_engineer_coder_spark.operators.textops import (
+        tokenizer_fertility_report,
+    )
+
+    rows = tokenizer_fertility_report(spark, sf_dir).collect()
+    assert len(rows) >= 2  # multilingual fixture
+    for r in rows:
+        # a symbol is at least one char and at most one word
+        assert 1.0 <= r["fertility"] <= r["n_chars"] / r["n_words"] + 1e-9
+        assert r["chars_per_symbol"] >= 1.0
+        assert r["n_symbols"] <= r["n_chars"]
+
+
+def test_doc_dup_ngram_coverage_bounds(spark, sf_dir):
+    from data_engineer_coder_spark.operators.textops import (
+        doc_dup_ngram_coverage,
+    )
+
+    rows = doc_dup_ngram_coverage(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r["covered_tokens"] > 0 for r in rows)  # fixture has dups
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0 <= r["dup_coverage_e4"] <= 10000
+
+
+def test_ivf_index_upsert_audit_partitions_corpus(spark, sf_dir):
+    from data_engineer_coder_spark.operators.similarity import (
+        ivf_index_upsert_audit,
+    )
+    from data_engineer_coder_spark.io.tables import table
+
+    rows = ivf_index_upsert_audit(spark, sf_dir).collect()
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    n_batch_true = (
+        table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 10 = 0")
+        .count()
+    )
+    assert sum(r["n_standing"] for r in rows) == n_emb - n_batch_true
+    assert sum(r["n_new"] for r in rows) == n_batch_true
+    for r in rows:
+        # mean cosine in [-1, 1] on the shifted grid
+        assert -1_000_000 <= r["standing_mean_sim_e6"] <= 1_000_000
