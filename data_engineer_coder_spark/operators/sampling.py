@@ -478,3 +478,87 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ARES_K)
         .select("source", "rn", "doc_id", F.col("w").alias("weight"))
     )
+
+
+# --------------------------------------------------------------------------
+# L6b (round 8): Pareto / skyline selection — the data-selection frontier:
+# documents not DOMINATED in (length, char entropy), i.e. for every token
+# budget, the highest-entropy docs available.  Skyline is a classic
+# relational operator Spark has no primitive for; the textbook definition
+# is the O(n²) NOT-EXISTS anti-join (exactly what the oracle runs).  The
+# engine computes it in O(n) + O(|distinct lengths|): one hash agg to the
+# per-length entropy maximum (the frame is DOMAIN-bounded — doc length,
+# ≤ a few thousand distinct values at any corpus size — so the frontier
+# window runs on a broadcast-scale frame, never the corpus), a strict
+# prefix-max window over that tiny frame, and one broadcast join back.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_docs",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, '') AS cs, string_split(text, ' ') AS ws
+  FROM documents WHERE LENGTH(text) > 0
+),
+f AS (
+  SELECT doc_id,
+         CAST(LEN(ws) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(-CAST(list_sum(list_transform(
+                list_transform(list_distinct(cs),
+                               u -> CAST(LEN(list_filter(cs, c -> c = u)) AS BIGINT)),
+                k -> k * CAST(FLOOR(ln(CAST(k AS DOUBLE) / LEN(cs)) * 1e9) AS BIGINT)))
+              AS BIGINT) / (LEN(cs) * 1000.0) + 0.5) AS BIGINT) AS ce_micro
+  FROM base
+)
+SELECT doc_id, n_tokens, ce_micro
+FROM f a
+WHERE NOT EXISTS (
+  SELECT 1 FROM f b
+  WHERE b.n_tokens >= a.n_tokens AND b.ce_micro >= a.ce_micro
+    AND (b.n_tokens > a.n_tokens OR b.ce_micro > a.ce_micro)
+)
+""",
+    tags=("sampling", "llm", "quality"),
+    doc=(
+        "L6b: 2-D skyline (Pareto frontier) over (n_tokens, char "
+        "entropy) — docs undominated in length × quality.  Engine: "
+        "per-length max-entropy hash agg (domain-bounded frame) + "
+        "strict prefix-max window + broadcast join-back; oracle: the "
+        "textbook O(n²) NOT-EXISTS dominance anti-join."
+    ),
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .textops import _entropy_micro
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cs = F.split("text", "")
+    ws = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        _entropy_micro(cs).alias("ce_micro"),
+    )
+    gx = feats.groupBy("n_tokens").agg(F.max("ce_micro").alias("ymax"))
+    # frame = distinct doc lengths only — domain-bounded, so the
+    # unpartitioned window is a deliberate bounded-scalar construct
+    # (same class as the ≤K-row windows the plan audit sanctions)
+    w = Window.orderBy(F.desc("n_tokens")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        gx.withColumn("prev_max", F.max("ymax").over(w))
+        .filter(F.col("ymax") > F.coalesce(F.col("prev_max"), F.lit(-1)))
+        # rename: frontier descends from feats, so keeping the original
+        # attribute would make the join-back an ambiguous self-join
+        .select(F.col("n_tokens").alias("fx"), F.col("ymax").alias("fy"))
+    )
+    return (
+        feats.join(
+            F.broadcast(frontier),
+            (F.col("n_tokens") == F.col("fx")) & (F.col("ce_micro") == F.col("fy")),
+        )
+        .select("doc_id", "n_tokens", "ce_micro")
+    )
