@@ -149,6 +149,7 @@ HEADLINE = [
     "doc_dup_ngram_coverage",
     "ivf_index_upsert_audit",
     "trending_topk_batch",
+    "pareto_frontier_docs",
 ]
 
 
