@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import DEC, md5_bucket, sql_dsum
+from ._helpers import DEC, md5_bucket, shuffle_parts, sql_dsum
 from .textops import _QUALITY_SQL_CTE, with_quality
 
 _SALTS = 16
@@ -534,6 +534,9 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _entropy_micro
 
     docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # single-file fixture: spread the interpreted entropy fold across
+    # tasks before computing it (same pattern as the dedup family)
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
     cs = F.split("text", "")
     ws = F.split("text", " ")
     feats = docs.select(
@@ -541,6 +544,9 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("bigint").alias("n_tokens"),
         _entropy_micro(cs).alias("ce_micro"),
     )
+    # two consumers (per-length agg + join-back) of an interpreted
+    # higher-order fold — materialize once (the r8 rule, ARCHITECTURE.md)
+    feats = feats.localCheckpoint(eager=False)
     gx = feats.groupBy("n_tokens").agg(F.max("ce_micro").alias("ymax"))
     # frame = distinct doc lengths only — domain-bounded, so the
     # unpartitioned window is a deliberate bounded-scalar construct

@@ -2506,6 +2506,9 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
     )
+    # both self-join sides would otherwise re-run the broadcast argmax
+    # assignment (the r8 materialization rule, ARCHITECTURE.md)
+    assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -2668,6 +2671,9 @@ def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "best.lang", "best.centroid_id", "best.qv", "best.nrm")
     )
+    # both self-join sides would otherwise re-run the broadcast argmax
+    # assignment (the r8 materialization rule, ARCHITECTURE.md)
+    assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
     pairs = a.join(
