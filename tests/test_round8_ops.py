@@ -190,3 +190,36 @@ def test_ivf_index_upsert_audit_partitions_corpus(spark, sf_dir):
     for r in rows:
         # mean cosine in [-1, 1] on the shifted grid
         assert -1_000_000 <= r["standing_mean_sim_e6"] <= 1_000_000
+
+
+def test_pareto_frontier_matches_python_reference(spark, sf_dir):
+    """The engine's agg+window skyline must equal a brute-force O(n²)
+    dominance scan over the same exact-integer features."""
+    from data_engineer_coder_spark.operators.sampling import (
+        pareto_frontier_docs,
+    )
+    from data_engineer_coder_spark.io.tables import table
+    from data_engineer_coder_spark.operators.textops import _entropy_micro
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    feats = [
+        (r["doc_id"], r["x"], r["y"])
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("x"),
+            _entropy_micro(F.split("text", "")).alias("y"),
+        ).collect()
+    ]
+    expect = {
+        (d, x, y)
+        for d, x, y in feats
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in feats
+        )
+    }
+    got = {
+        (r["doc_id"], r["n_tokens"], r["ce_micro"])
+        for r in pareto_frontier_docs(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
