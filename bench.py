@@ -150,6 +150,7 @@ HEADLINE = [
     "ivf_index_upsert_audit",
     "trending_topk_batch",
     "pareto_frontier_docs",
+    "containment_decontaminate",
 ]
 
 

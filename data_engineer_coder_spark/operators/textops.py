@@ -2774,3 +2774,105 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_coverage_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L10c (round 8): containment decontamination — the ASYMMETRIC leak
+# check.  `ngram_decontaminate` flags any shared 8-gram (strict, binary);
+# Jaccard-based near-dup misses a long training page that merely
+# CONTAINS an eval doc (the union term swamps the intersection).
+# Containment(e → t) = |shingles(e) ∩ shingles(t)| / |shingles(e)| is
+# the right statistic for inclusion — the FineWeb/The-Stack
+# decontamination shape.  Scale: the eval shingle index is distinct-ed
+# and BROADCAST (eval sets are MBs against a TB corpus); the corpus
+# streams past it map-side; the (train, eval) rollup is bounded by
+# true overlaps, never the cross product.
+# --------------------------------------------------------------------------
+
+_CONTAIN_K = 3  # shingle width (words)
+_CONTAIN_E4 = 5000  # report pairs with containment >= 50%
+
+
+@register(
+    "containment_decontaminate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_DECON_MOD} = 0 AS is_eval,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, is_eval,
+         array_to_string(list_slice(ws, i, i + {_CONTAIN_K - 1}), ' ') AS g
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_CONTAIN_K - 1} <= LEN(ws)
+),
+ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE is_eval),
+esz AS (SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS e_size FROM ev GROUP BY eval_doc),
+shared AS (
+  SELECT tr.doc_id AS train_doc, ev.eval_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT doc_id, g FROM g WHERE NOT is_eval) tr
+  JOIN ev USING (g)
+  GROUP BY 1, 2
+)
+SELECT eval_doc, rnk, train_doc, n_shared, e_size, containment_e4,
+       containment_e4 >= {_CONTAIN_E4} AS flagged
+FROM (
+  SELECT train_doc, eval_doc, n_shared, e_size,
+         CAST(FLOOR(10000.0 * n_shared / e_size) AS BIGINT) AS containment_e4,
+         ROW_NUMBER() OVER (
+           PARTITION BY eval_doc
+           ORDER BY FLOOR(10000.0 * n_shared / e_size) DESC, train_doc
+         ) AS rnk
+  FROM shared JOIN esz USING (eval_doc)
+)
+WHERE rnk <= 3
+""",
+    tags=("text", "llm", "decontamination", "dedup"),
+    doc=(
+        "L10c: asymmetric containment decontamination — per eval doc "
+        "the top-3 training docs by distinct-3-gram-shingle containment "
+        "(inclusion leaks Jaccard misses), flagged at >= 50%.  Broadcast "
+        "eval index, map-side corpus stream, basis-point-exact."
+    ),
+)
+def containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _DECON_MOD == 0).alias("is_eval"),
+        ngram_array(F.split("text", " "), _CONTAIN_K).alias("grams"),
+    )
+    g = base.select(
+        "doc_id", "is_eval", F.explode("grams").alias("g")
+    ).distinct()
+    ev = g.filter("is_eval").select(F.col("doc_id").alias("eval_doc"), "g")
+    ev = ev.localCheckpoint(eager=False)  # built once, used twice
+    esz = ev.groupBy("eval_doc").agg(F.count("*").cast("bigint").alias("e_size"))
+    shared = (
+        g.filter(~F.col("is_eval"))
+        .select(F.col("doc_id").alias("train_doc"), "g")
+        .join(F.broadcast(ev), "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    from pyspark.sql import Window
+
+    cont = F.floor(10000.0 * F.col("n_shared") / F.col("e_size"))
+    w = Window.partitionBy("eval_doc").orderBy(F.desc(cont), F.asc("train_doc"))
+    return (
+        shared.join(F.broadcast(esz), "eval_doc")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "eval_doc",
+            "rnk",
+            "train_doc",
+            "n_shared",
+            "e_size",
+            cont.cast("bigint").alias("containment_e4"),
+            (cont >= _CONTAIN_E4).alias("flagged"),
+        )
+    )
