@@ -151,6 +151,7 @@ HEADLINE = [
     "trending_topk_batch",
     "pareto_frontier_docs",
     "containment_decontaminate",
+    "containment_sketch_audit",
 ]
 
 

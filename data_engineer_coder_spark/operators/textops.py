@@ -2876,3 +2876,144 @@ def containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cont >= _CONTAIN_E4).alias("flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L10d (round 8): bottom-k containment SKETCH audit — the approximate
+# twin of `containment_decontaminate`, in the estimator-calibration
+# tradition of `minhash_estimate_audit`.  At 100 TB you cannot join the
+# full eval shingle set against every training doc repeatedly; the
+# production path keeps only each eval doc's k SMALLEST shingle hashes
+# (bottom-k MinHash) and estimates containment(e→t) as the fraction of
+# those minima found in t — an unbiased estimator under uniform
+# hashing.  This audit computes BOTH the estimate and the exact truth
+# for the top-3 pairs per eval doc and reports the basis-point error,
+# so the sketch's fitness is driver-gated, not asserted.  md5 hashes →
+# DuckDB rebuilds the identical sketch.
+# --------------------------------------------------------------------------
+
+_CONTAIN_BK = 16  # bottom-k sketch size
+
+
+@register(
+    "containment_sketch_audit",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_DECON_MOD} = 0 AS is_eval,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, is_eval,
+         array_to_string(list_slice(ws, i, i + {_CONTAIN_K - 1}), ' ') AS g
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_CONTAIN_K - 1} <= LEN(ws)
+),
+gh AS (SELECT doc_id, is_eval, g, md5(g) AS h FROM g),
+ev AS (SELECT doc_id AS eval_doc, g, h FROM gh WHERE is_eval),
+esz AS (SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS e_size FROM ev GROUP BY eval_doc),
+bk AS (
+  SELECT eval_doc, h FROM (
+    SELECT eval_doc, h,
+           ROW_NUMBER() OVER (PARTITION BY eval_doc ORDER BY h, g) AS rn
+    FROM ev
+  ) WHERE rn <= {_CONTAIN_BK}
+),
+bksz AS (SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS k_e FROM bk GROUP BY eval_doc),
+tr AS (SELECT doc_id AS train_doc, g, h FROM gh WHERE NOT is_eval),
+exact AS (
+  SELECT tr.train_doc, ev.eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tr JOIN ev USING (g) GROUP BY 1, 2
+),
+est AS (
+  SELECT tr.train_doc, bk.eval_doc, CAST(COUNT(DISTINCT bk.h) AS BIGINT) AS n_hits
+  FROM tr JOIN bk USING (h) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT e.eval_doc, e.train_doc, e.n_shared, s.e_size,
+         CAST(FLOOR(10000.0 * e.n_shared / s.e_size) AS BIGINT) AS exact_e4,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.eval_doc
+           ORDER BY FLOOR(10000.0 * e.n_shared / s.e_size) DESC, e.train_doc
+         ) AS rnk
+  FROM exact e JOIN esz s USING (eval_doc)
+)
+SELECT r.eval_doc, r.rnk, r.train_doc, r.exact_e4,
+       CAST(FLOOR(10000.0 * COALESCE(est.n_hits, 0) / b.k_e) AS BIGINT) AS est_e4,
+       ABS(r.exact_e4
+           - CAST(FLOOR(10000.0 * COALESCE(est.n_hits, 0) / b.k_e) AS BIGINT))
+         AS abs_err_e4
+FROM ranked r
+JOIN bksz b ON b.eval_doc = r.eval_doc
+LEFT JOIN est ON est.eval_doc = r.eval_doc AND est.train_doc = r.train_doc
+WHERE r.rnk <= 3
+""",
+    tags=("text", "llm", "decontamination", "sketch", "approx"),
+    doc=(
+        "L10d: bottom-16 MinHash containment estimator vs exact truth "
+        "for the top-3 pairs per eval doc, basis-point error reported — "
+        "the sketch that replaces the full eval shingle join at scale, "
+        "calibration driver-gated."
+    ),
+)
+def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _DECON_MOD == 0).alias("is_eval"),
+        ngram_array(F.split("text", " "), _CONTAIN_K).alias("grams"),
+    )
+    gh = (
+        base.select("doc_id", "is_eval", F.explode("grams").alias("g"))
+        .distinct()
+        .withColumn("h", F.md5("g"))
+    )
+    gh = gh.localCheckpoint(eager=False)  # four consumers below
+    ev = gh.filter("is_eval").select(F.col("doc_id").alias("eval_doc"), "g", "h")
+    esz = ev.groupBy("eval_doc").agg(F.count("*").cast("bigint").alias("e_size"))
+    wbk = Window.partitionBy("eval_doc").orderBy(F.asc("h"), F.asc("g"))
+    bk = (
+        ev.withColumn("rn", F.row_number().over(wbk))
+        .filter(F.col("rn") <= _CONTAIN_BK)
+        .select("eval_doc", "h")
+    )
+    bksz = bk.groupBy("eval_doc").agg(F.count("*").cast("bigint").alias("k_e"))
+    tr = gh.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "g", "h"
+    )
+    exact = (
+        tr.join(F.broadcast(ev.select("eval_doc", "g")), "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    est = (
+        tr.join(F.broadcast(bk), "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("h").cast("bigint").alias("n_hits"))
+    )
+    exact_e4 = F.floor(10000.0 * F.col("n_shared") / F.col("e_size"))
+    wr = Window.partitionBy("eval_doc").orderBy(F.desc(exact_e4), F.asc("train_doc"))
+    ranked = (
+        exact.join(F.broadcast(esz), "eval_doc")
+        .withColumn("exact_e4", exact_e4.cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+    )
+    est_e4 = F.floor(
+        10000.0 * F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k_e")
+    ).cast("bigint")
+    return (
+        ranked.join(F.broadcast(bksz), "eval_doc")
+        .join(est, ["eval_doc", "train_doc"], "left")
+        .select(
+            "eval_doc",
+            "rnk",
+            "train_doc",
+            "exact_e4",
+            est_e4.alias("est_e4"),
+            F.abs(F.col("exact_e4") - est_e4).alias("abs_err_e4"),
+        )
+    )
