@@ -539,3 +539,64 @@ def vacuum(root: str) -> list[str]:
                 shutil.rmtree(os.path.join(sdir, txdir))
                 removed.append(f"{_STAGING_DIR}/{txdir}")
     return removed
+
+
+def merge_into(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+    txid: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once MERGE (upsert): rows of ``df`` whose ``key_cols``
+    match an existing row UPDATE it; unmatched rows INSERT.  The Delta
+    ``MERGE INTO`` shape on this manifest format.
+
+    Partition-local by construction: ``partition_cols`` must be a
+    subset of ``key_cols``, so an update can never move a row across
+    partitions and strand its old copy — the same constraint that lets
+    the merge read ONLY the partitions ``df`` touches (manifest-level
+    pruning; a 100 TB table pays for the touched slice, not a scan).
+    Untouched partitions keep their directories verbatim; touched
+    partitions are rewritten as survivors (existing anti-join keys) ∪
+    updates and committed atomically under ``txid`` — idempotent under
+    replay exactly like :func:`replace_partitions`.
+    """
+    if not set(partition_cols) <= set(key_cols):
+        raise ValueError(
+            "merge_into is partition-local: partition_cols must be a subset "
+            "of key_cols (an update could otherwise move a row across "
+            "partitions and leave its old copy live)"
+        )
+    prev = current_manifest(root)
+    if txid in prev["txids"]:
+        return prev  # replayed merge: exactly-once no-op
+    existing = None
+    if prev["partitions"]:
+        touched = {
+            tuple(str(r[c]) for c in partition_cols)
+            for r in df.select(*partition_cols).distinct().collect()
+        }
+
+        def pf(kv: dict[str, str]) -> bool:
+            return tuple(kv[c] for c in partition_cols) in touched
+
+        try:
+            existing = read_table(spark, root, partition_filter=pf)
+        except ValueError:
+            existing = None  # all touched partitions are new
+    if existing is not None:
+        dtypes = dict(df.dtypes)
+        for c in partition_cols:
+            existing = existing.withColumn(c, F.col(c).cast(dtypes[c]))
+        survivors = existing.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(df, allowMissingColumns=True)
+    else:
+        merged = df
+    return _stage_and_commit(
+        merged, root, partition_cols, txid, "replace", _crash_before_commit
+    )

@@ -712,3 +712,106 @@ def acid_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# S8d (round 8 late): MERGE INTO through the driver gate — builds a
+# lang-partitioned table from the doc_id % 3 != 2 slice, merges an
+# updates batch (every even doc_id, with n_chars shifted +1000: the
+# even ∩ base rows are UPDATES, the even ∩ %3==2 rows are INSERTS),
+# and reports the per-lang ledger: rows before/after, update/insert
+# counts, and the post-merge character mass (which only balances if
+# updated VALUES actually replaced the old rows — a row-count check
+# alone cannot see a failed update).  The oracle recomputes all five
+# columns from the raw fixture.  Partition-local merge: key (lang,
+# doc_id) ⊇ partition (lang), so only touched partitions are read.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_merge_upsert_audit",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         doc_id % 3 <> 2 AS in_base,
+         doc_id % 2 = 0 AS in_upd
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (in_base) AS BIGINT) AS n_before,
+       CAST(COUNT(*) FILTER (in_base OR in_upd) AS BIGINT) AS n_after,
+       CAST(COUNT(*) FILTER (in_base AND in_upd) AS BIGINT) AS n_updated,
+       CAST(COUNT(*) FILTER (in_upd AND NOT in_base) AS BIGINT) AS n_inserted,
+       CAST(SUM(CASE WHEN in_upd THEN n_chars + 1000
+                     WHEN in_base THEN n_chars END) AS BIGINT) AS chars_after
+FROM s
+GROUP BY lang
+""",
+    tags=("sink", "acid", "lakehouse"),
+    doc=(
+        "S8d: ACID MERGE INTO (upsert) ledger — per lang the rows "
+        "before/after, matched updates, inserts, and the post-merge "
+        "character mass proving updated values replaced old rows; "
+        "partition-local merge reads only touched partitions."
+    ),
+)
+def acid_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import merge_into, read_table, replace_partitions
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = docs.filter("doc_id % 3 != 2")
+    upd = docs.filter("doc_id % 2 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    tmp = tempfile.mkdtemp(prefix="acid_merge_")
+    root = os.path.join(tmp, "t")
+    try:
+        replace_partitions(base, root, ["lang"], "t1")
+        before = (
+            read_table(spark, root)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_before"))
+        )
+        merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+        # replay must be a no-op (exactly-once) — same txid
+        merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+        after = (
+            read_table(spark, root)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_after"),
+                F.sum("n_chars").cast("bigint").alias("chars_after"),
+            )
+        )
+        out = before.join(after, "lang").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    b = base.select("lang", "doc_id")
+    u = docs.filter("doc_id % 2 = 0").select("lang", "doc_id")
+    upd_ins = (
+        u.join(b, ["lang", "doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_updated"))
+        .join(
+            u.join(b, ["lang", "doc_id"], "left_anti")
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_inserted")),
+            "lang",
+            "outer",
+        )
+    )
+    ledger = spark.createDataFrame(
+        out, "lang string, n_before long, n_after long, chars_after long"
+    )
+    return ledger.join(upd_ins, "lang", "left").select(
+        "lang",
+        "n_before",
+        "n_after",
+        F.coalesce("n_updated", F.lit(0)).cast("bigint").alias("n_updated"),
+        F.coalesce("n_inserted", F.lit(0)).cast("bigint").alias("n_inserted"),
+        "chars_after",
+    )

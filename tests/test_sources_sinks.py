@@ -945,3 +945,79 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
 
     for r in rows:
         assert r["z"] == morton(r["x"], r["y"])
+
+
+# ---------------------------------------------------------------------------
+# merge_into (ACID MERGE/upsert) — round 8 late
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, tmp_path):
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import replace_partitions
+
+    root = os.path.join(str(tmp_path), "t")
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "fr", 30)],
+        "doc_id int, lang string, val int",
+    )
+    replace_partitions(base, root, ["lang"], "t1")
+    return root
+
+
+def test_merge_into_updates_and_inserts(spark, tmp_path):
+    from data_engineer_coder_spark.io.acid_table import merge_into, read_table
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(2, "en", 99), (4, "en", 40)], "doc_id int, lang string, val int"
+    )
+    merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+    got = {
+        (r["doc_id"], r["lang"]): r["val"]
+        for r in read_table(spark, root).collect()
+    }
+    assert got == {(1, "en"): 10, (2, "en"): 99, (3, "fr"): 30, (4, "en"): 40}
+
+
+def test_merge_into_replay_is_noop(spark, tmp_path):
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        merge_into,
+        read_table,
+    )
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame([(2, "en", 99)], "doc_id int, lang string, val int")
+    merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+    v = current_manifest(root)["version"]
+    merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")  # replay
+    assert current_manifest(root)["version"] == v
+    assert read_table(spark, root).count() == 3
+
+
+def test_merge_into_rejects_cross_partition_keys(spark, tmp_path):
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import merge_into
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame([(2, "en", 99)], "doc_id int, lang string, val int")
+    with pytest.raises(ValueError, match="partition-local"):
+        merge_into(spark, upd, root, ["lang"], ["doc_id"], "m1")
+
+
+def test_merge_into_leaves_untouched_partition_dirs_alone(spark, tmp_path):
+    """fr is not in the updates batch: its directory set must be
+    byte-identical across the merge (touched-partition-only rewrite)."""
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        merge_into,
+    )
+
+    root = _merge_fixture(spark, tmp_path)
+    before = current_manifest(root)["partitions"]["lang=fr"]
+    upd = spark.createDataFrame([(2, "en", 99)], "doc_id int, lang string, val int")
+    merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+    assert current_manifest(root)["partitions"]["lang=fr"] == before
