@@ -152,6 +152,8 @@ HEADLINE = [
     "pareto_frontier_docs",
     "containment_decontaminate",
     "containment_sketch_audit",
+    "acid_merge_upsert_audit",
+    "acid_delete_audit",
 ]
 
 

@@ -210,9 +210,16 @@ def _collect_file_stats(stage_abs: str, stage_rel: str,
 
 def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
            mode: str, partition_cols: list[str], schema_json: str,
-           file_stats: dict[str, list[dict]] | None = None) -> dict:
+           file_stats: dict[str, list[dict]] | None = None,
+           drop_parts: list[str] | None = None) -> dict:
     """Build the next manifest from ``prev`` + this transaction's delta."""
     partitions = {k: _dirs(v) for k, v in prev["partitions"].items()}
+    # drop_parts: partitions the transaction REWROTE but which ended up
+    # with zero surviving rows (a DELETE emptying a partition) — without
+    # this, replace semantics would leave their old directories live.
+    for p in drop_parts or []:
+        if p not in new_parts:
+            partitions.pop(p, None)
     for p in new_parts:
         loc = f"{stage_rel}/{p}"
         if mode == "replace":
@@ -234,7 +241,8 @@ def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
 def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
             txid: str, mode: str, partition_cols: list[str],
             schema_json: str, file_stats: dict[str, list[dict]] | None = None,
-            expect_dirs: dict[str, list[str]] | None = None) -> dict:
+            expect_dirs: dict[str, list[str]] | None = None,
+            drop_parts: list[str] | None = None) -> dict:
     """Atomically publish the next manifest version.
 
     Write to a temp file, hard-link to the final name (fails with
@@ -263,7 +271,7 @@ def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
                         "it changed since the snapshot; re-run compaction"
                     )
         manifest = _merge(prev, new_parts, stage_rel, txid, mode,
-                          partition_cols, schema_json, file_stats)
+                          partition_cols, schema_json, file_stats, drop_parts)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -600,3 +608,60 @@ def merge_into(
     return _stage_and_commit(
         merged, root, partition_cols, txid, "replace", _crash_before_commit
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    root: str,
+    *,
+    partition_cols: list[str],
+    condition,
+    txid: str,
+    partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once row-level DELETE: rewrite the selected partitions
+    without the rows matching ``condition`` (a Column predicate).  The
+    opt-out/right-to-erasure verb a training-data lakehouse needs.
+
+    ``partition_filter`` bounds the rewrite to partitions that can
+    contain matches (manifest-level pruning — at 100 TB pass it
+    whenever the predicate implies one; None rewrites every live
+    partition).  Commit is atomic under ``txid`` — replay is a no-op —
+    and history is immutable: version N-1 still time-travels to the
+    pre-delete rows until :func:`vacuum`.
+    """
+    prev = current_manifest(root)
+    if txid in prev["txids"]:
+        return prev
+    if not prev["partitions"]:
+        raise ValueError(f"delete from empty table {root}")
+    existing = read_table(spark, root, partition_filter=partition_filter)
+    kept = existing.filter(~condition)
+    # Partitions we selected for rewrite but that end up with zero
+    # surviving rows would be absent from the staged write — replace
+    # semantics would then keep their OLD directories live.  Name every
+    # selected partition as droppable; _merge un-drops the ones the
+    # staged write repopulates.
+    selected = []
+    for pkey in prev["partitions"]:
+        kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
+        if partition_filter is None or partition_filter(kv):
+            selected.append(pkey)
+    if txid in current_manifest(root)["txids"]:
+        return current_manifest(root)
+    stage_rel = f"{_STAGING_DIR}/{txid}"
+    stage_abs = os.path.join(root, stage_rel)
+    (
+        kept.write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(stage_abs)
+    )
+    new_parts = _discover_partition_dirs(stage_abs, len(partition_cols))
+    file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
+    if _crash_before_commit is not None:
+        _crash_before_commit()
+    schema_json = kept.drop(*partition_cols).schema.json()
+    return _commit(root, prev, new_parts, stage_rel, txid, "replace",
+                   partition_cols, schema_json, file_stats,
+                   drop_parts=selected)

@@ -815,3 +815,93 @@ def acid_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_inserted", F.lit(0)).cast("bigint").alias("n_inserted"),
         "chars_after",
     )
+
+
+# --------------------------------------------------------------------------
+# S8e (round 8 late): row-level DELETE through the driver gate — the
+# opt-out / right-to-erasure purge.  Builds the lang-partitioned
+# documents table, deletes every row of one source (the "opted-out
+# feed"), and reports per lang: rows before, rows after, rows erased,
+# and the PRE-delete count still visible at version 1 (time travel —
+# history is immutable until vacuum).  Oracle recomputes all four from
+# the raw fixture.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_delete_audit",
+    oracle="""
+WITH s AS (
+  SELECT lang, source = 'web' AS opted_out FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(COUNT(*) FILTER (NOT opted_out) AS BIGINT) AS n_after,
+       CAST(COUNT(*) FILTER (opted_out) AS BIGINT) AS n_erased,
+       CAST(COUNT(*) AS BIGINT) AS n_at_v1
+FROM s GROUP BY lang
+""",
+    tags=("sink", "acid", "lakehouse"),
+    doc=(
+        "S8e: ACID row-level DELETE (opt-out purge) ledger — per lang "
+        "the before/after/erased counts plus the version-1 time-travel "
+        "count proving history stays readable until vacuum."
+    ),
+)
+def acid_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import delete_rows, read_table, replace_partitions
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="acid_del_")
+    root = os.path.join(tmp, "t")
+    try:
+        replace_partitions(docs, root, ["lang"], "t1")
+        before = (
+            read_table(spark, root)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_before"))
+        )
+        delete_rows(
+            spark,
+            root,
+            partition_cols=["lang"],
+            condition=F.col("source") == "web",
+            txid="d1",
+        )
+        # replay must be the exactly-once no-op
+        delete_rows(
+            spark,
+            root,
+            partition_cols=["lang"],
+            condition=F.col("source") == "web",
+            txid="d1",
+        )
+        after = (
+            read_table(spark, root)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_after"))
+        )
+        v1 = (
+            read_table(spark, root, version=1)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_at_v1"))
+        )
+        rows = (
+            before.join(after, "lang").join(v1, "lang").collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows, "lang string, n_before long, n_after long, n_at_v1 long"
+    )
+    return out.select(
+        "lang",
+        "n_before",
+        "n_after",
+        (F.col("n_before") - F.col("n_after")).cast("bigint").alias("n_erased"),
+        "n_at_v1",
+    )

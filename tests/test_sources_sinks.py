@@ -1021,3 +1021,37 @@ def test_merge_into_leaves_untouched_partition_dirs_alone(spark, tmp_path):
     upd = spark.createDataFrame([(2, "en", 99)], "doc_id int, lang string, val int")
     merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
     assert current_manifest(root)["partitions"]["lang=fr"] == before
+
+
+def test_delete_rows_erases_and_time_travels(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        delete_rows,
+        read_table,
+        replace_partitions,
+    )
+
+    root = os.path.join(str(tmp_path), "t")
+    base = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "book"), (3, "fr", "web")],
+        "doc_id int, lang string, source string",
+    )
+    replace_partitions(base, root, ["lang"], "t1")
+    delete_rows(
+        spark, root, partition_cols=["lang"],
+        condition=F.col("source") == "web", txid="d1",
+    )
+    assert {r["doc_id"] for r in read_table(spark, root).collect()} == {2}
+    # history immutable: version 1 still shows all three rows
+    assert read_table(spark, root, version=1).count() == 3
+    # replay no-op
+    v = current_manifest(root)["version"]
+    delete_rows(
+        spark, root, partition_cols=["lang"],
+        condition=F.col("source") == "web", txid="d1",
+    )
+    assert current_manifest(root)["version"] == v
