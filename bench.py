@@ -154,6 +154,7 @@ HEADLINE = [
     "containment_sketch_audit",
     "acid_merge_upsert_audit",
     "acid_delete_audit",
+    "cm_join_cardinality_audit",
 ]
 
 
