@@ -228,6 +228,13 @@ def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
             partitions.setdefault(p, []).append(loc)
     dir_files = dict(prev.get("dir_files", {}))
     dir_files.update(file_stats or {})
+    # Prune stats for directories no live partition references (replaced,
+    # compacted-away, or delete-emptied): without this every manifest
+    # carries dead-dir stats forward and grows monotonically with commit
+    # count.  Old manifests keep their own dir_files, so time travel is
+    # unaffected.
+    live = {rel for dirs in partitions.values() for rel in dirs}
+    dir_files = {rel: v for rel, v in dir_files.items() if rel in live}
     return {
         "version": prev["version"] + 1,
         "partitions": partitions,
@@ -259,16 +266,19 @@ def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
         if txid in prev["txids"]:
             return prev  # a racing retry of the same txid already landed
         if expect_dirs is not None:
-            # Compaction rewrote a SNAPSHOT of each partition; if a
-            # racing writer changed any target partition since, a
-            # replace here would silently drop that writer's rows.
-            # Delta's answer, and ours: detect and abort — the caller
-            # re-runs compaction against the new state.
+            # This write (compaction / MERGE / DELETE) rewrote a SNAPSHOT
+            # of each touched partition; if a racing writer changed any of
+            # them since, a replace here would silently drop that writer's
+            # rows (the rebase below keeps UNtouched partitions, but a
+            # touched one would be overwritten from stale state).  Delta's
+            # answer, and ours: detect and abort — the caller re-runs
+            # against the new state.
             for pkey, dirs in expect_dirs.items():
                 if _dirs(prev["partitions"].get(pkey, [])) != dirs:
                     raise RuntimeError(
-                        f"compaction conflict on partition {pkey!r}: "
-                        "it changed since the snapshot; re-run compaction"
+                        f"write conflict on partition {pkey!r}: it changed "
+                        "since this transaction's snapshot; re-run against "
+                        "the current table state"
                     )
         manifest = _merge(prev, new_parts, stage_rel, txid, mode,
                           partition_cols, schema_json, file_stats, drop_parts)
@@ -294,10 +304,13 @@ def _stage_and_commit(
     txid: str,
     mode: str,
     _crash_before_commit: Callable[[], None] | None,
+    prev: dict | None = None,
+    expect_dirs: dict[str, list[str]] | None = None,
 ) -> dict:
     if not partition_cols:
         raise ValueError("at least one partition column is required")
-    prev = current_manifest(root)
+    if prev is None:
+        prev = current_manifest(root)
     if txid in prev["txids"]:
         return prev  # re-run of a committed write: exactly-once no-op
     stage_rel = f"{_STAGING_DIR}/{txid}"
@@ -309,11 +322,20 @@ def _stage_and_commit(
     )
     new_parts = _discover_partition_dirs(stage_abs, len(partition_cols))
     file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
+    if expect_dirs is not None:
+        # Snapshot-guarded write: any partition this transaction STAGES
+        # that the snapshot didn't know about must still be absent at
+        # commit time (a racing writer creating it would otherwise be
+        # silently overwritten by the replace).
+        expect_dirs = dict(expect_dirs)
+        for p in new_parts:
+            expect_dirs.setdefault(p, _dirs(prev["partitions"].get(p, [])))
     if _crash_before_commit is not None:
         _crash_before_commit()
     schema_json = df.drop(*partition_cols).schema.json()
     return _commit(root, prev, new_parts, stage_rel, txid, mode,
-                   partition_cols, schema_json, file_stats)
+                   partition_cols, schema_json, file_stats,
+                   expect_dirs=expect_dirs)
 
 
 def replace_partitions(
@@ -581,7 +603,19 @@ def merge_into(
     prev = current_manifest(root)
     if txid in prev["txids"]:
         return prev  # replayed merge: exactly-once no-op
+    # Delta parity: MERGE raises when two source rows target the same
+    # key — letting both through would land duplicate keys in the table
+    # and silently break the upsert invariant.
+    dup = (
+        df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into: updates batch has multiple rows for the same "
+            f"{key_cols} key; deduplicate the source before merging"
+        )
     existing = None
+    expect_dirs: dict[str, list[str]] = {}
     if prev["partitions"]:
         touched = {
             tuple(str(r[c]) for c in partition_cols)
@@ -591,6 +625,14 @@ def merge_into(
         def pf(kv: dict[str, str]) -> bool:
             return tuple(kv[c] for c in partition_cols) in touched
 
+        # Snapshot guard: every touched partition's dir list as of THIS
+        # read.  _commit aborts if a racing writer changes one before we
+        # land (the rebase keeps untouched partitions, but a touched one
+        # would otherwise be replaced from stale state — a lost update).
+        for pkey, val in prev["partitions"].items():
+            kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
+            if pf(kv):
+                expect_dirs[pkey] = _dirs(val)
         try:
             existing = read_table(spark, root, partition_filter=pf)
         except ValueError:
@@ -606,7 +648,8 @@ def merge_into(
     else:
         merged = df
     return _stage_and_commit(
-        merged, root, partition_cols, txid, "replace", _crash_before_commit
+        merged, root, partition_cols, txid, "replace", _crash_before_commit,
+        prev=prev, expect_dirs=expect_dirs,
     )
 
 
@@ -637,7 +680,12 @@ def delete_rows(
     if not prev["partitions"]:
         raise ValueError(f"delete from empty table {root}")
     existing = read_table(spark, root, partition_filter=partition_filter)
-    kept = existing.filter(~condition)
+    # SQL/Delta DELETE removes only condition=TRUE rows.  A bare
+    # ``~condition`` is NULL (not TRUE) when the predicate evaluates to
+    # NULL — e.g. ``col('source') == 'web'`` on a NULL source — and
+    # filter would drop those rows: silent data loss on any nullable
+    # column.  Coalesce makes NULL mean "not matched, keep".
+    kept = existing.filter(~F.coalesce(condition, F.lit(False)))
     # Partitions we selected for rewrite but that end up with zero
     # surviving rows would be absent from the staged write — replace
     # semantics would then keep their OLD directories live.  Name every
@@ -648,8 +696,6 @@ def delete_rows(
         kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
         if partition_filter is None or partition_filter(kv):
             selected.append(pkey)
-    if txid in current_manifest(root)["txids"]:
-        return current_manifest(root)
     stage_rel = f"{_STAGING_DIR}/{txid}"
     stage_abs = os.path.join(root, stage_rel)
     (
@@ -662,6 +708,11 @@ def delete_rows(
     if _crash_before_commit is not None:
         _crash_before_commit()
     schema_json = kept.drop(*partition_cols).schema.json()
+    # Snapshot guard (same reasoning as merge_into): abort if a racing
+    # writer changed any selected partition between our read and commit.
+    expect = {
+        pkey: _dirs(prev["partitions"][pkey]) for pkey in selected
+    }
     return _commit(root, prev, new_parts, stage_rel, txid, "replace",
                    partition_cols, schema_json, file_stats,
-                   drop_parts=selected)
+                   expect_dirs=expect, drop_parts=selected)

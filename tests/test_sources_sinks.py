@@ -841,7 +841,7 @@ def test_acid_compaction_crash_and_conflict(spark, tmp_path):
     def racing_append():
         append_partitions(_acid_rows(spark, "2024-01-01", [9.0]), root, ["day"], "e2")
 
-    with pytest.raises(RuntimeError, match="compaction conflict"):
+    with pytest.raises(RuntimeError, match="conflict"):
         compact_partitions(spark, root, "c2", _crash_before_commit=racing_append)
     # the racing writer's rows are intact and visible
     assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 9.0]
@@ -1055,3 +1055,152 @@ def test_delete_rows_erases_and_time_travels(spark, tmp_path):
         condition=F.col("source") == "web", txid="d1",
     )
     assert current_manifest(root)["version"] == v
+
+
+# ---------------------------------------------------------------------------
+# ACID MERGE/DELETE hardening — round 9 (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_rows_null_predicate_keeps_unmatched(spark, tmp_path):
+    """SQL DELETE removes only condition=TRUE rows: a NULL in the
+    predicate column means NOT matched — the row must survive.  (The r8
+    implementation's bare ``~condition`` silently deleted it.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.acid_table import (
+        delete_rows,
+        read_table,
+        replace_partitions,
+    )
+
+    root = os.path.join(str(tmp_path), "t")
+    base = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", None), (3, "en", "book")],
+        "doc_id int, lang string, source string",
+    )
+    replace_partitions(base, root, ["lang"], "t1")
+    delete_rows(
+        spark, root, partition_cols=["lang"],
+        condition=F.col("source") == "web", txid="d1",
+    )
+    assert {r["doc_id"] for r in read_table(spark, root).collect()} == {2, 3}
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    """Delta parity: two source rows targeting the same key is an error,
+    not a silent duplicate-key insert."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import merge_into
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(2, "en", 99), (2, "en", 100)], "doc_id int, lang string, val int"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m1")
+
+
+def test_merge_into_aborts_on_racing_append(spark, tmp_path):
+    """An append landing on a touched partition between the merge's
+    snapshot and its commit must abort the merge (lost-update guard),
+    leaving the racing writer's rows visible; a rerun then succeeds."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        merge_into,
+        read_table,
+    )
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame([(2, "en", 99)], "doc_id int, lang string, val int")
+
+    def racing_append():
+        extra = spark.createDataFrame(
+            [(7, "en", 70)], "doc_id int, lang string, val int"
+        )
+        append_partitions(extra, root, ["lang"], "race1")
+
+    with pytest.raises(RuntimeError, match="conflict"):
+        merge_into(
+            spark, upd, root, ["lang"], ["lang", "doc_id"], "m1",
+            _crash_before_commit=racing_append,
+        )
+    got = {r["doc_id"] for r in read_table(spark, root).collect()}
+    assert 7 in got and got == {1, 2, 3, 7}  # racing writer intact, merge absent
+    merge_into(spark, upd, root, ["lang"], ["lang", "doc_id"], "m2")
+    vals = {
+        (r["doc_id"]): r["val"] for r in read_table(spark, root).collect()
+    }
+    assert vals == {1: 10, 2: 99, 3: 30, 7: 70}
+
+
+def test_delete_rows_aborts_on_racing_append(spark, tmp_path):
+    """Same guard for DELETE: a racing append on a selected partition
+    aborts instead of being silently erased by the rewrite."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        delete_rows,
+        read_table,
+        replace_partitions,
+    )
+
+    root = os.path.join(str(tmp_path), "t")
+    base = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "book")],
+        "doc_id int, lang string, source string",
+    )
+    replace_partitions(base, root, ["lang"], "t1")
+
+    def racing_append():
+        extra = spark.createDataFrame(
+            [(9, "en", "book")], "doc_id int, lang string, source string"
+        )
+        append_partitions(extra, root, ["lang"], "race1")
+
+    with pytest.raises(RuntimeError, match="conflict"):
+        delete_rows(
+            spark, root, partition_cols=["lang"],
+            condition=F.col("source") == "web", txid="d1",
+            _crash_before_commit=racing_append,
+        )
+    assert {r["doc_id"] for r in read_table(spark, root).collect()} == {1, 2, 9}
+    delete_rows(
+        spark, root, partition_cols=["lang"],
+        condition=F.col("source") == "web", txid="d2",
+    )
+    assert {r["doc_id"] for r in read_table(spark, root).collect()} == {2, 9}
+
+
+def test_manifest_prunes_dead_dir_stats(spark, tmp_path):
+    """dir_files must not grow monotonically: a replace that supersedes a
+    directory drops its stats from the NEW manifest (old manifests keep
+    theirs — time travel unaffected)."""
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        manifest_at,
+        replace_partitions,
+    )
+
+    root = os.path.join(str(tmp_path), "t")
+    df1 = spark.createDataFrame([(1, "en")], "doc_id int, lang string")
+    replace_partitions(df1, root, ["lang"], "t1")
+    rel1 = current_manifest(root)["partitions"]["lang=en"][0]
+    df2 = spark.createDataFrame([(2, "en")], "doc_id int, lang string")
+    replace_partitions(df2, root, ["lang"], "t2")
+    man2 = current_manifest(root)
+    live = {rel for dirs in man2["partitions"].values() for rel in dirs}
+    assert set(man2["dir_files"]) == live  # dead t1 dir pruned
+    assert rel1 not in man2["dir_files"]
+    assert rel1 in manifest_at(root, 1)["dir_files"]  # history intact
