@@ -306,6 +306,7 @@ def _stage_and_commit(
     _crash_before_commit: Callable[[], None] | None,
     prev: dict | None = None,
     expect_dirs: dict[str, list[str]] | None = None,
+    drop_parts: list[str] | None = None,
 ) -> dict:
     if not partition_cols:
         raise ValueError("at least one partition column is required")
@@ -335,7 +336,7 @@ def _stage_and_commit(
     schema_json = df.drop(*partition_cols).schema.json()
     return _commit(root, prev, new_parts, stage_rel, txid, mode,
                    partition_cols, schema_json, file_stats,
-                   expect_dirs=expect_dirs)
+                   expect_dirs=expect_dirs, drop_parts=drop_parts)
 
 
 def replace_partitions(
@@ -578,27 +579,45 @@ def merge_into(
     partition_cols: list[str],
     key_cols: list[str],
     txid: str,
+    allow_partition_move: bool = False,
+    search_filter: Callable[[dict[str, str]], bool] | None = None,
     _crash_before_commit: Callable[[], None] | None = None,
 ) -> dict:
     """Exactly-once MERGE (upsert): rows of ``df`` whose ``key_cols``
     match an existing row UPDATE it; unmatched rows INSERT.  The Delta
     ``MERGE INTO`` shape on this manifest format.
 
-    Partition-local by construction: ``partition_cols`` must be a
-    subset of ``key_cols``, so an update can never move a row across
-    partitions and strand its old copy — the same constraint that lets
-    the merge read ONLY the partitions ``df`` touches (manifest-level
-    pruning; a 100 TB table pays for the touched slice, not a scan).
-    Untouched partitions keep their directories verbatim; touched
-    partitions are rewritten as survivors (existing anti-join keys) ∪
-    updates and committed atomically under ``txid`` — idempotent under
-    replay exactly like :func:`replace_partitions`.
+    Partition-local by default: when ``partition_cols`` is a subset of
+    ``key_cols`` an update can never move a row across partitions, which
+    lets the merge read ONLY the partitions ``df`` touches
+    (manifest-level pruning; a 100 TB table pays for the touched slice,
+    not a scan).  Untouched partitions keep their directories verbatim;
+    touched partitions are rewritten as survivors (existing anti-join
+    keys) ∪ updates and committed atomically under ``txid`` —
+    idempotent under replay exactly like :func:`replace_partitions`.
+
+    ``allow_partition_move=True`` lifts the subset constraint: an
+    update may CHANGE a row's partition value (a doc whose ``lang``
+    label is corrected).  The delete half and the insert half land
+    under ONE commit: a key-pruned probe locates the partitions
+    currently holding each matched key, those partitions are rewritten
+    without the matched rows, the updates are staged into their new
+    partitions, and a partition emptied by the move is dropped — no
+    version ever shows the row duplicated or stranded.  The probe must
+    see every partition that could hold a matched key, so it scans the
+    table (key+partition columns only — column-pruned) unless
+    ``search_filter`` bounds it; a ``search_filter`` that EXCLUDES a
+    partition holding a matched key leaves that stale copy live, so it
+    must be conservative (same contract as Delta's MERGE source
+    pruning).  Both paths abort on a racing write to any rewritten
+    partition (snapshot ``expect_dirs`` guard).
     """
-    if not set(partition_cols) <= set(key_cols):
+    if not set(partition_cols) <= set(key_cols) and not allow_partition_move:
         raise ValueError(
             "merge_into is partition-local: partition_cols must be a subset "
             "of key_cols (an update could otherwise move a row across "
-            "partitions and leave its old copy live)"
+            "partitions and leave its old copy live) — pass "
+            "allow_partition_move=True for the cross-partition merge"
         )
     prev = current_manifest(root)
     if txid in prev["txids"]:
@@ -613,6 +632,11 @@ def merge_into(
         raise ValueError(
             "merge_into: updates batch has multiple rows for the same "
             f"{key_cols} key; deduplicate the source before merging"
+        )
+    if not set(partition_cols) <= set(key_cols):
+        return _merge_with_move(
+            spark, df, root, partition_cols, key_cols, txid, prev,
+            search_filter, _crash_before_commit,
         )
     existing = None
     expect_dirs: dict[str, list[str]] = {}
@@ -650,6 +674,80 @@ def merge_into(
     return _stage_and_commit(
         merged, root, partition_cols, txid, "replace", _crash_before_commit,
         prev=prev, expect_dirs=expect_dirs,
+    )
+
+
+def _merge_with_move(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    key_cols: list[str],
+    txid: str,
+    prev: dict,
+    search_filter: Callable[[dict[str, str]], bool] | None,
+    _crash_before_commit: Callable[[], None] | None,
+) -> dict:
+    """Cross-partition MERGE: delete matched keys from the partitions
+    that currently hold them + insert the updates into their (possibly
+    different) target partitions, as ONE atomic commit.  See
+    :func:`merge_into` (``allow_partition_move=True``)."""
+    if not prev["partitions"]:
+        return _stage_and_commit(
+            df, root, partition_cols, txid, "replace", _crash_before_commit,
+            prev=prev, expect_dirs={},
+        )
+    dtypes = dict(df.dtypes)
+    # Probe pass: WHERE does each matched key live today?  Column-pruned
+    # to key+partition columns; collect is bounded by the partition
+    # count, never the row count.
+    probe_cols = list(dict.fromkeys([*key_cols, *partition_cols]))
+    probe = read_table(spark, root, partition_filter=search_filter)
+    for c in partition_cols:
+        probe = probe.withColumn(c, F.col(c).cast(dtypes[c]))
+    old_parts = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in probe.select(*probe_cols)
+        .join(df.select(*key_cols).distinct(), key_cols, "left_semi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    }
+    new_part_vals = {
+        tuple(str(r[c]) for c in partition_cols)
+        for r in df.select(*partition_cols).distinct().collect()
+    }
+    touched = old_parts | new_part_vals
+
+    def pf(kv: dict[str, str]) -> bool:
+        return tuple(kv[c] for c in partition_cols) in touched
+
+    # Snapshot guard + droppable set: every touched partition is
+    # rewritten; one emptied by the move must not keep its old dir live.
+    expect_dirs: dict[str, list[str]] = {}
+    selected: list[str] = []
+    for pkey, val in prev["partitions"].items():
+        kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
+        if pf(kv):
+            expect_dirs[pkey] = _dirs(val)
+            selected.append(pkey)
+    # Rewrite pass: ONLY the touched partitions, as survivors ∪ updates.
+    try:
+        existing = read_table(spark, root, partition_filter=pf)
+    except ValueError:
+        existing = None  # every touched partition is new
+    if existing is not None:
+        for c in partition_cols:
+            existing = existing.withColumn(c, F.col(c).cast(dtypes[c]))
+        survivors = existing.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(df, allowMissingColumns=True)
+    else:
+        merged = df
+    return _stage_and_commit(
+        merged, root, partition_cols, txid, "replace", _crash_before_commit,
+        prev=prev, expect_dirs=expect_dirs, drop_parts=selected,
     )
 
 

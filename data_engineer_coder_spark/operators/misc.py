@@ -905,3 +905,88 @@ def acid_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_before") - F.col("n_after")).cast("bigint").alias("n_erased"),
         "n_at_v1",
     )
+
+
+# --------------------------------------------------------------------------
+# S8f (round 9): cross-partition MERGE through the driver gate — the
+# label-correction upsert.  Builds the lang-partitioned documents
+# table, then "corrects" the lang of every doc_id % 97 == 0 row to a
+# new label ("xx") via merge_into(allow_partition_move=True): the
+# delete-from-old-partition half and the insert-into-new-partition
+# half land as ONE commit, so no version shows the row duplicated or
+# stranded.  Reports per lang the pre-move (v1 time-travel), post-move
+# and moved-out counts; untouched langs (fr/zh at every sf) must be
+# byte-identical passthroughs.  Oracle recomputes the relabeled final
+# state from the raw fixture.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acid_partition_move_audit",
+    oracle="""
+WITH before AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents GROUP BY lang
+),
+after AS (
+  SELECT CASE WHEN doc_id % 97 = 0 THEN 'xx' ELSE lang END AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM documents GROUP BY 1
+)
+SELECT COALESCE(b.lang, a.lang) AS lang,
+       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_at_v1
+FROM before b FULL JOIN after a ON b.lang = a.lang
+""",
+    tags=("sink", "acid", "lakehouse"),
+    doc=(
+        "S8f: cross-partition ACID MERGE (label-correction move) ledger "
+        "— per lang the v1/pre-move, post-move counts; the moved rows "
+        "leave their old partition and land in the new one under one "
+        "commit, with v1 still time-traveling to the pre-move state."
+    ),
+)
+def acid_partition_move_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import merge_into, read_table, replace_partitions
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    tmp = tempfile.mkdtemp(prefix="acid_move_")
+    root = os.path.join(tmp, "t")
+    try:
+        replace_partitions(docs, root, ["lang"], "t1")
+        upd = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+            "lang", F.lit("xx")
+        )
+        merge_into(
+            spark, upd, root, ["lang"], ["doc_id"], "m1",
+            allow_partition_move=True,
+        )
+        # replay must be the exactly-once no-op
+        merge_into(
+            spark, upd, root, ["lang"], ["doc_id"], "m1",
+            allow_partition_move=True,
+        )
+        after = (
+            read_table(spark, root)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_after"))
+        )
+        v1 = (
+            read_table(spark, root, version=1)
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_at_v1"))
+        )
+        rows = after.join(v1, "lang", "full_outer").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(rows, "lang string, n_after long, n_at_v1 long")
+    return out.select(
+        "lang",
+        F.coalesce("n_at_v1", F.lit(0)).cast("bigint").alias("n_before"),
+        F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+        F.coalesce("n_at_v1", F.lit(0)).cast("bigint").alias("n_at_v1"),
+    )

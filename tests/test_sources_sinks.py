@@ -1204,3 +1204,98 @@ def test_manifest_prunes_dead_dir_stats(spark, tmp_path):
     assert set(man2["dir_files"]) == live  # dead t1 dir pruned
     assert rel1 not in man2["dir_files"]
     assert rel1 in manifest_at(root, 1)["dir_files"]  # history intact
+
+
+def test_merge_into_partition_move(spark, tmp_path):
+    """allow_partition_move: an update that changes a row's partition
+    value lands in the new partition with NO stranded copy in the old
+    one, an emptied partition is dropped, and history time-travels."""
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        merge_into,
+        read_table,
+        replace_partitions,
+    )
+
+    root = os.path.join(str(tmp_path), "t")
+    base = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20), (3, "de", 30)],
+        "doc_id int, lang string, val int",
+    )
+    replace_partitions(base, root, ["lang"], "t1")
+    # doc 3's lang label is corrected de→en; doc 4 is a plain insert
+    upd = spark.createDataFrame(
+        [(3, "en", 31), (4, "fr", 40)], "doc_id int, lang string, val int"
+    )
+    merge_into(
+        spark, upd, root, ["lang"], ["doc_id"], "m1",
+        allow_partition_move=True,
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["val"])
+        for r in read_table(spark, root).collect()
+    }
+    assert got == {1: ("en", 10), 2: ("fr", 20), 3: ("en", 31), 4: ("fr", 40)}
+    man = current_manifest(root)
+    assert "lang=de" not in man["partitions"]  # emptied by the move
+    # pre-move version still shows doc 3 in de
+    old = {
+        r["doc_id"]: r["lang"]
+        for r in read_table(spark, root, version=1).collect()
+    }
+    assert old[3] == "de"
+    # replay no-op
+    v = man["version"]
+    merge_into(
+        spark, upd, root, ["lang"], ["doc_id"], "m1",
+        allow_partition_move=True,
+    )
+    assert current_manifest(root)["version"] == v
+
+
+def test_merge_into_partition_move_requires_flag(spark, tmp_path):
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import merge_into
+
+    root = _merge_fixture(spark, tmp_path)
+    upd = spark.createDataFrame([(2, "fr", 99)], "doc_id int, lang string, val int")
+    with pytest.raises(ValueError, match="partition-local"):
+        merge_into(spark, upd, root, ["lang"], ["doc_id"], "m1")
+
+
+def test_merge_into_partition_move_aborts_on_race(spark, tmp_path):
+    """A racing append on the SOURCE partition of a moving row aborts
+    the move; the racing rows survive and a rerun succeeds."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        merge_into,
+        read_table,
+    )
+
+    root = _merge_fixture(spark, tmp_path)  # 1:en 2:en 3:fr
+    upd = spark.createDataFrame([(3, "en", 31)], "doc_id int, lang string, val int")
+
+    def racing_append():
+        extra = spark.createDataFrame(
+            [(8, "fr", 80)], "doc_id int, lang string, val int"
+        )
+        append_partitions(extra, root, ["lang"], "race1")
+
+    with pytest.raises(RuntimeError, match="conflict"):
+        merge_into(
+            spark, upd, root, ["lang"], ["doc_id"], "m1",
+            allow_partition_move=True, _crash_before_commit=racing_append,
+        )
+    got = {r["doc_id"]: r["lang"] for r in read_table(spark, root).collect()}
+    assert got == {1: "en", 2: "en", 3: "fr", 8: "fr"}
+    merge_into(
+        spark, upd, root, ["lang"], ["doc_id"], "m2",
+        allow_partition_move=True,
+    )
+    got = {r["doc_id"]: (r["lang"], r["val"]) for r in read_table(spark, root).collect()}
+    assert got == {1: ("en", 10), 2: ("en", 20), 3: ("en", 31), 8: ("fr", 80)}
