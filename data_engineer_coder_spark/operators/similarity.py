@@ -338,8 +338,224 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle replays the exact same search.
 # --------------------------------------------------------------------------
 
-_IVF_K = 16  # centroids: vec_ids [100, 116)
 _IVF_NPROBE = 4
+
+# --- corpus-scaled, data-driven centroid seeding (round 9) -----------------
+# The r1–r8 quantizer pinned K = 16 centroids to vec_id ∈ [100, 116) —
+# per-cell population grew ∝ n/16, so every within-cell self-join was
+# quadratic at scale, and the seeding only worked because the fixtures
+# carry contiguous ids.  Replaced family-wide by:
+#   * K ∝ n: a vector SEEDS a centroid iff h(vec_id)·stride < 2³²,
+#     stride = clamp(⌊n/16⌋, 1, 125) — expected K = n/stride, i.e. one
+#     centroid per ~125 vectors (SemDeDup's target cell size) with a
+#     ~16-centroid floor for tiny corpora.  Pure map-side predicate, no
+#     id-contiguity assumption, no global rank.
+#   * coarse level for two-level assignment: the ~√K seed subset with
+#     h·stride·cstride < 2³², cstride = ⌈√(n/stride)⌉ — nested
+#     thresholds, so coarse ⊆ fine by construction.
+#   * h is a 32-bit multiplicative mix both engines replay exactly in
+#     BIGINT arithmetic: h(v) = ((v mod 1000003)·2654435761) mod 2³².
+#     The id pre-fold keeps the product < 2⁶³ for ANY bigint id; ids
+#     ≥ 1000003 reuse the pattern (selection stays a 1/stride fraction).
+#     All quantities non-negative, so Spark pmod == DuckDB %.
+_IVF_MINK = 16       # centroid-count floor (= the old fixed K)
+_IVF_CSIZE = 125     # target inverted-list size; K ≈ n / 125
+_SEED_A = 2654435761  # Knuth multiplicative constant
+_SEED_M = 4294967296  # 2^32
+_SEED_R = 1000003     # id pre-fold modulus (int64-overflow guard)
+
+
+def _seed_h(col: Column) -> Column:
+    return ((col % _SEED_R) * F.lit(_SEED_A)) % F.lit(_SEED_M)
+
+
+def _sql_seed_h(v: str) -> str:
+    return f"(((({v}) % {_SEED_R}) * {_SEED_A}) % {_SEED_M})"
+
+
+def _ivf_params(n: DataFrame) -> DataFrame:
+    """One-row (stride, cstride) broadcast frame — the corpus is never
+    collected; the two scalars ride along as a broadcast join."""
+    cnt = F.count("*")
+    stride = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(F.lit(_IVF_CSIZE).cast("long"), F.floor(cnt / _IVF_MINK)),
+    )
+    return n.agg(
+        stride.alias("stride"),
+        F.ceil(F.sqrt(cnt / stride)).cast("long").alias("cstride"),
+    )
+
+
+def _sql_ivf_params(src: str = "n") -> str:
+    return f"""params AS (
+  SELECT CAST(stride AS BIGINT) AS stride,
+         CAST(CEIL(SQRT(cnt / stride)) AS BIGINT) AS cstride
+  FROM (SELECT GREATEST(1, LEAST({_IVF_CSIZE}, cnt // {_IVF_MINK})) AS stride, cnt
+        FROM (SELECT COUNT(*) AS cnt FROM {src}))
+)"""
+
+
+def _ivf_cents(n: DataFrame) -> DataFrame:
+    """Hash-seeded centroid set: (centroid_id, cqv, cnrm, stride, cstride)."""
+    return (
+        n.crossJoin(F.broadcast(_ivf_params(n)))
+        .filter(_seed_h(F.col("vec_id")) * F.col("stride") < _SEED_M)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("cqv"),
+            F.col("nrm").alias("cnrm"),
+            "stride",
+            "cstride",
+        )
+    )
+
+
+def _sql_ivf_cents(src: str = "n") -> str:
+    return f"""cents AS (
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm, stride, cstride
+  FROM {src}, params
+  WHERE {_sql_seed_h('vec_id')} * stride < {_SEED_M}
+)"""
+
+
+def _two_level_assign(
+    n: DataFrame, cents: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Two-level nearest-centroid assignment of ``n`` (vec_id[, extras],
+    qv, nrm) against ``cents`` (centroid_id, cqv, cnrm, stride, cstride)
+    → (vec_id, *extras, centroid_id, c_sim, qv, nrm).
+
+    The IVF/SemDeDup pattern that keeps per-row work sublinear in K:
+    the ~√K coarse subset (hash-nested threshold on centroid_id — works
+    for REFINED centroids too, since recentering preserves seed ids) is
+    broadcast for a map-side argmax (n·√K flops), then a coarse_id join
+    fans each vector out to only its coarse cell's ~√K fine centroids.
+    Nothing here grows linearly with n — not the broadcast (√K rows),
+    not the per-row flops (~2√K) — and the within-cell population
+    downstream consumers join on stays ~CSIZE because K grows with the
+    corpus."""
+    coarse = cents.filter(
+        _seed_h(F.col("centroid_id")) * F.col("stride") * F.col("cstride") < _SEED_M
+    ).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("cqv").alias("gqv"),
+        F.col("cnrm").alias("gnrm"),
+    )
+    c2c_sim = _cosine(_dot(F.col("cqv"), F.col("gqv")), F.col("cnrm"), F.col("gnrm"))
+    cent2coarse = (
+        cents.crossJoin(F.broadcast(coarse))
+        .select("centroid_id", "cqv", "cnrm", "coarse_id", c2c_sim.alias("g_sim"))
+        .groupBy("centroid_id")
+        .agg(
+            F.max_by(
+                F.struct("coarse_id", "cqv", "cnrm"),
+                F.struct(F.col("g_sim"), -F.col("coarse_id")),
+            ).alias("best")
+        )
+        .select("centroid_id", "best.coarse_id", "best.cqv", "best.cnrm")
+    )
+    v2c_sim = _cosine(_dot(F.col("qv"), F.col("gqv")), F.col("nrm"), F.col("gnrm"))
+    vec2coarse = (
+        n.crossJoin(F.broadcast(coarse))
+        .select("vec_id", *extra_cols, "qv", "nrm", "coarse_id", v2c_sim.alias("g_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("coarse_id", *extra_cols, "qv", "nrm"),
+                F.struct(F.col("g_sim"), -F.col("coarse_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.coarse_id", *[f"best.{c}" for c in extra_cols],
+                "best.qv", "best.nrm")
+    )
+    fine_sim = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
+    return (
+        vec2coarse.join(cent2coarse, "coarse_id")
+        .select("vec_id", *extra_cols, "qv", "nrm", "centroid_id",
+                fine_sim.alias("c_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("centroid_id", "c_sim", *extra_cols, "qv", "nrm"),
+                F.struct(F.col("c_sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", "best.centroid_id", "best.c_sim",
+                *[f"best.{c}" for c in extra_cols], "best.qv", "best.nrm")
+    )
+
+
+def _ivf_assign(n: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Hash-seeded corpus-scaled two-level assignment over ``n`` —
+    returns (vec_id, centroid_id, c_sim, *extras, qv, nrm)."""
+    return _two_level_assign(n, _ivf_cents(n), extra_cols)
+
+
+def _sql_two_level(
+    cents: str, out: str, src: str = "n", extra_cols: tuple[str, ...] = ()
+) -> str:
+    """The oracle twin of :func:`_two_level_assign`: a CTE chain ending
+    in ``{out}`` (vec_id[, extras], qv, nrm, centroid_id, c_sim) that
+    assigns each row of ``{src}`` (vec_id[, extras], qv, nrm) to its
+    nearest centroid of ``{cents}`` (centroid_id, cqv, cnrm, stride,
+    cstride).  Intermediate CTE names are prefixed with ``{out}`` so
+    multiple assignments can coexist in one query."""
+    ex = "".join(f", {c}" for c in extra_cols)
+    nex = "".join(f", n.{c}" for c in extra_cols)
+    vex = "".join(f", v.{c}" for c in extra_cols)
+    cos = (
+        f"CAST({_SQL_DOT.format(a='{a}', b='{b}')} AS DOUBLE)"
+        " / (SQRT(CAST({na} AS DOUBLE)) * SQRT(CAST({nb} AS DOUBLE)))"
+    )
+    c2c = cos.format(a="c.cqv", b="g.gqv", na="c.cnrm", nb="g.gnrm")
+    v2c = cos.format(a="n.qv", b="g.gqv", na="n.nrm", nb="g.gnrm")
+    fine = cos.format(a="v.qv", b="cc.cqv", na="v.nrm", nb="cc.cnrm")
+    return f"""{out}_coarse AS (
+  SELECT centroid_id AS coarse_id, cqv AS gqv, cnrm AS gnrm
+  FROM {cents}
+  WHERE {_sql_seed_h('centroid_id')} * stride * cstride < {_SEED_M}
+),
+{out}_cent2coarse AS (
+  SELECT centroid_id, cqv, cnrm, coarse_id FROM (
+    SELECT c.centroid_id, c.cqv, c.cnrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.centroid_id
+             ORDER BY {c2c} DESC, g.coarse_id
+           ) AS rn
+    FROM {cents} c CROSS JOIN {out}_coarse g
+  ) WHERE rn = 1
+),
+{out}_vec2coarse AS (
+  SELECT vec_id{ex}, qv, nrm, coarse_id FROM (
+    SELECT n.vec_id{nex}, n.qv, n.nrm, g.coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {v2c} DESC, g.coarse_id
+           ) AS rn
+    FROM {src} n CROSS JOIN {out}_coarse g
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT vec_id{ex}, qv, nrm, centroid_id, c_sim FROM (
+    SELECT v.vec_id{vex}, v.qv, v.nrm, cc.centroid_id, {fine} AS c_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {fine} DESC, cc.centroid_id
+           ) AS rn
+    FROM {out}_vec2coarse v
+    JOIN {out}_cent2coarse cc ON v.coarse_id = cc.coarse_id
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_ivf_assign(extra_cols: tuple[str, ...] = ()) -> str:
+    """params + hash-seeded cents + two-level ``assigned`` over an
+    existing CTE ``n`` with columns (vec_id[, extras], qv, nrm)."""
+    return (
+        f"{_sql_ivf_params()},\n{_sql_ivf_cents()},\n"
+        + _sql_two_level("cents", "assigned", "n", extra_cols)
+    )
 
 
 @register(
@@ -349,22 +565,7 @@ WITH n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
-),
-assigned AS (
-  SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
-                      cents.centroid_id
-           ) AS crn
-    FROM n CROSS JOIN cents
-  ) WHERE crn = 1
-),
+{_sql_ivf_assign()},
 probe_lists AS (
   SELECT probe_id, pqv, pnrm, centroid_id FROM (
     SELECT n.vec_id AS probe_id, n.qv AS pqv, n.nrm AS pnrm, cents.centroid_id,
@@ -395,8 +596,9 @@ WHERE rn <= 3
 """,
     tags=("similarity", "llm", "approx", "ann"),
     doc=(
-        "L3 at scale: IVF ANN — assign corpus to nearest of 16 centroids "
-        "(broadcast, map-side argmax), probe the 4 nearest lists per "
+        "L3 at scale: IVF ANN — hash-seeded K ≈ n/125 centroids "
+        "(corpus-scaled: inverted-list population stays ~125 at any n), "
+        "two-level map-side assignment, probe the 4 nearest lists per "
         "query, exact re-rank.  Deterministic → fully oracle-checked."
     ),
 )
@@ -405,40 +607,22 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = (
-        n.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("qv").alias("cqv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+    # Two-level assignment: per-row work is O(√K), never O(K) — with
+    # K ∝ n the flat broadcast argmax this replaces was O(n²/125).
+    assigned = _ivf_assign(n)
+    cents = _ivf_cents(n).drop("stride", "cstride")
     cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    # Corpus × K centroid scores stay in the source partition (broadcast
-    # join, no shuffle); the argmax aggregate partial-combines map-side so
-    # the exchange carries |corpus| rows, not |corpus| × K.
-    corpus_scores = n.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim")
-    )
-    assigned = (
-        corpus_scores.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
-    )
+    # Probes (20 rows) rank ALL K centroids exactly: 20×K scores is a
+    # broadcast-probe join, trivially parallel at any K.
     w_cent = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     probe_lists = (
-        corpus_scores.filter(F.col("vec_id") < 20)
+        cents.crossJoin(F.broadcast(n.filter(F.col("vec_id") < 20)))
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("qv").alias("pqv"),
             F.col("nrm").alias("pnrm"),
             "centroid_id",
-            "c_sim",
+            cos_to_cent.alias("c_sim"),
         )
         .withColumn("crn", F.row_number().over(w_cent))
         .filter(F.col("crn") <= _IVF_NPROBE)
@@ -494,7 +678,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
-_SEMDEDUP_CSIZE = 125  # target cluster size; K = max(_IVF_K, ceil(n/this))
+_SEMDEDUP_CSIZE = 125  # legacy alias of _IVF_CSIZE (kept for the docstrings)
 
 
 @register(
@@ -504,55 +688,7 @@ WITH n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
-params AS (
-  SELECT k, CAST(CEIL(k / CEIL(SQRT(k))) AS BIGINT) AS stride FROM (
-    SELECT GREATEST({_IVF_K}, CAST(CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0) AS BIGINT)) AS k FROM n
-  )
-),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n, params
-  WHERE vec_id >= 100 AND vec_id < 100 + params.k
-),
-coarse AS (
-  SELECT centroid_id AS coarse_id, cqv AS gqv, cnrm AS gnrm FROM cents, params
-  WHERE (centroid_id - 100) % params.stride = 0
-),
-cent2coarse AS (
-  SELECT centroid_id, cqv, cnrm, coarse_id FROM (
-    SELECT c.centroid_id, c.cqv, c.cnrm, g.coarse_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY c.centroid_id
-             ORDER BY CAST({_SQL_DOT.format(a='c.cqv', b='g.gqv')} AS DOUBLE)
-                        / (SQRT(CAST(c.cnrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
-                      g.coarse_id
-           ) AS rn
-    FROM cents c CROSS JOIN coarse g
-  ) WHERE rn = 1
-),
-vec2coarse AS (
-  SELECT vec_id, qv, nrm, coarse_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, g.coarse_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='g.gqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
-                      g.coarse_id
-           ) AS rn
-    FROM n CROSS JOIN coarse g
-  ) WHERE rn = 1
-),
-assigned AS (
-  SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT v.vec_id, v.qv, v.nrm, cc.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='v.qv', b='cc.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(v.nrm AS DOUBLE)) * SQRT(CAST(cc.cnrm AS DOUBLE))) DESC,
-                      cc.centroid_id
-           ) AS rn
-    FROM vec2coarse v JOIN cent2coarse cc ON v.coarse_id = cc.coarse_id
-  ) WHERE rn = 1
-),
+{_sql_ivf_assign()},
 dups AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a
@@ -608,83 +744,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level nearest-centroid assignment (vec_id, centroid_id, qv, nrm).
 
-    Exposed separately so the scale tests can assert the single-instance
-    plan shape (semdedup_prune references it three times, which
-    triplicates the subtree in the executed plan)."""
+    Since round 9 a thin wrapper over the family-wide :func:`_ivf_assign`
+    (hash-seeded, corpus-scaled K — no fixture-id pinning).  Exposed
+    separately so the scale tests can assert the single-instance plan
+    shape (semdedup_prune references it three times, which triplicates
+    the subtree in the executed plan)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    # K = max(16, ceil(n/125)) and the coarse stride ⌈K/⌈√K⌉⌉: two scalars
-    # riding along as a broadcast one-row join — the corpus is never
-    # collected.
-    kdf = n.agg(
-        F.greatest(F.lit(_IVF_K).cast("long"), F.ceil(F.count("*") / _SEMDEDUP_CSIZE)).alias("k")
-    )
-    params = kdf.select(
-        "k", F.ceil(F.col("k") / F.ceil(F.sqrt(F.col("k")))).cast("long").alias("stride")
-    )
-    cents = (
-        n.crossJoin(F.broadcast(params))
-        .filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + F.col("k")))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("qv").alias("cqv"),
-            F.col("nrm").alias("cnrm"),
-            "stride",
-        )
-    )
-    # Coarse level: every stride-th fine centroid — ⌈√K⌉ rows, the ONLY
-    # set broadcast against the full corpus.
-    coarse = cents.filter((F.col("centroid_id") - 100) % F.col("stride") == 0).select(
-        F.col("centroid_id").alias("coarse_id"),
-        F.col("cqv").alias("gqv"),
-        F.col("cnrm").alias("gnrm"),
-    )
-    c2c_sim = _cosine(_dot(F.col("cqv"), F.col("gqv")), F.col("cnrm"), F.col("gnrm"))
-    # Level 1 (K×C, tiny): each fine centroid → its nearest coarse cell.
-    cent2coarse = (
-        cents.crossJoin(F.broadcast(coarse))
-        .select("centroid_id", "cqv", "cnrm", "coarse_id", c2c_sim.alias("g_sim"))
-        .groupBy("centroid_id")
-        .agg(
-            F.max_by(
-                F.struct("coarse_id", "cqv", "cnrm"),
-                F.struct(F.col("g_sim"), -F.col("coarse_id")),
-            ).alias("best")
-        )
-        .select("centroid_id", "best.coarse_id", "best.cqv", "best.cnrm")
-    )
-    v2c_sim = _cosine(_dot(F.col("qv"), F.col("gqv")), F.col("nrm"), F.col("gnrm"))
-    # Level 2a (n·C flops, map-side partial argmax): vector → nearest coarse.
-    vec2coarse = (
-        n.crossJoin(F.broadcast(coarse))
-        .select("vec_id", "qv", "nrm", "coarse_id", v2c_sim.alias("g_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("coarse_id", "qv", "nrm"),
-                F.struct(F.col("g_sim"), -F.col("coarse_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.coarse_id", "best.qv", "best.nrm")
-    )
-    # Level 2b: join on coarse_id fans each vector out to ONLY its cell's
-    # ~√K fine centroids (n·√K rows pre-partial-agg, never n·K).  NOT a
-    # broadcast of the fine set at scale — Spark may still broadcast it
-    # when K is tiny, which is correct there and AQE's call.
-    fine_sim = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    assigned = (
-        vec2coarse.join(cent2coarse, "coarse_id")
-        .select("vec_id", "qv", "nrm", "centroid_id", fine_sim.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
-    )
-    return assigned
+    return _ivf_assign(n)
 
 
 # --------------------------------------------------------------------------
@@ -700,50 +767,6 @@ def _semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_ITERS = 2
 _DIMS = 64
-
-
-def _cent_state(spark: SparkSession, cents_local: list) -> DataFrame:
-    """Centroid state (K×64 driver-side ints) as a ONE-ROW DataFrame
-    holding the sorted struct array — broadcast-crossJoined onto the
-    corpus so the argmax fold is a compact expression over a column,
-    not a K×64-literal tree (which blows up analysis/codegen)."""
-    return spark.createDataFrame(
-        [([(cid, cqv, cnrm) for cid, cqv, cnrm in sorted(cents_local)],)],
-        "cents array<struct<centroid_id:bigint,cqv:array<bigint>,cnrm:bigint>>",
-    )
-
-
-def _assign(n: DataFrame, cent_state: DataFrame) -> DataFrame:
-    """corpus (vec_id, qv, nrm) → per-vector best centroid.
-
-    Map-only: the one-row centroid-array state is broadcast, and the
-    per-row argmax folds over it (K×64 multiply-adds JVM-side).  The
-    corpus is never shuffled or crossJoin-expanded to K rows per
-    vector, so one Lloyd iteration costs zero corpus shuffles at any
-    scale.  Fold iterates ascending centroid_id and replaces only on
-    strictly-greater sim — ties keep the lowest centroid_id, matching
-    max_by(struct(sim, -centroid_id))."""
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(-1).cast("bigint").alias("centroid_id"),
-            F.lit(float("-inf")).alias("c_sim"),
-        ),
-        lambda acc, c: F.when(
-            _cosine(_dot(F.col("qv"), c["cqv"]), F.col("nrm"), c["cnrm"])
-            > acc["c_sim"],
-            F.struct(
-                c["centroid_id"].alias("centroid_id"),
-                _cosine(
-                    _dot(F.col("qv"), c["cqv"]), F.col("nrm"), c["cnrm"]
-                ).alias("c_sim"),
-            ),
-        ).otherwise(acc),
-    )
-    return (
-        n.crossJoin(F.broadcast(cent_state))
-        .select("vec_id", best["centroid_id"].alias("centroid_id"), "qv", "nrm")
-    )
 
 
 def _recenter(assigned: DataFrame) -> DataFrame:
@@ -768,32 +791,17 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _sql_assign(cents_cte: str, out: str) -> str:
-    """Assignment CTE: per-vector argmax centroid (cos DESC, id ASC) —
-    exactly the strictly-greater ascending-id fold in :func:`_assign`."""
-    cos = (
-        f"CAST({_SQL_DOT.format(a='n.qv', b='c.cqv')} AS DOUBLE)"
-        " / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE)))"
-    )
-    return f"""
-{out} AS (
-  SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-                              ORDER BY {cos} DESC, c.centroid_id) AS crn
-    FROM n CROSS JOIN {cents_cte} c
-  ) WHERE crn = 1
-)"""
-
-
 def _sql_recenter(assigned_cte: str, out: str) -> str:
     """Recenter CTE: elementwise integer mean (exact bigint sums, one
     double divide, ROUND half-away-from-zero) — the same op-sequence as
-    :func:`_recenter`, so the re-quantized centroids are bit-identical."""
+    :func:`_recenter`, so the re-quantized centroids are bit-identical.
+    Carries stride/cstride forward (CROSS JOIN params) so the next
+    two-level assignment round can derive its coarse subset."""
     return f"""
 {out} AS (
   SELECT centroid_id, cqv,
-         CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnrm
+         CAST(list_sum(list_transform(cqv, x -> x * x)) AS BIGINT) AS cnrm,
+         stride, cstride
   FROM (
     SELECT centroid_id, list(m ORDER BY d) AS cqv
     FROM (
@@ -802,7 +810,7 @@ def _sql_recenter(assigned_cte: str, out: str) -> str:
       FROM {assigned_cte}, generate_series(1, {_DIMS}) AS g(d)
       GROUP BY centroid_id, g.d
     ) GROUP BY centroid_id
-  )
+  ), params
 )"""
 
 
@@ -812,19 +820,21 @@ WITH n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
+{_sql_ivf_params('n')},
 c0 AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
+  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm, stride, cstride
+  FROM n, params
+  WHERE {_sql_seed_h('vec_id')} * stride < {_SEED_M}
 ),"""
-    + _sql_assign("c0", "a1")
+    + _sql_two_level("c0", "a1")
     + ","
     + _sql_recenter("a1", "c1")
     + ","
-    + _sql_assign("c1", "a2")
+    + _sql_two_level("c1", "a2")
     + ","
     + _sql_recenter("a2", "c2")
     + ","
-    + _sql_assign("c2", "af")
+    + _sql_two_level("c2", "af")
     + f""",
 probe_lists AS (
   SELECT probe_id, pqv, pnrm, centroid_id FROM (
@@ -867,11 +877,12 @@ WHERE rn <= 3
     oracle=_KMEANS_ORACLE,
     tags=("similarity", "llm", "approx", "ann", "iterative"),
     doc=(
-        "L3 at scale: IVF with 2 Lloyd refinement iterations (assign → "
-        "64-dim exact-sum recenter per round), then nprobe=4 probe + "
-        "exact re-rank.  The iterative-algorithm pattern: one shuffle "
-        "round per iteration, K×64 cells on the wire.  Deterministic "
-        "integer recentering → the DuckDB oracle replays both unrolled "
+        "L3 at scale: hash-seeded corpus-scaled IVF (K ≈ n/125) with 2 "
+        "Lloyd refinement iterations (two-level assign → 64-dim "
+        "exact-sum recenter per round), then nprobe=4 probe + exact "
+        "re-rank.  The iterative-algorithm pattern: one shuffle round "
+        "per iteration, K×64 cells on the wire.  Deterministic integer "
+        "recentering → the DuckDB oracle replays both unrolled "
         "iterations and hash-checks the search."
     ),
 )
@@ -879,40 +890,38 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
-    # Explicit repartition before the per-row argmax folds: the fixture
-    # is one parquet file, which would pin every K×64 fold of every
+    # Explicit repartition before the per-row cosine folds: the fixture
+    # is one parquet file, which would pin every fold of every
     # iteration to a single task (same pitfall/fix as the dedup
     # shingle pipelines).
     n = emb.repartition(shuffle_parts(emb), F.col("vec_id")).select(
         "vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
     )
-    # Iteration state (K×64 integer cells) lives on the driver and is
-    # re-injected as literal columns each round — the MLlib-KMeans
-    # pattern for iterative algorithms.  Without it the lazy lineage
-    # nests one full assign+recenter subtree per iteration (exponential
-    # recompute).  This is algorithm state, not a data collect: the
-    # corpus never leaves the executors, and the only per-iteration
-    # shuffle is the K×64-cell recenter aggregate.
-    cents_local = [
-        (r.vec_id, list(r.qv), r.nrm)
-        for r in n.filter(
-            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
-        ).collect()
-    ]
+    # The two selection scalars are the ONLY driver-side algorithm
+    # state; centroids stay on the executors (checkpointed per round to
+    # keep the Lloyd lineage flat — with K ∝ n the r8 collect-to-driver
+    # state would be n/125 × 520 B, gigabytes at corpus scale, and the
+    # flat broadcast-fold assignment it fed would be undeliverable).
+    pr = _ivf_params(n).collect()[0]
+    stride, cstride = int(pr["stride"]), int(pr["cstride"])
+
+    def with_params(df: DataFrame) -> DataFrame:
+        return df.withColumn("stride", F.lit(stride).cast("long")).withColumn(
+            "cstride", F.lit(cstride).cast("long")
+        )
+
+    cents = _ivf_cents(n).localCheckpoint(eager=False)
     for _ in range(_KMEANS_ITERS):
-        rows = _recenter(_assign(n, _cent_state(spark, cents_local))).collect()
-        cents_local = [(r.centroid_id, list(r.cqv), r.cnrm) for r in rows]
-    assigned = _assign(n, _cent_state(spark, cents_local))
-    cents = spark.createDataFrame(
-        [(cid, cqv, cnrm) for cid, cqv, cnrm in cents_local],
-        "centroid_id long, cqv array<bigint>, cnrm long",
-    )
+        assigned = _two_level_assign(n, cents)
+        cents = with_params(_recenter(assigned)).localCheckpoint(eager=False)
+    assigned = _two_level_assign(n, cents)
 
     cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
     w_cent = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    # Probes (20 rows) rank ALL K refined centroids exactly — a
+    # broadcast-probe join, 20×K scores, trivially parallel at any K.
     probe_lists = (
-        n.filter(F.col("vec_id") < 20)
-        .crossJoin(F.broadcast(cents))
+        cents.crossJoin(F.broadcast(n.filter(F.col("vec_id") < 20)))
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("qv").alias("pqv"),
@@ -1625,55 +1634,7 @@ WITH RECURSIVE n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
-params AS (
-  SELECT k, CAST(CEIL(k / CEIL(SQRT(k))) AS BIGINT) AS stride FROM (
-    SELECT GREATEST({_IVF_K}, CAST(CEIL(COUNT(*) / {_SEMDEDUP_CSIZE}.0) AS BIGINT)) AS k FROM n
-  )
-),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n, params
-  WHERE vec_id >= 100 AND vec_id < 100 + params.k
-),
-coarse AS (
-  SELECT centroid_id AS coarse_id, cqv AS gqv, cnrm AS gnrm FROM cents, params
-  WHERE (centroid_id - 100) % params.stride = 0
-),
-cent2coarse AS (
-  SELECT centroid_id, cqv, cnrm, coarse_id FROM (
-    SELECT c.centroid_id, c.cqv, c.cnrm, g.coarse_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY c.centroid_id
-             ORDER BY CAST({_SQL_DOT.format(a='c.cqv', b='g.gqv')} AS DOUBLE)
-                        / (SQRT(CAST(c.cnrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
-                      g.coarse_id
-           ) AS rn
-    FROM cents c CROSS JOIN coarse g
-  ) WHERE rn = 1
-),
-vec2coarse AS (
-  SELECT vec_id, qv, nrm, coarse_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, g.coarse_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='g.gqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(g.gnrm AS DOUBLE))) DESC,
-                      g.coarse_id
-           ) AS rn
-    FROM n CROSS JOIN coarse g
-  ) WHERE rn = 1
-),
-assigned AS (
-  SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT v.vec_id, v.qv, v.nrm, cc.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='v.qv', b='cc.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(v.nrm AS DOUBLE)) * SQRT(CAST(cc.cnrm AS DOUBLE))) DESC,
-                      cc.centroid_id
-           ) AS rn
-    FROM vec2coarse v JOIN cent2coarse cc ON v.coarse_id = cc.coarse_id
-  ) WHERE rn = 1
-),
+{_sql_ivf_assign()},
 mem AS (
   SELECT centroid_id AS c, vec_id,
          ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS r
@@ -2070,7 +2031,7 @@ def ann_lsh_multiprobe_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
 
 _PQ_SUBS = 8       # subspaces
 _PQ_SUBDIM = 8     # dims per subspace
-_PQ_K = 16         # centroids per subspace (vec_ids 100..115)
+_PQ_K = 16         # codewords per subspace (hash-ranked seeds; resolution, not a partitioning knob)
 
 _SQL_PQ_L2 = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}),"
@@ -2084,11 +2045,18 @@ _SQL_PQ_L2 = (
 WITH n AS (
   SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
 ),
+picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
+  SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (
+    SELECT vec_id, qv,
+           ROW_NUMBER() OVER (ORDER BY {_sql_seed_h('vec_id')}, vec_id) AS hr
+    FROM n
+  ) WHERE hr <= {_PQ_K}
+),
 cb AS (  -- codebook: (subspace s, code c, 8-dim centroid slice)
-  SELECT g.s, vec_id - 100 AS c,
+  SELECT g.s, c,
          qv[(g.s * {_PQ_SUBDIM} + 1):((g.s + 1) * {_PQ_SUBDIM})] AS cs
-  FROM n, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
-  WHERE vec_id >= 100 AND vec_id < {100 + _PQ_K}
+  FROM picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
 ),
 codes AS (  -- corpus encoding: per (vec, subspace) the nearest code
   SELECT vec_id, s, c FROM (
@@ -2149,7 +2117,12 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # codebook as ONE broadcast row: cb[s][c] = 8-dim centroid slice
     cb_row = (
-        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _PQ_K))
+        # hash-ranked seeds: top-_PQ_K by the family mix hash — a
+        # TakeOrderedAndProject (distributed top-K), no id pinning
+        emb.withColumn("_h", _seed_h(F.col("vec_id")))
+        .orderBy("_h", "vec_id")
+        .limit(_PQ_K)
+        .drop("_h")
         .orderBy("vec_id")
         .groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "qv"))).alias("cents"))
@@ -2253,11 +2226,18 @@ _PQ_SHORTLIST = 32
 WITH n AS (
   SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
 ),
-cb AS (
-  SELECT g.s, vec_id - 100 AS c,
+picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
+  SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (
+    SELECT vec_id, qv,
+           ROW_NUMBER() OVER (ORDER BY {_sql_seed_h('vec_id')}, vec_id) AS hr
+    FROM n
+  ) WHERE hr <= {_PQ_K}
+),
+cb AS (  -- codebook: (subspace s, code c, 8-dim centroid slice)
+  SELECT g.s, c,
          qv[(g.s * {_PQ_SUBDIM} + 1):((g.s + 1) * {_PQ_SUBDIM})] AS cs
-  FROM n, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
-  WHERE vec_id >= 100 AND vec_id < {100 + _PQ_K}
+  FROM picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
 ),
 codes AS (
   SELECT vec_id, s, c FROM (
@@ -2421,22 +2401,7 @@ WITH RECURSIVE n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
-),
-assigned AS (
-  SELECT vec_id, qv, nrm, centroid_id FROM (
-    SELECT n.vec_id, n.qv, n.nrm, cents.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
-                      cents.centroid_id
-           ) AS crn
-    FROM n CROSS JOIN cents
-  ) WHERE crn = 1
-),
+{_sql_ivf_assign()},
 knn AS (
   SELECT vec_id, neighbor_id FROM (
     SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -2486,27 +2451,11 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _qvec("embedding").alias("qv")
     )
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = n.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
-        .select("vec_id", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.centroid_id", "best.qv", "best.nrm")
-    )
-    # both self-join sides would otherwise re-run the broadcast argmax
+    # Corpus-scaled hash-seeded cells (K ≈ n/125): the within-cell
+    # self-join below stays Σ(~125)² per cell — linear in n.  The r8
+    # fixed-K=16 variant made it Θ((n/16)²).
+    assigned = _ivf_assign(n).select("vec_id", "centroid_id", "qv", "nrm")
+    # both self-join sides would otherwise re-run the two-level
     # assignment (the r8 materialization rule, ARCHITECTURE.md)
     assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -2576,22 +2525,7 @@ WITH n AS (
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings) e
   JOIN documents d ON d.doc_id = e.vec_id
 ),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K}
-),
-assigned AS (
-  SELECT vec_id, lang, qv, nrm, centroid_id FROM (
-    SELECT n.vec_id, n.lang, n.qv, n.nrm, cents.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
-                      cents.centroid_id
-           ) AS crn
-    FROM n CROSS JOIN cents
-  ) WHERE crn = 1
-),
+{_sql_ivf_assign(('lang',))},
 pairs AS (
   SELECT a.vec_id AS qid, a.lang AS qlang, b.vec_id AS cid, b.lang AS clang,
          {_CSLS_COS} AS cos_sim
@@ -2651,27 +2585,13 @@ def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.join(docs, "vec_id").select(
         "vec_id", "lang", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
     )
-    cents = n.filter(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_K)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
+    # Corpus-scaled hash-seeded cells (K ≈ n/125) — the cross-language
+    # candidate join below is bounded per cell at any n (the r8 fixed
+    # K=16 made it quadratic).
+    assigned = _ivf_assign(n, ("lang",)).select(
+        "vec_id", "lang", "centroid_id", "qv", "nrm"
     )
-    cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-    assigned = (
-        n.crossJoin(F.broadcast(cents))
-        .select("vec_id", "lang", "qv", "nrm", "centroid_id", cos_to_cent.alias("c_sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("lang", "centroid_id", "qv", "nrm"),
-                F.struct(F.col("c_sim"), -F.col("centroid_id")),
-            ).alias("best")
-        )
-        .select("vec_id", "best.lang", "best.centroid_id", "best.qv", "best.nrm")
-    )
-    # both self-join sides would otherwise re-run the broadcast argmax
+    # both self-join sides would otherwise re-run the two-level
     # assignment (the r8 materialization rule, ARCHITECTURE.md)
     assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -2757,27 +2677,6 @@ def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ivf_upsert_assign_sql(pred: str) -> str:
-    return f"""(
-  SELECT vec_id, centroid_id,
-         FLOOR((c_sim + 1) * 1e6) AS sim_e6
-  FROM (
-    SELECT n.vec_id, cents.centroid_id,
-           CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-             / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE)))
-             AS c_sim,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY CAST({_SQL_DOT.format(a='n.qv', b='cents.cqv')} AS DOUBLE)
-                        / (SQRT(CAST(n.nrm AS DOUBLE)) * SQRT(CAST(cents.cnrm AS DOUBLE))) DESC,
-                      cents.centroid_id
-           ) AS crn
-    FROM n CROSS JOIN cents
-    WHERE {pred}
-  ) WHERE crn = 1
-)"""
-
-
 @register(
     "ivf_index_upsert_audit",
     oracle=f"""
@@ -2785,22 +2684,26 @@ WITH n AS (
   SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
   FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
 ),
-cents AS (
-  SELECT vec_id AS centroid_id, qv AS cqv, nrm AS cnrm FROM n
-  WHERE vec_id >= 100 AND vec_id < {100 + _IVF_K} AND vec_id % 10 <> 0
-),
+sn AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+bn AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+{_sql_ivf_params('sn')},
+{_sql_ivf_cents('sn')},
+{_sql_two_level('cents', 'a_standing', 'sn')},
+{_sql_two_level('cents', 'a_batch', 'bn')},
 standing AS (
   SELECT centroid_id,
          CAST(COUNT(*) AS BIGINT) AS n_standing,
-         CAST(SUM(sim_e6) AS BIGINT) // COUNT(*) - 1000000 AS standing_mean_sim_e6
-  FROM {_ivf_upsert_assign_sql('n.vec_id % 10 <> 0')}
+         CAST(SUM(CAST(FLOOR((c_sim + 1) * 1e6) AS BIGINT)) AS BIGINT)
+           // COUNT(*) - 1000000 AS standing_mean_sim_e6
+  FROM a_standing
   GROUP BY centroid_id
 ),
 batch AS (
   SELECT centroid_id,
          CAST(COUNT(*) AS BIGINT) AS n_new,
-         CAST(SUM(sim_e6) AS BIGINT) // COUNT(*) - 1000000 AS new_mean_sim_e6
-  FROM {_ivf_upsert_assign_sql('n.vec_id % 10 = 0')}
+         CAST(SUM(CAST(FLOOR((c_sim + 1) * 1e6) AS BIGINT)) AS BIGINT)
+           // COUNT(*) - 1000000 AS new_mean_sim_e6
+  FROM a_batch
   GROUP BY centroid_id
 )
 SELECT s.centroid_id, s.n_standing, s.standing_mean_sim_e6,
@@ -2815,9 +2718,10 @@ FROM standing s LEFT JOIN batch b USING (centroid_id)
     tags=("similarity", "llm", "ann", "incremental"),
     doc=(
         "L3f: ANN index maintenance — assign the ingest batch "
-        "(vec_id %% 10 == 0) to the STANDING index's centroids, report "
-        "per-list growth and exact integer-grid similarity drift (the "
-        "reindex trigger).  Two broadcast argmax passes + one hash agg."
+        "(vec_id %% 10 == 0) to the STANDING index's corpus-scaled "
+        "hash-seeded centroids (K ≈ n/125, no rebuild), report per-list "
+        "growth and exact integer-grid similarity drift (the reindex "
+        "trigger).  Two two-level assignment passes + one hash agg."
     ),
 )
 def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2825,36 +2729,17 @@ def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _qvec("embedding").alias("qv")
     )
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = n.filter(
-        (F.col("vec_id") >= 100)
-        & (F.col("vec_id") < 100 + _IVF_K)
-        & (F.col("vec_id") % 10 != 0)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("cqv"),
-        F.col("nrm").alias("cnrm"),
-    )
+    sn = n.filter(F.col("vec_id") % 10 != 0)
+    bn = n.filter(F.col("vec_id") % 10 == 0)
+    # The STANDING index's quantizer: seeded and sized from the standing
+    # corpus alone — the ingest batch is assigned to it without rebuild.
+    cents = _ivf_cents(sn).localCheckpoint(eager=False)
 
-    def assign(pred):
-        cos = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
-        return (
-            n.filter(pred)
-            .crossJoin(F.broadcast(cents))
-            .select("vec_id", "centroid_id", cos.alias("c_sim"))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct("centroid_id", "c_sim"),
-                    F.struct(F.col("c_sim"), -F.col("centroid_id")),
-                ).alias("best")
-            )
-            .select(
-                "vec_id",
-                F.col("best.centroid_id").alias("centroid_id"),
-                F.floor((F.col("best.c_sim") + 1) * 1e6)
-                .cast("bigint")
-                .alias("sim_e6"),
-            )
+    def assign(src):
+        return _two_level_assign(src, cents).select(
+            "vec_id",
+            "centroid_id",
+            F.floor((F.col("c_sim") + 1) * 1e6).cast("bigint").alias("sim_e6"),
         )
 
     def rollup(assigned, cnt_name, mean_name):
@@ -2865,10 +2750,8 @@ def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(mean_name),
         )
 
-    standing = rollup(
-        assign(F.col("vec_id") % 10 != 0), "n_standing", "standing_mean_sim_e6"
-    )
-    batch = rollup(assign(F.col("vec_id") % 10 == 0), "n_new", "new_mean_sim_e6")
+    standing = rollup(assign(sn), "n_standing", "standing_mean_sim_e6")
+    batch = rollup(assign(bn), "n_new", "new_mean_sim_e6")
     return standing.join(batch, "centroid_id", "left").select(
         "centroid_id",
         "n_standing",

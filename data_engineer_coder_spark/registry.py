@@ -72,30 +72,25 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-7 cohort — semdedup two-level assignment, shingle-guard
-    # rewrite + budget asserts, dsir decimal cast, cooccurrence minwise
-    # cap, simhash saturation guard — all pruned: re-proven green in
-    # CORRECTNESS_r07.)
-    # round 8 (ADVICE r7): keeper key doc_id*1000+pos → (doc_id, pos)
-    # struct argmin in BOTH engines; results can differ once a doc has
-    # ≥1000 segments, and curation_funnel_v2 also left-joins its segment
-    # counts now.
-    "segment_dedup_keep_first",
-    "curation_funnel_v2",
-    # round 8 (ADVICE r7): sketch stage rewritten groupBy-shard
-    # applyInPandas → per-partition mapInPandas + two-level tree merge;
-    # candidate set (not the final ranking) is partitioning-dependent.
-    "approx_topk_tokens",
-    # round 8: signature/blocking tail factored into a shared helper,
-    # then (late r8) sig frame checkpointed before the hi/lo parse —
-    # CollapseProject was re-evaluating the signature fold 3x per chunk
-    # row (3.1→8.0 s regression, reverted to 3.4 s).  Plans changed
-    # post-green, outputs unchanged (re-proven vs oracle this session).
-    "simhash_neardup",
-    "simhash_idf_neardup",
-    # round 8: two contractions per convergence probe (driver round-trip
-    # halving) — fixed point provably identical, plan changed.
-    "dedup_clusters_bigstar",
+    # (round-8 cohort — keeper-key struct argmin, MG mapInPandas
+    # rewrite, simhash checkpoint rule, bigstar probe batching — all
+    # pruned: re-proven green in CORRECTNESS_r08.)
+    # round 9: the entire IVF/centroid family moved from the
+    # fixture-pinned vec_id∈[100,100+K) quantizer to hash-seeded
+    # corpus-scaled centroids (K ≈ n/125, two-level assignment) — every
+    # cell id, inverted list, and downstream ranking changed in BOTH
+    # engines, so each one's last green row is stale.
+    "mutual_knn_clusters",
+    "csls_bitext_mining",
+    "ivf_ann_topk",
+    "ivf_index_upsert_audit",
+    "ivf_kmeans_topk",
+    "ivf_kmeans_recall_check",
+    "semdedup_prune",
+    "semdedup_greedy_keep_first",
+    "pq_ann_topk",
+    "pq_ann_rerank_topk",
+    "pq_ann_recall_check",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

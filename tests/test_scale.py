@@ -118,27 +118,33 @@ def test_moment_agg_is_partial_aggregated(spark, sf_dir):
     assert "HashAggregate" in plan, plan
 
 
-def test_kmeans_assign_is_map_only(spark, sf_dir):
-    """One Lloyd assign pass must not shuffle the corpus: the centroid
-    state rides in as a broadcast one-row array and the argmax folds
-    per row.  Exchanges in the assign subplan would mean the corpus is
-    being moved per iteration."""
-    from data_engineer_coder_spark.operators.similarity import (
-        _assign,
-        _cent_state,
-        _dot,
-        _qvec,
-    )
-    from data_engineer_coder_spark.io.tables import table
+def test_kmeans_assign_is_two_level(spark, sf_dir):
+    """One Lloyd assign pass must use the two-level IVF shape (round 9:
+    K ∝ n makes the old flat broadcast-array fold undeliverable — an
+    O(n/125)-row broadcast and O(K) flops per row).  Only the ~√K
+    coarse set may cross the corpus as a broadcast nested loop; the
+    fine set arrives via a coarse_id equi-join."""
+    import re
+
     from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.tables import table
+    from data_engineer_coder_spark.operators.similarity import (
+        _dot,
+        _ivf_cents,
+        _qvec,
+        _two_level_assign,
+    )
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _qvec("embedding").alias("qv")
     )
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
-    cents = [(i, [1] * 64, 64) for i in range(4)]
-    plan = _plan(_assign(n, _cent_state(spark, cents)))
-    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    plan = _plan(_two_level_assign(n, _ivf_cents(n)))
+    assert "coarse_id" in plan, plan
+    nlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert nlj <= 5, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 
 def test_countmin_sketch_is_partial_aggregated(spark, sf_dir):
@@ -295,3 +301,42 @@ def test_heavy_family_plans_stay_clean(spark, sf_dir):
         if a["flags"] != "—":
             bad[name] = a["flags"]
     assert not bad, bad
+
+
+def test_ivf_cells_scale_with_corpus(spark, sf_dir):
+    """Round 9: the family quantizer must produce K ∝ n cells (~125
+    vectors each) with bounded imbalance — the property that keeps every
+    within-cell self-join (mutual-kNN, CSLS, SemDeDup) linear in n.  A
+    fixed-K regression would show up here as avg cell size ∝ n."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.io.tables import table
+    from data_engineer_coder_spark.operators.similarity import (
+        _IVF_CSIZE,
+        _dot,
+        _ivf_assign,
+        _qvec,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n_df = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    n = n_df.count()
+    st = (
+        _ivf_assign(n_df)
+        .groupBy("centroid_id")
+        .count()
+        .agg(
+            F.count("*").alias("k"),
+            F.max("count").alias("maxc"),
+            F.avg("count").alias("avgc"),
+        )
+        .collect()[0]
+    )
+    # K tracks n/125 (MINK floor for tiny corpora), so avg cell ≈ 125
+    assert st["k"] >= max(10, 0.6 * n / _IVF_CSIZE), st
+    assert st["avgc"] <= 2.2 * _IVF_CSIZE, st
+    # geometric imbalance is real but bounded (measured ≤ 12× at 200k
+    # vectors, growing ~n^0.25): gate the blow-up case
+    assert st["maxc"] <= max(20 * st["avgc"], 200), st
