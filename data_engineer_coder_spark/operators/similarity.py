@@ -435,6 +435,13 @@ def _two_level_assign(
     not the per-row flops (~2√K) — and the within-cell population
     downstream consumers join on stays ~CSIZE because K grows with the
     corpus."""
+    # The n·√K cosine folds run in the SCAN stage of ``n``: on a
+    # single-file fixture (or any narrow source) that pins the whole
+    # fold to 1–2 tasks, which measured as a fake superlinear decade
+    # (ivf_ann_topk exponent 1.56 at ov-sf1→ov-sf10; the per-row √K
+    # factor is real but the starvation multiplied it).  Repartition
+    # before the folds — the n-row exchange is cheap next to the flops.
+    n = n.repartition(shuffle_parts(n), F.col("vec_id"))
     coarse = cents.filter(
         _seed_h(F.col("centroid_id")) * F.col("stride") * F.col("cstride") < _SEED_M
     ).select(
@@ -488,8 +495,14 @@ def _two_level_assign(
 
 def _ivf_assign(n: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Hash-seeded corpus-scaled two-level assignment over ``n`` —
-    returns (vec_id, centroid_id, c_sim, *extras, qv, nrm)."""
-    return _two_level_assign(n, _ivf_cents(n), extra_cols)
+    returns (vec_id, centroid_id, c_sim, *extras, qv, nrm).
+
+    The centroid frame is checkpointed: _two_level_assign references it
+    twice (coarse + cent2coarse), and each un-materialized reference
+    would re-run the corpus-wide params aggregate and seed filter."""
+    return _two_level_assign(
+        n, _ivf_cents(n).localCheckpoint(eager=False), extra_cols
+    )
 
 
 def _sql_two_level(
@@ -609,7 +622,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
     # Two-level assignment: per-row work is O(√K), never O(K) — with
     # K ∝ n the flat broadcast argmax this replaces was O(n²/125).
-    assigned = _ivf_assign(n)
+    # Checkpointed: the scored join must not re-run the assignment
+    # subtree (the r8 materialization rule, ARCHITECTURE.md).
+    assigned = _ivf_assign(n).localCheckpoint(eager=False)
     cents = _ivf_cents(n).drop("stride", "cstride")
     cos_to_cent = _cosine(_dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm"))
     # Probes (20 rows) rank ALL K centroids exactly: 20×K scores is a
@@ -890,13 +905,9 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _qvec("embedding").alias("qv"))
-    # Explicit repartition before the per-row cosine folds: the fixture
-    # is one parquet file, which would pin every fold of every
-    # iteration to a single task (same pitfall/fix as the dedup
-    # shingle pipelines).
-    n = emb.repartition(shuffle_parts(emb), F.col("vec_id")).select(
-        "vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm")
-    )
+    # (_two_level_assign repartitions before its cosine folds, so no
+    # explicit repartition is needed here anymore.)
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
     # The two selection scalars are the ONLY driver-side algorithm
     # state; centroids stay on the executors (checkpointed per round to
     # keep the Lloyd lineage flat — with K ∝ n the r8 collect-to-driver
@@ -2475,6 +2486,11 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") <= _MKNN_K) & (F.col("cos_sim") >= _MKNN_TAU))
         .select("vec_id", "neighbor_id")
+        # the mutuality self-join references knn twice, and
+        # _star_contract's eager checkpoint of pairs evaluates it
+        # again — without this the Σ(cell²) cosine join (the dominant
+        # cost) runs 4×, measured as +170% wall at 200k vectors
+        .localCheckpoint(eager=False)
     )
     k1, k2 = knn.alias("k1"), knn.alias("k2")
     pairs = (
@@ -2510,6 +2526,10 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CSLS_K = 4
+_CSLS_CAND = 10  # retrieve-then-rescore: csls scores only each query's
+#                  top-10 cosine candidates (the MUSE/FAISS k-NN-list shape) —
+#                  the downstream r/scored/best passes run on 10n rows, not
+#                  the full ~125n within-cell candidate mass
 
 _CSLS_COS = (
     f"CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)"
@@ -2526,12 +2546,18 @@ WITH n AS (
   JOIN documents d ON d.doc_id = e.vec_id
 ),
 {_sql_ivf_assign(('lang',))},
-pairs AS (
-  SELECT a.vec_id AS qid, a.lang AS qlang, b.vec_id AS cid, b.lang AS clang,
-         {_CSLS_COS} AS cos_sim
-  FROM assigned a
-  JOIN assigned b
-    ON a.centroid_id = b.centroid_id AND a.lang <> b.lang
+ranked AS (
+  SELECT qid, qlang, cid, clang, cos_sim, rn FROM (
+    SELECT a.vec_id AS qid, a.lang AS qlang, b.vec_id AS cid, b.lang AS clang,
+           {_CSLS_COS} AS cos_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_CSLS_COS} DESC, b.vec_id
+           ) AS rn
+    FROM assigned a
+    JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.lang <> b.lang
+  ) WHERE rn <= {_CSLS_CAND}
 ),
 r AS (
   SELECT qid,
@@ -2539,18 +2565,14 @@ r AS (
                                   list_sort(list(cos_sim ORDER BY cos_sim DESC, cid))),
                      (acc, x) -> acc + x)
            / LEAST(COUNT(*), {_CSLS_K}) AS r_mean
-  FROM (
-    SELECT qid, cid, cos_sim,
-           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
-    FROM pairs
-  ) WHERE rn <= {_CSLS_K}
+  FROM ranked WHERE rn <= {_CSLS_K}
   GROUP BY qid
 ),
 scored AS (
   SELECT p.qid, p.qlang, p.cid, p.clang,
          p.cos_sim,
          2 * p.cos_sim - rq.r_mean - rc.r_mean AS csls
-  FROM pairs p
+  FROM ranked p
   JOIN r rq ON rq.qid = p.qid
   JOIN r rc ON rc.qid = p.cid
 ),
@@ -2569,10 +2591,11 @@ WHERE f.qid < f.cid
 """,
     tags=("similarity", "llm", "multilingual"),
     doc=(
-        "L3e: CSLS bitext mining — within IVF cells, cross-language "
-        "candidates scored 2·cos − r(x) − r(y) (r = mean of top-4 "
-        "cross-lingual cosines, folded in sorted order), mutual-best "
-        "pairs only.  The MUSE/LASER parallel-data harvesting shape."
+        "L3e: CSLS bitext mining — within IVF cells, each query's "
+        "top-10 cross-language cosine candidates rescored "
+        "2·cos − r(x) − r(y) (r = mean of top-4 cosines, folded in "
+        "sorted order), mutual-best pairs only.  The MUSE/LASER "
+        "retrieve-then-rescore harvesting shape."
     ),
 )
 def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,24 +2619,35 @@ def csls_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _cosine(_dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm"))
-    pairs = a.join(
-        b,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
-        & (F.col("a.lang") != F.col("b.lang")),
-    ).select(
-        F.col("a.vec_id").alias("qid"),
-        F.col("a.lang").alias("qlang"),
-        F.col("b.vec_id").alias("cid"),
-        F.col("b.lang").alias("clang"),
-        cos.alias("cos_sim"),
-    )
-    pairs = pairs.localCheckpoint(eager=False)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    # Retrieve-then-rescore (r9): the within-cell candidate mass is
+    # ~125 rows per query; ONE ranking pass keeps each query's top-10
+    # by cosine and every later pass (r, scored, best) runs on 10n
+    # rows — the MUSE/FAISS shape, where csls rescoring applies to the
+    # retrieved k-NN list, not the full candidate set.  Checkpointed:
+    # r, scored and best all reference it.
+    ranked = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.col("a.vec_id").alias("qid"),
+            F.col("a.lang").alias("qlang"),
+            F.col("b.vec_id").alias("cid"),
+            F.col("b.lang").alias("clang"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CSLS_CAND)
+        .localCheckpoint(eager=False)
+    )
+    pairs = ranked.drop("rn")
     # mean of the top-4 cosines, folded in SORTED order (sort_array) so
     # the IEEE sum is identical to the oracle's list_sort fold
     r = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CSLS_K)
+        ranked.filter(F.col("rn") <= _CSLS_K)
         .groupBy("qid")
         .agg(
             (

@@ -327,3 +327,90 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
     )
     return _rank_topk_types(counts)
+
+
+# --------------------------------------------------------------------------
+# T8d (round 9): the streaming MATERIALIZED-VIEW sink through the
+# driver gate.  write_stream_rollup_merge maintains a standing
+# per-(day, event_type) rollup ACID table epoch by epoch (merge into
+# touched days only — history unread).  This query drives the REAL
+# stream (3 forced micro-batches), then serves the standing table the
+# way a dashboard would (avg derived from the mergeable sum/count
+# states).  Oracle = full recompute over events, so the driver's
+# value-hash parity is the streaming merge==recompute theorem instance
+# (incremental_rollup_merge proves the same identity batch-side).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_rollup_matview",
+    oracle=f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "sink", "acid", "matview", "real-stream"),
+    doc=(
+        "T8d real stream: readStream (3 micro-batches) → per-epoch "
+        "rollup MERGE into a standing ACID matview (touched days only) "
+        "→ serve the view; oracle = full recompute."
+    ),
+)
+def stream_rollup_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import current_manifest, read_table
+    from .core import write_stream_rollup_merge
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="matview_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        ev.repartition(3).write.parquet(src_dir)  # 3 files → 3 epochs
+        schema = spark.read.parquet(src_dir).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        root = os.path.join(tmp, "t")
+        # size the per-epoch merge shuffles to the keyspace (~150
+        # (day,type) rows), not the batch-session default — the
+        # run_to_memory state-partitioning rule
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = write_stream_rollup_merge(sdf, root)
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set(key, prev)
+        if len(current_manifest(root)["txids"]) < 2:
+            raise RuntimeError("matview stream produced fewer than 2 epochs")
+        rows = (
+            read_table(spark, root)
+            .select("day", "event_type", "n", "sv", "mn", "mx")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "day string, event_type string, n long, sv decimal(38,6), "
+        "mn double, mx double",
+    )
+    return out.select(
+        "day",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("sv").cast("double").alias("sum_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    )
