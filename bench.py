@@ -155,6 +155,9 @@ HEADLINE = [
     "acid_merge_upsert_audit",
     "acid_delete_audit",
     "cm_join_cardinality_audit",
+    # round 9: cross-partition MERGE ledger + streaming matview gate
+    "acid_partition_move_audit",
+    "stream_rollup_matview",
 ]
 
 
