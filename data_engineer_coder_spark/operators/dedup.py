@@ -361,6 +361,59 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Wide MinHash signature frame for an arbitrary ``(doc_id, text)``
+    DataFrame: one row per doc with ≥3 words, columns ``doc_id,
+    m0..m{K-1}``.  Same permutation family, shingle definition, and
+    md5-derived hash as :func:`_minhash_prep`, so signatures computed
+    here agree bit-for-bit with the batch near-dup path AND with the
+    DuckDB oracle replay — that is what lets the streaming ingest gate
+    (``streaming/core.py: write_stream_neardup_gate``) verify its
+    accept/reject decisions against a plain SQL recompute.
+
+    No document-frequency cap is applied: the gate signs one micro-batch
+    at a time, where a corpus-global df state would have to be carried
+    between epochs (a standing count matview, or a CMS at 100 TB — see
+    ``countmin_token_freq``); boilerplate suppression stays the job of
+    the batch hygiene ops upstream of ingestion.
+    """
+    w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(
+        F.size("ws") >= 3
+    )
+    sh = w.select("doc_id", F.explode(_shingles(F.col("ws"))).alias("s"))
+    h = F.pmod(
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"), F.lit(2**31)
+    ).alias("h")
+    return (
+        sh.select("doc_id", h)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(F.lit(_PERM_A[j]) * F.col("h") + F.lit(_PERM_B[j]), F.lit(_MERSENNE))
+                ).alias(f"m{j}")
+                for j in range(_K)
+            ]
+        )
+    )
+
+
+def band_key_array() -> "F.Column":
+    """The 8 LSH band-key strings (``band_idx ++ '_' ++ 4 minima``) as an
+    array column over a wide signature frame — the exact key format the
+    batch LSH search and its oracle use (``minhash_lsh_neardup``)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(band)),
+                *[F.col(f"m{band * _ROWS + r}").cast("string") for r in range(_ROWS)],
+            )
+            for band in range(_BANDS)
+        ]
+    )
+
+
 def _minhash_prep(spark: SparkSession, sf_dir: str):
     """(words DF, capped shingle stream, wide signature DF) — shared by
     the near-dup search and the round-7 estimator-calibration audit."""
@@ -418,21 +471,7 @@ def _minhash_prep(spark: SparkSession, sf_dir: str):
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, sh, sig = _minhash_prep(spark, sf_dir)
     # LSH bands: one row per (doc, band), key = concatenated band minima.
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(str(band)),
-                        *[F.col(f"m{band * _ROWS + r}").cast("string") for r in range(_ROWS)],
-                    )
-                    for band in range(_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    band_rows = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     candidates = (

@@ -348,3 +348,153 @@ def stream_progress_report(spark, query) -> DataFrame:
         "batch_id long, input_rows long, rows_per_sec double, "
         "trigger_ms long, watermark string, batch_ts string",
     )
+
+
+def write_stream_neardup_gate(
+    sdf: DataFrame,
+    sig_root: str,
+    docs_root: str,
+    stats_root: str,
+    min_agree: int = 16,
+    checkpoint: str | None = None,
+):
+    """T8e (round 9): ONLINE NEAR-DUP INGEST GATE — the streaming face of
+    ``minhash_lsh_neardup``.
+
+    A 100 TB corpus is not deduplicated once; it is INGESTED
+    continuously, and every arriving batch must be screened against
+    everything already accepted.  Each micro-batch of ``(doc_id, text)``
+    rows:
+
+    1. computes MinHash signatures (``operators/dedup.py:
+       minhash_signatures`` — same 32-perm family, shingles, and
+       md5-derived hash as the batch path, so decisions are replayable
+       in plain SQL);
+    2. probes the STANDING signature index: batch band keys (8×4 LSH
+       bands) joined against the index's band keys with the batch side
+       explicitly ``broadcast()`` — the index, which grows with the
+       corpus, is scanned map-side ONCE per epoch and never shuffled;
+       candidate pairs are verified by signature agreement
+       (``≥ min_agree`` of 32 matching minima ≈ Jaccard ≥ 1/2);
+    3. screens WITHIN the batch the same way (keep-first by doc_id: a
+       doc is rejected if it matches any smaller-id doc of the same
+       batch — the greedy rule; like cluster-keep-first it can
+       transitively over-reject through an already-rejected middle doc,
+       which is the documented trade for a recursion-free decision);
+    4. appends the survivors' rows to the docs table, their signatures
+       to the index, and a one-row (arrived / rejected-vs-index /
+       rejected-within-batch / accepted) ledger to the stats table —
+       all three through ``append_partitions`` with txid = epoch id,
+       so a replayed epoch is a no-op on every table (exactly-once).
+
+    Docs with <3 words have no shingles, hence no signature: they are
+    accepted unconditionally (nothing to match) and add no index rows.
+
+    Scale notes: per-epoch cost is one map-side scan of the index (the
+    broadcast probe) + work ∝ candidates; across epochs the index scan
+    is the linear-per-epoch term — the production cut is a band-key
+    bloom/zone-map on the index files (the ACID table already records
+    footer stats) so a batch probes only colliding files.  No
+    document-frequency cap is applied per batch (see
+    ``minhash_signatures``); at scale the df state would be a standing
+    count matview maintained exactly like ``write_stream_rollup_merge``,
+    or a CMS (``countmin_token_freq``).
+    """
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import append_partitions, current_manifest, read_table
+    from ..operators.dedup import _K, band_key_array, minhash_signatures
+
+    mcols = [f"m{j}" for j in range(_K)]
+
+    def _agree(a: str, b: str):
+        # number of matching minima between two aliased wide sig frames
+        s = None
+        for c in mcols:
+            term = (F.col(f"{a}.{c}") == F.col(f"{b}.{c}")).cast("int")
+            s = term if s is None else s + term
+        return s
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        batch = df.withColumn("epoch", F.lit(int(epoch_id)))
+        sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint()
+        bands = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
+
+        rej_index = None
+        if current_manifest(sig_root)["partitions"]:
+            index_sig = read_table(spark, sig_root).select("doc_id", *mcols)
+            index_bands = index_sig.select(
+                F.col("doc_id").alias("idx_id"), F.explode(band_key_array()).alias("band_key")
+            )
+            # broadcast the (small) batch side: the standing index is
+            # scanned once, map-side — no index shuffle at any corpus size
+            cand_i = (
+                index_bands.join(F.broadcast(bands), "band_key")
+                # self-exclusion: after a crash-replay the epoch's own
+                # accepted signatures are already committed to the index
+                .where(F.col("idx_id") != F.col("doc_id"))
+                .select("doc_id", "idx_id")
+                .distinct()
+            )
+            rej_index = (
+                cand_i.join(sig.alias("a"), "doc_id")
+                .join(index_sig.alias("b"), F.col("idx_id") == F.col("b.doc_id"))
+                .where(_agree("a", "b") >= F.lit(min_agree))
+                .select("a.doc_id")
+                .distinct()
+                # tiny id list, referenced 3× (count, anti-join, union):
+                # materialize so the standing index is scanned once
+                .localCheckpoint()
+            )
+
+        cand_b = (
+            bands.alias("x")
+            .join(F.broadcast(bands.alias("y")), "band_key")
+            .where(F.col("x.doc_id") > F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("prior_id"))
+            .distinct()
+        )
+        rej_batch = (
+            cand_b.join(sig.alias("a"), "doc_id")
+            .join(sig.alias("b"), F.col("prior_id") == F.col("b.doc_id"))
+            .where(_agree("a", "b") >= F.lit(min_agree))
+            .select("a.doc_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        if rej_index is not None:
+            rej_batch = rej_batch.join(rej_index, "doc_id", "left_anti")
+            n_rej_index = rej_index.count()
+        else:
+            n_rej_index = 0
+        n_rej_batch = rej_batch.count()
+        rejected = rej_batch if rej_index is None else rej_index.unionByName(rej_batch)
+        accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
+        arrived = batch.agg(
+            F.count("*").alias("n"), F.sum("doc_id").alias("ids")
+        ).collect()[0]
+        n_accepted = accepted.count()
+
+        txid = f"epoch-{epoch_id}"
+        append_partitions(accepted, docs_root, ["epoch"], txid)
+        append_partitions(
+            accepted.select("doc_id", "epoch").join(sig, "doc_id"),
+            sig_root,
+            ["epoch"],
+            txid,
+        )
+        # arrived_id_sum: a content checksum of WHICH docs this epoch
+        # saw — lets auditors (and the registry oracle) pin batch
+        # membership, not just cardinality
+        stats = spark.createDataFrame(
+            [(int(epoch_id), arrived["n"], int(arrived["ids"] or 0),
+              n_rej_index, n_rej_batch, n_accepted)],
+            "epoch int, n_arrived long, arrived_id_sum long, "
+            "n_rejected_index long, n_rejected_batch long, n_accepted long",
+        )
+        append_partitions(stats, stats_root, ["epoch"], txid)
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

@@ -414,3 +414,212 @@ def stream_rollup_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_value"),
         F.col("mx").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# T8e (round 9): the ONLINE NEAR-DUP INGEST GATE through the driver
+# gate.  write_stream_neardup_gate screens each arriving micro-batch
+# against a standing MinHash signature index (broadcast band probe → no
+# index shuffle) and within itself (keep-first by doc_id), then appends
+# survivors + signatures + a per-epoch ledger exactly-once.  This query
+# drives the REAL stream — the documents table split into 3
+# deterministic epochs (doc_id % 3, files force-ordered) — and returns
+# the ledger.  The oracle replays EVERY decision in plain SQL: same
+# shingles, md5-derived hashes, 32 permutations, 8×4 band keys, and the
+# ≥16/32 minima-agreement verdict, unrolled over the 3 epochs.
+# --------------------------------------------------------------------------
+
+
+def _neardup_gate_oracle() -> str:
+    from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
+
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE LEN(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, LEN(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+    FROM w
+  )
+),
+perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(j, a, b)),
+hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483648 AS BIGINT) AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, p.j, MIN((p.a * hv.h + p.b) % {_MERSENNE}) AS m
+  FROM hv CROSS JOIN perms p GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id,
+         CAST(j // {_ROWS} AS VARCHAR) || '_'
+           || string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {_ROWS}
+),
+pair AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+),
+agree AS (
+  SELECT p.da, p.db, COUNT(*) FILTER (WHERE sa.m = sb.m) AS k
+  FROM pair p
+  JOIN sig sa ON sa.doc_id = p.da
+  JOIN sig sb ON sb.doc_id = p.db AND sb.j = sa.j
+  GROUP BY 1, 2
+),
+m2 AS (SELECT da, db FROM agree WHERE k >= 16),
+ep AS (SELECT doc_id, doc_id % 3 AS e FROM documents),
+e0 AS (SELECT doc_id FROM ep WHERE e = 0),
+e1 AS (SELECT doc_id FROM ep WHERE e = 1),
+e2 AS (SELECT doc_id FROM ep WHERE e = 2),
+rb0 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e0 x ON x.doc_id = m.da JOIN e0 y ON y.doc_id = m.db
+  WHERE m.db < m.da
+),
+a0 AS (SELECT doc_id FROM e0 WHERE doc_id NOT IN (SELECT doc_id FROM rb0)),
+ri1 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e1 x ON x.doc_id = m.da JOIN a0 y ON y.doc_id = m.db
+),
+rb1 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e1 x ON x.doc_id = m.da JOIN e1 y ON y.doc_id = m.db
+  WHERE m.db < m.da AND m.da NOT IN (SELECT doc_id FROM ri1)
+),
+a1 AS (
+  SELECT doc_id FROM e1
+  WHERE doc_id NOT IN (SELECT doc_id FROM ri1 UNION SELECT doc_id FROM rb1)
+),
+idx2 AS (SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1),
+ri2 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e2 x ON x.doc_id = m.da JOIN idx2 y ON y.doc_id = m.db
+),
+rb2 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e2 x ON x.doc_id = m.da JOIN e2 y ON y.doc_id = m.db
+  WHERE m.db < m.da AND m.da NOT IN (SELECT doc_id FROM ri2)
+),
+a2 AS (
+  SELECT doc_id FROM e2
+  WHERE doc_id NOT IN (SELECT doc_id FROM ri2 UNION SELECT doc_id FROM rb2)
+)
+SELECT 0 AS epoch,
+       (SELECT COUNT(*) FROM e0) AS n_arrived,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e0) AS arrived_id_sum,
+       CAST(0 AS BIGINT) AS n_rejected_index,
+       (SELECT COUNT(*) FROM rb0) AS n_rejected_batch,
+       (SELECT COUNT(*) FROM a0) AS n_accepted
+UNION ALL
+SELECT 1,
+       (SELECT COUNT(*) FROM e1),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e1),
+       (SELECT COUNT(*) FROM ri1),
+       (SELECT COUNT(*) FROM rb1),
+       (SELECT COUNT(*) FROM a1)
+UNION ALL
+SELECT 2,
+       (SELECT COUNT(*) FROM e2),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e2),
+       (SELECT COUNT(*) FROM ri2),
+       (SELECT COUNT(*) FROM rb2),
+       (SELECT COUNT(*) FROM a2)
+"""
+
+
+@register(
+    "stream_neardup_ingest",
+    oracle=_neardup_gate_oracle(),
+    tags=("streaming", "dedup", "llm", "acid", "real-stream"),
+    doc=(
+        "T8e real stream: 3 ordered micro-batches of documents through "
+        "the online near-dup ingest gate (MinHash bands vs standing "
+        "ACID index, >=16/32 minima agreement, within-batch keep-first); "
+        "returns the per-epoch accept/reject ledger.  Oracle = full SQL "
+        "replay of every gate decision."
+    ),
+)
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import read_table
+    from .core import write_stream_neardup_gate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="ndgate_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        os.makedirs(src_dir)
+        # Deterministic epoch split (doc_id % 3), one file per epoch,
+        # arrival order forced BOTH ways the file source may sort
+        # pending files (name asc, mtime asc).
+        import time as _time
+
+        now = _time.time()
+        for e in range(3):
+            part_dir = os.path.join(tmp, f"part{e}")
+            docs.filter(F.pmod("doc_id", F.lit(3)) == e).coalesce(1).write.parquet(part_dir)
+            src_file = next(
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            )
+            dst = os.path.join(src_dir, f"e{e}.parquet")
+            shutil.move(src_file, dst)
+            os.utime(dst, (now + 30 * e, now + 30 * e))
+        schema = spark.read.parquet(src_dir).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        roots = {n: os.path.join(tmp, n) for n in ("sigs", "docs", "stats")}
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = write_stream_neardup_gate(
+                sdf, roots["sigs"], roots["docs"], roots["stats"]
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set(key, prev)
+        stats = [
+            (int(r["epoch"]), r["n_arrived"], r["arrived_id_sum"],
+             r["n_rejected_index"], r["n_rejected_batch"], r["n_accepted"])
+            for r in read_table(spark, roots["stats"]).collect()
+        ]
+        # Loud determinism guard: every epoch must have seen EXACTLY the
+        # doc_id % 3 == epoch group (file-order violations would
+        # silently flip gate decisions — fail here, not at the oracle).
+        want = {
+            int(r["e"]): (r["n"], int(r["ids"] or 0))
+            for r in docs.groupBy(F.pmod("doc_id", F.lit(3)).alias("e"))
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("ids"))
+            .collect()
+        }
+        got = {e: (n, ids) for e, n, ids, _, _, _ in stats}
+        if got != want:
+            raise RuntimeError(
+                f"epoch membership drifted from the doc_id%3 split: {got} != {want}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        stats,
+        "epoch int, n_arrived long, arrived_id_sum long, "
+        "n_rejected_index long, n_rejected_batch long, n_accepted long",
+    )

@@ -508,3 +508,69 @@ def test_stream_progress_report_shows_batches_and_watermark(spark, sf_dir):
     assert rep["batch_id"].is_unique
     # the watermark column must be populated once event time has flowed
     assert rep["watermark"].notna().any()
+
+
+def test_neardup_gate_decisions_and_replay_noop(spark, tmp_path):
+    """T8e: the online near-dup ingest gate must (a) keep-first within a
+    batch, (b) reject an arriving near-dup of an already-indexed doc,
+    (c) accept sub-3-word docs unconditionally (no signature), and
+    (d) stay exactly-once when the whole stream replays (fresh
+    checkpoint, same epoch txids)."""
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import current_manifest, read_table
+    from data_engineer_coder_spark.streaming.core import write_stream_neardup_gate
+
+    dup = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    uniq1 = "completely different words about spark streaming engines at scale"
+    uniq2 = "a third unrelated document mentioning parquet manifests and commits"
+    e0 = [(10, dup), (12, dup), (14, uniq1), (16, "hi")]
+    e1 = [(21, dup), (23, uniq2)]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((e0, e1)):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_neardup_gate(
+            sdf, str(tmp_path / "sigs"), str(tmp_path / "docs"), str(tmp_path / "stats")
+        )
+        q.awaitTermination(300)
+
+    _run()
+    stats = {
+        int(r["epoch"]): (r["n_rejected_index"], r["n_rejected_batch"], r["n_accepted"])
+        for r in read_table(spark, str(tmp_path / "stats")).collect()
+    }
+    # epoch 0: 12 is a within-batch dup of 10 (keep-first); "hi" accepted
+    assert stats[0] == (0, 1, 3)
+    # epoch 1: 21 near-dups indexed 10; 23 unique
+    assert stats[1] == (1, 0, 1)
+    docs = read_table(spark, str(tmp_path / "docs"))
+    assert sorted(r["doc_id"] for r in docs.collect()) == [10, 14, 16, 23]
+    sigs = read_table(spark, str(tmp_path / "sigs"))
+    # the 2-word doc contributed no signature
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [10, 14, 23]
+
+    v_before = {
+        n: current_manifest(str(tmp_path / n))["version"]
+        for n in ("sigs", "docs", "stats")
+    }
+    _run()  # fresh checkpoint → full replay of epochs 0 and 1
+    for n, v in v_before.items():
+        assert current_manifest(str(tmp_path / n))["version"] == v, n
+    assert read_table(spark, str(tmp_path / "docs")).count() == 4
+    assert read_table(spark, str(tmp_path / "stats")).count() == 2
