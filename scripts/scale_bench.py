@@ -74,6 +74,8 @@ HEAVY = [
     "source_overlap_matrix",
     "incremental_rollup_merge",
     "ewma_user_value",
+    # round 9 additions
+    "stream_neardup_ingest",
 ]
 
 
