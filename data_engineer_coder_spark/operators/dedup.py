@@ -371,12 +371,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     (``streaming/core.py: write_stream_neardup_gate``) verify its
     accept/reject decisions against a plain SQL recompute.
 
-    No document-frequency cap is applied: the gate signs one micro-batch
-    at a time, where a corpus-global df state would have to be carried
-    between epochs (a standing count matview, or a CMS at 100 TB — see
-    ``countmin_token_freq``); boilerplate suppression stays the job of
-    the batch hygiene ops upstream of ingestion.
+    No document-frequency cap is applied here: the gate signs one
+    micro-batch at a time, where a corpus-global df state must be
+    carried between epochs — that is the capped variant's job
+    (``write_stream_neardup_gate(df_cap=…)``), which maintains the df
+    state as a standing count matview and filters
+    :func:`shingle_hashes` output before :func:`minhash_from_hashes`
+    (a CMS replaces the exact table at 100 TB — see
+    ``countmin_token_freq``).
     """
+    return minhash_from_hashes(shingle_hashes(docs))
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct shingle hashes ``(doc_id, h)`` for an arbitrary
+    ``(doc_id, text)`` frame — the md5-derived 60-bit-mod-2^31 hash the
+    whole MinHash family (and its DuckDB oracles) keys on."""
     w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(
         F.size("ws") >= 3
     )
@@ -384,17 +394,20 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     h = F.pmod(
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"), F.lit(2**31)
     ).alias("h")
-    return (
-        sh.select("doc_id", h)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.pmod(F.lit(_PERM_A[j]) * F.col("h") + F.lit(_PERM_B[j]), F.lit(_MERSENNE))
-                ).alias(f"m{j}")
-                for j in range(_K)
-            ]
-        )
+    return sh.select("doc_id", h)
+
+
+def minhash_from_hashes(hashed: DataFrame) -> DataFrame:
+    """Wide signature frame from a ``(doc_id, h)`` hash stream — split
+    from :func:`minhash_signatures` so callers can filter the hash
+    stream first (the df-capped ingest gate)."""
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(_PERM_A[j]) * F.col("h") + F.lit(_PERM_B[j]), F.lit(_MERSENNE))
+            ).alias(f"m{j}")
+            for j in range(_K)
+        ]
     )
 
 

@@ -356,6 +356,8 @@ def write_stream_neardup_gate(
     docs_root: str,
     stats_root: str,
     min_agree: int = 16,
+    df_cap: int | None = None,
+    df_root: str | None = None,
     checkpoint: str | None = None,
 ):
     """T8e (round 9): ONLINE NEAR-DUP INGEST GATE — the streaming face of
@@ -394,16 +396,40 @@ def write_stream_neardup_gate(
     broadcast probe) + work ∝ candidates; across epochs the index scan
     is the linear-per-epoch term — the production cut is a band-key
     bloom/zone-map on the index files (the ACID table already records
-    footer stats) so a batch probes only colliding files.  No
-    document-frequency cap is applied per batch (see
-    ``minhash_signatures``); at scale the df state would be a standing
-    count matview maintained exactly like ``write_stream_rollup_merge``,
-    or a CMS (``countmin_token_freq``).
+    footer stats) so a batch probes only colliding files.
+
+    ``df_cap`` (with ``df_root``) turns on EVOLVING boilerplate
+    suppression: a standing shingle document-frequency table — itself a
+    mergeable count matview maintained exactly like
+    ``write_stream_rollup_merge``, hash-bucketed on the shingle hash —
+    records how many ARRIVED docs each shingle has appeared in; a
+    shingle whose standing df (from strictly earlier epochs) exceeds
+    the cap is excluded from this batch's signatures, so template
+    headers/footers stop dominating bands as the corpus grows (the
+    same df-skew rationale as the batch path's ``_SHINGLE_DF_CAP``).
+    The exclusion set is the HOT set — tiny by construction — and is
+    broadcast; the df merge costs O(batch shingles + standing rows).
+    At 100 TB the exact table gives way to a CMS
+    (``countmin_token_freq``) with identical gate semantics.  Without
+    ``df_cap`` no df state is kept (see ``minhash_signatures``).
     """
     from pyspark.sql import functions as F
 
-    from ..io.acid_table import append_partitions, current_manifest, read_table
-    from ..operators.dedup import _K, band_key_array, minhash_signatures
+    from ..io.acid_table import (
+        append_partitions,
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+    from ..operators.dedup import (
+        _K,
+        band_key_array,
+        minhash_from_hashes,
+        shingle_hashes,
+    )
+
+    if (df_cap is None) != (df_root is None):
+        raise ValueError("df_cap and df_root must be provided together")
 
     mcols = [f"m{j}" for j in range(_K)]
 
@@ -418,7 +444,29 @@ def write_stream_neardup_gate(
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
         batch = df.withColumn("epoch", F.lit(int(epoch_id)))
-        sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint()
+        hashed = shingle_hashes(batch.select("doc_id", "text"))
+        n_capped = 0
+        if df_cap is not None:
+            hashed = hashed.localCheckpoint()
+            hashed_eff = hashed
+            if current_manifest(df_root)["partitions"]:
+                # the hot set: shingles past the cap in STRICTLY earlier
+                # epochs (tiny by construction — broadcast)
+                excl = (
+                    read_table(spark, df_root)
+                    .filter(F.col("df") > df_cap)
+                    .select("h")
+                )
+                n_capped = (
+                    hashed.select("h")
+                    .distinct()
+                    .join(F.broadcast(excl), "h", "left_semi")
+                    .count()
+                )
+                hashed_eff = hashed.join(F.broadcast(excl), "h", "left_anti")
+        else:
+            hashed_eff = hashed
+        sig = minhash_from_hashes(hashed_eff).localCheckpoint()
         bands = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
 
         rej_index = None
@@ -489,11 +537,39 @@ def write_stream_neardup_gate(
         # membership, not just cardinality
         stats = spark.createDataFrame(
             [(int(epoch_id), arrived["n"], int(arrived["ids"] or 0),
-              n_rej_index, n_rej_batch, n_accepted)],
+              n_capped, n_rej_index, n_rej_batch, n_accepted)],
             "epoch int, n_arrived long, arrived_id_sum long, "
-            "n_rejected_index long, n_rejected_batch long, n_accepted long",
+            "n_capped_shingles long, n_rejected_index long, "
+            "n_rejected_batch long, n_accepted long",
         )
         append_partitions(stats, stats_root, ["epoch"], txid)
+
+        if df_cap is not None:
+            # merge this epoch's per-shingle arrived-doc counts into the
+            # standing df matview (the write_stream_rollup_merge shape:
+            # mergeable counts, hash-bucketed, replace touched buckets
+            # under the same epoch txid — exactly-once under replay).
+            # Counts include REJECTED docs: the gate saw them, and their
+            # boilerplate is exactly the signal the cap exists for.
+            # distinct (doc, h): two shingles hash-colliding within one
+            # doc must count that doc once (df = docs-per-hash, exactly)
+            batch_counts = (
+                hashed.dropDuplicates(["doc_id", "h"])
+                .groupBy("h")
+                .agg(F.count("*").alias("df"))
+            )
+            merged = batch_counts
+            if current_manifest(df_root)["partitions"]:
+                merged = merged.unionByName(
+                    read_table(spark, df_root).select("h", "df")
+                    .withColumn("df", F.col("df").cast("long"))
+                )
+            merged = (
+                merged.groupBy("h")
+                .agg(F.sum("df").alias("df"))
+                .withColumn("bucket", F.pmod("h", F.lit(8)))
+            )
+            replace_partitions(merged, df_root, ["bucket"], txid)
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"

@@ -518,6 +518,7 @@ a2 AS (
 SELECT 0 AS epoch,
        (SELECT COUNT(*) FROM e0) AS n_arrived,
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e0) AS arrived_id_sum,
+       CAST(0 AS BIGINT) AS n_capped_shingles,
        CAST(0 AS BIGINT) AS n_rejected_index,
        (SELECT COUNT(*) FROM rb0) AS n_rejected_batch,
        (SELECT COUNT(*) FROM a0) AS n_accepted
@@ -525,6 +526,7 @@ UNION ALL
 SELECT 1,
        (SELECT COUNT(*) FROM e1),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e1),
+       CAST(0 AS BIGINT),
        (SELECT COUNT(*) FROM ri1),
        (SELECT COUNT(*) FROM rb1),
        (SELECT COUNT(*) FROM a1)
@@ -532,6 +534,7 @@ UNION ALL
 SELECT 2,
        (SELECT COUNT(*) FROM e2),
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e2),
+       CAST(0 AS BIGINT),
        (SELECT COUNT(*) FROM ri2),
        (SELECT COUNT(*) FROM rb2),
        (SELECT COUNT(*) FROM a2)
@@ -551,6 +554,13 @@ SELECT 2,
     ),
 )
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_neardup_gate(spark, sf_dir)
+
+
+def _run_neardup_gate(spark: SparkSession, sf_dir: str, df_cap: int | None = None) -> DataFrame:
+    """Shared harness for the gate queries: 3 deterministically ordered
+    epochs of the documents table through the real stream, returning the
+    per-epoch ledger (with the epoch-membership guard)."""
     import os
     import shutil
     import tempfile
@@ -586,20 +596,22 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(src_dir)
         )
-        roots = {n: os.path.join(tmp, n) for n in ("sigs", "docs", "stats")}
+        roots = {n: os.path.join(tmp, n) for n in ("sigs", "docs", "stats", "dfs")}
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
         spark.conf.set(key, "8")
         try:
             q = write_stream_neardup_gate(
-                sdf, roots["sigs"], roots["docs"], roots["stats"]
+                sdf, roots["sigs"], roots["docs"], roots["stats"],
+                df_cap=df_cap, df_root=roots["dfs"] if df_cap else None,
             )
             q.awaitTermination(600)
         finally:
             spark.conf.set(key, prev)
         stats = [
             (int(r["epoch"]), r["n_arrived"], r["arrived_id_sum"],
-             r["n_rejected_index"], r["n_rejected_batch"], r["n_accepted"])
+             r["n_capped_shingles"], r["n_rejected_index"],
+             r["n_rejected_batch"], r["n_accepted"])
             for r in read_table(spark, roots["stats"]).collect()
         ]
         # Loud determinism guard: every epoch must have seen EXACTLY the
@@ -611,7 +623,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.sum("doc_id").alias("ids"))
             .collect()
         }
-        got = {e: (n, ids) for e, n, ids, _, _, _ in stats}
+        got = {e: (n, ids) for e, n, ids, _, _, _, _ in stats}
         if got != want:
             raise RuntimeError(
                 f"epoch membership drifted from the doc_id%3 split: {got} != {want}"
@@ -621,5 +633,173 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats,
         "epoch int, n_arrived long, arrived_id_sum long, "
-        "n_rejected_index long, n_rejected_batch long, n_accepted long",
+        "n_capped_shingles long, n_rejected_index long, "
+        "n_rejected_batch long, n_accepted long",
     )
+
+
+def _neardup_gate_capped_oracle(cap: int) -> str:
+    """Full replay of the DF-CAPPED gate: signatures are epoch-specific —
+    a shingle whose document frequency over STRICTLY EARLIER epochs
+    (arrived docs, accepted or not) exceeds ``cap`` is excluded from the
+    current epoch's signatures, exactly as the standing df matview does
+    it on the Spark side.  Each doc still gets ONE signature (from its
+    own ingest epoch), so the pair/agreement/acceptance chain is
+    unchanged once ``sig`` is built per-epoch."""
+    from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
+
+    perm_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE LEN(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, LEN(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+    FROM w
+  )
+),
+hv AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483648 AS BIGINT) AS h
+  FROM sh
+),
+ep AS (SELECT doc_id, doc_id % 3 AS e FROM documents),
+e0 AS (SELECT doc_id FROM ep WHERE e = 0),
+e1 AS (SELECT doc_id FROM ep WHERE e = 1),
+e2 AS (SELECT doc_id FROM ep WHERE e = 2),
+df1 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
+  FROM hv JOIN e0 ON e0.doc_id = hv.doc_id GROUP BY h
+),
+df2 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
+  FROM hv JOIN (SELECT doc_id FROM e0 UNION SELECT doc_id FROM e1) u
+       ON u.doc_id = hv.doc_id
+  GROUP BY h
+),
+x1 AS (SELECT h FROM df1 WHERE df > {cap}),
+x2 AS (SELECT h FROM df2 WHERE df > {cap}),
+perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(j, a, b)),
+hv0 AS (SELECT hv.doc_id, h FROM hv JOIN e0 ON e0.doc_id = hv.doc_id),
+hv1 AS (
+  SELECT hv.doc_id, h FROM hv JOIN e1 ON e1.doc_id = hv.doc_id
+  WHERE h NOT IN (SELECT h FROM x1)
+),
+hv2 AS (
+  SELECT hv.doc_id, h FROM hv JOIN e2 ON e2.doc_id = hv.doc_id
+  WHERE h NOT IN (SELECT h FROM x2)
+),
+hvu AS (
+  SELECT * FROM hv0 UNION ALL SELECT * FROM hv1 UNION ALL SELECT * FROM hv2
+),
+sig AS (
+  SELECT doc_id, p.j, MIN((p.a * hvu.h + p.b) % {_MERSENNE}) AS m
+  FROM hvu CROSS JOIN perms p GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id,
+         CAST(j // {_ROWS} AS VARCHAR) || '_'
+           || string_agg(CAST(m AS VARCHAR), '_' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {_ROWS}
+),
+pair AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id <> b.doc_id
+),
+agree AS (
+  SELECT p.da, p.db, COUNT(*) FILTER (WHERE sa.m = sb.m) AS k
+  FROM pair p
+  JOIN sig sa ON sa.doc_id = p.da
+  JOIN sig sb ON sb.doc_id = p.db AND sb.j = sa.j
+  GROUP BY 1, 2
+),
+m2 AS (SELECT da, db FROM agree WHERE k >= 16),
+rb0 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e0 x ON x.doc_id = m.da JOIN e0 y ON y.doc_id = m.db
+  WHERE m.db < m.da
+),
+a0 AS (SELECT doc_id FROM e0 WHERE doc_id NOT IN (SELECT doc_id FROM rb0)),
+ri1 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e1 x ON x.doc_id = m.da JOIN a0 y ON y.doc_id = m.db
+),
+rb1 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e1 x ON x.doc_id = m.da JOIN e1 y ON y.doc_id = m.db
+  WHERE m.db < m.da AND m.da NOT IN (SELECT doc_id FROM ri1)
+),
+a1 AS (
+  SELECT doc_id FROM e1
+  WHERE doc_id NOT IN (SELECT doc_id FROM ri1 UNION SELECT doc_id FROM rb1)
+),
+idx2 AS (SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1),
+ri2 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e2 x ON x.doc_id = m.da JOIN idx2 y ON y.doc_id = m.db
+),
+rb2 AS (
+  SELECT DISTINCT m.da AS doc_id FROM m2 m
+  JOIN e2 x ON x.doc_id = m.da JOIN e2 y ON y.doc_id = m.db
+  WHERE m.db < m.da AND m.da NOT IN (SELECT doc_id FROM ri2)
+),
+a2 AS (
+  SELECT doc_id FROM e2
+  WHERE doc_id NOT IN (SELECT doc_id FROM ri2 UNION SELECT doc_id FROM rb2)
+),
+nc1 AS (
+  SELECT COUNT(DISTINCT hv.h) AS n FROM hv JOIN e1 ON e1.doc_id = hv.doc_id
+  WHERE hv.h IN (SELECT h FROM x1)
+),
+nc2 AS (
+  SELECT COUNT(DISTINCT hv.h) AS n FROM hv JOIN e2 ON e2.doc_id = hv.doc_id
+  WHERE hv.h IN (SELECT h FROM x2)
+)
+SELECT 0 AS epoch,
+       (SELECT COUNT(*) FROM e0) AS n_arrived,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e0) AS arrived_id_sum,
+       CAST(0 AS BIGINT) AS n_capped_shingles,
+       CAST(0 AS BIGINT) AS n_rejected_index,
+       (SELECT COUNT(*) FROM rb0) AS n_rejected_batch,
+       (SELECT COUNT(*) FROM a0) AS n_accepted
+UNION ALL
+SELECT 1,
+       (SELECT COUNT(*) FROM e1),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e1),
+       (SELECT n FROM nc1),
+       (SELECT COUNT(*) FROM ri1),
+       (SELECT COUNT(*) FROM rb1),
+       (SELECT COUNT(*) FROM a1)
+UNION ALL
+SELECT 2,
+       (SELECT COUNT(*) FROM e2),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e2),
+       (SELECT n FROM nc2),
+       (SELECT COUNT(*) FROM ri2),
+       (SELECT COUNT(*) FROM rb2),
+       (SELECT COUNT(*) FROM a2)
+"""
+
+
+@register(
+    "stream_neardup_ingest_capped",
+    oracle=_neardup_gate_capped_oracle(3),
+    tags=("streaming", "dedup", "llm", "acid", "real-stream"),
+    doc=(
+        "T8e with EVOLVING boilerplate suppression: the gate additionally "
+        "maintains a standing shingle document-frequency matview "
+        "(hash-bucketed mergeable counts, replace-merged per epoch under "
+        "the same txid); shingles past df>3 over earlier epochs are "
+        "excluded from signatures before banding.  Oracle = full SQL "
+        "replay including the per-epoch exclusion sets."
+    ),
+)
+def stream_neardup_ingest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_neardup_gate(spark, sf_dir, df_cap=3)

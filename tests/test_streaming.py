@@ -574,3 +574,71 @@ def test_neardup_gate_decisions_and_replay_noop(spark, tmp_path):
         assert current_manifest(str(tmp_path / n))["version"] == v, n
     assert read_table(spark, str(tmp_path / "docs")).count() == 4
     assert read_table(spark, str(tmp_path / "stats")).count() == 2
+
+
+def test_neardup_gate_df_cap_excludes_boilerplate(spark, tmp_path):
+    """T8e capped: the standing df matview must count ARRIVED (not just
+    accepted) docs, a shingle past the cap must be excluded from later
+    epochs' signatures (n_capped_shingles > 0, and a pure-boilerplate
+    arrival whose shingles are ALL capped is accepted — no signature),
+    and the cap must be able to FLIP a decision the uncapped gate makes."""
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import read_table
+    from data_engineer_coder_spark.streaming.core import write_stream_neardup_gate
+
+    boiler = "subscribe to our weekly newsletter for updates and special offers today"
+    tail = "meanwhile the actual article discusses parquet footers"
+    e0 = [(10, boiler), (12, boiler)]          # 12 rejected within-batch; df(B)=2
+    e1 = [(21, boiler), (23, boiler + " " + tail)]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((e0, e1)):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    def _run(tag, cap):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_neardup_gate(
+            sdf,
+            str(tmp_path / f"{tag}_sigs"),
+            str(tmp_path / f"{tag}_docs"),
+            str(tmp_path / f"{tag}_stats"),
+            df_cap=cap,
+            df_root=str(tmp_path / f"{tag}_dfs") if cap else None,
+        )
+        q.awaitTermination(300)
+        return {
+            int(r["epoch"]): (r["n_capped_shingles"], r["n_rejected_index"],
+                              r["n_rejected_batch"], r["n_accepted"])
+            for r in read_table(spark, str(tmp_path / f"{tag}_stats")).collect()
+        }
+
+    plain = _run("plain", None)
+    # uncapped: 21 is byte-identical to indexed 10 → rejected vs index
+    assert plain[0] == (0, 0, 1, 1)
+    assert plain[1][1] == 1  # 21 rejected vs index
+
+    capped = _run("capped", 1)
+    assert capped[0] == (0, 0, 1, 1)  # epoch 0 sees an empty df state
+    n_capped, ri, rb, acc = capped[1]
+    # df(boiler shingles) = 2 (arrived docs 10 AND 12, despite 12's
+    # rejection) > cap=1 → excluded: 21 has NO remaining shingles → no
+    # signature → accepted (the decision the cap flips); 23 signs on its
+    # unique tail only and is accepted too
+    assert n_capped > 0
+    assert (ri, rb, acc) == (0, 0, 2)
+    # the standing df matview recorded every boiler shingle at df=2
+    dfs = read_table(spark, str(tmp_path / "capped_dfs"))
+    assert dfs.filter(F.col("df") >= 2).count() == n_capped
