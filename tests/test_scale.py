@@ -340,3 +340,38 @@ def test_ivf_cells_scale_with_corpus(spark, sf_dir):
     # geometric imbalance is real but bounded (measured ≤ 12× at 200k
     # vectors, growing ~n^0.25): gate the blow-up case
     assert st["maxc"] <= max(20 * st["avgc"], 200), st
+
+
+def test_neardup_gate_probe_broadcasts_batch_not_index(spark, sf_dir):
+    """T8e scale shape: the ingest gate's index probe must broadcast the
+    (small) BATCH side so the standing signature index — which grows
+    with the corpus — is scanned map-side and never shuffled or
+    broadcast.  Reconstructs the gate's probe plan
+    (streaming/core.py: write_stream_neardup_gate step 2) over real
+    fixture signatures and pins the join strategy."""
+    from data_engineer_coder_spark.operators.dedup import (
+        band_key_array,
+        minhash_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_sig = minhash_signatures(docs.filter(F.col("doc_id") % 3 == 0))
+    batch_sig = minhash_signatures(docs.filter(F.col("doc_id") % 3 == 1))
+    bands = batch_sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
+    index_bands = index_sig.select(
+        F.col("doc_id").alias("idx_id"), F.explode(band_key_array()).alias("band_key")
+    )
+    cand = (
+        index_bands.join(F.broadcast(bands), "band_key")
+        .where(F.col("idx_id") != F.col("doc_id"))
+        .select("doc_id", "idx_id")
+        .distinct()
+    )
+    plan = _plan(cand)
+    # BuildRight = the right (batch) side is the broadcast build — the
+    # index branch stays a streamed probe, never shuffled or broadcast
+    assert "BroadcastHashJoin Inner BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one broadcast exchange in the tree (formatted explain
+    # repeats each node in the details section — count tree form only)
+    assert plan.count("BroadcastExchange (") == 1, plan
