@@ -155,9 +155,12 @@ HEADLINE = [
     "acid_merge_upsert_audit",
     "acid_delete_audit",
     "cm_join_cardinality_audit",
-    # round 9: cross-partition MERGE ledger + streaming matview gate
+    # round 9: cross-partition MERGE ledger + streaming matview gate +
+    # the online near-dup ingest gate (capped variant shares the family;
+    # kept out of the headline to bound suite wall time)
     "acid_partition_move_audit",
     "stream_rollup_matview",
+    "stream_neardup_ingest",
 ]
 
 
