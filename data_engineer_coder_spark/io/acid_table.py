@@ -128,6 +128,26 @@ def current_manifest(root: str) -> dict:
     return manifest_at(root, None)
 
 
+def version_before_txid(root: str, txid: str) -> int:
+    """Highest committed version whose manifest does NOT include ``txid``.
+
+    The crash-replay anchor: a replayed transaction that must see the
+    table "as of before itself" (e.g. the streaming near-dup gate's
+    standing-index probe, whose within-batch/vs-index ledger split would
+    otherwise drift when the epoch's own signatures are already
+    committed) reads at this version instead of the live head.  Returns
+    0 (the empty state) when every committed version already contains
+    ``txid``; returns the current version when ``txid`` has never
+    committed (the normal, non-replay path — same read as live head).
+    """
+    for version, path in reversed(_manifest_versions(root)):
+        with open(path) as fh:
+            man = json.load(fh)
+        if txid not in man.get("txids", []):
+            return version
+    return 0
+
+
 def _dirs(val) -> list[str]:
     """Partition-map values: list of staging dirs (legacy str accepted)."""
     return [val] if isinstance(val, str) else list(val)
@@ -345,6 +365,7 @@ def replace_partitions(
     partition_cols: list[str],
     txid: str,
     _crash_before_commit: Callable[[], None] | None = None,
+    drop_parts: list[str] | None = None,
 ) -> dict:
     """Exactly-once OVERWRITE of the partitions present in ``df``.
 
@@ -352,11 +373,17 @@ def replace_partitions(
     directory alone afterwards; untouched partitions keep their data.
     Returns the committed manifest (or the already-committed one if
     ``txid`` was seen before — the idempotent re-run path).
+    ``drop_parts`` names partition keys (``col=a/col2=b``) the caller
+    REWROTE but which may end up with zero rows in ``df`` — a replaced
+    partition whose rows all migrated elsewhere (e.g. a merge that moves
+    every row of a bucket from one tier to another) would otherwise keep
+    its old directory live; keys that the staged write repopulates are
+    kept, absent ones are dropped.
     ``_crash_before_commit`` is a test seam: raising from it simulates
     a writer dying after staging but before the commit rename.
     """
     return _stage_and_commit(df, root, partition_cols, txid, "replace",
-                             _crash_before_commit)
+                             _crash_before_commit, drop_parts=drop_parts)
 
 
 def append_partitions(
@@ -465,6 +492,7 @@ def compact_partitions(
     root: str,
     txid: str,
     min_dirs: int = 2,
+    sort_by: list[str] | None = None,
     _crash_before_commit: Callable[[], None] | None = None,
 ) -> dict:
     """Rewrite every partition backed by ≥ ``min_dirs`` staging dirs
@@ -507,7 +535,19 @@ def compact_partitions(
             if f.endswith(".parquet")
         )
         nfiles = max(1, -(-nbytes // (128 << 20)))
-        merged.coalesce(nfiles).write.mode("overwrite").parquet(
+        if sort_by:
+            # Sort-on-compact (linear Z-order): range-split + sort the
+            # compacted files on ``sort_by`` so their footer min/max stay
+            # TIGHT — without it a compaction would union epoch-sorted
+            # files into one full-range file and destroy the zone-map
+            # pruning power the table was written with (the ingest gate's
+            # band-key index depends on this).
+            merged = merged.repartitionByRange(
+                nfiles, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            merged = merged.coalesce(nfiles)
+        merged.write.mode("overwrite").parquet(
             os.path.join(stage_abs, pkey)
         )
     new_parts = sorted(targets)
@@ -625,8 +665,14 @@ def merge_into(
     # Delta parity: MERGE raises when two source rows target the same
     # key — letting both through would land duplicate keys in the table
     # and silently break the upsert invariant.
+    # Aggregate under a reserved alias: a user key column literally named
+    # "count" would make a bare F.col("count") reference ambiguous.
     dup = (
-        df.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__mrg_cnt"))
+        .filter(F.col("__mrg_cnt") > 1)
+        .limit(1)
+        .count()
     )
     if dup:
         raise ValueError(
@@ -658,7 +704,12 @@ def merge_into(
             if pf(kv):
                 expect_dirs[pkey] = _dirs(val)
         try:
-            existing = read_table(spark, root, partition_filter=pf)
+            # Pinned to prev["version"]: the expect_dirs guard defends THAT
+            # snapshot — a racing commit landing between current_manifest()
+            # and this read would otherwise be read (then partially erased)
+            # without tripping the guard.
+            existing = read_table(spark, root, partition_filter=pf,
+                                  version=prev["version"])
         except ValueError:
             existing = None  # all touched partitions are new
     if existing is not None:
@@ -702,17 +753,29 @@ def _merge_with_move(
     # to key+partition columns; collect is bounded by the partition
     # count, never the row count.
     probe_cols = list(dict.fromkeys([*key_cols, *partition_cols]))
-    probe = read_table(spark, root, partition_filter=search_filter)
-    for c in partition_cols:
-        probe = probe.withColumn(c, F.col(c).cast(dtypes[c]))
-    old_parts = {
-        tuple(str(r[c]) for c in partition_cols)
-        for r in probe.select(*probe_cols)
-        .join(df.select(*key_cols).distinct(), key_cols, "left_semi")
-        .select(*partition_cols)
-        .distinct()
-        .collect()
-    }
+    # Pinned to prev["version"] — the probe, the rewrite, and the
+    # expect_dirs guard must all describe the SAME snapshot, or a racing
+    # commit between current_manifest() and these reads could contribute
+    # rows that the guard never defends (stale copy + moved copy both
+    # live after commit).
+    try:
+        probe = read_table(spark, root, partition_filter=search_filter,
+                           version=prev["version"])
+    except ValueError:
+        probe = None  # conservative filter matched no live partition
+    if probe is not None:
+        for c in partition_cols:
+            probe = probe.withColumn(c, F.col(c).cast(dtypes[c]))
+        old_parts = {
+            tuple(str(r[c]) for c in partition_cols)
+            for r in probe.select(*probe_cols)
+            .join(df.select(*key_cols).distinct(), key_cols, "left_semi")
+            .select(*partition_cols)
+            .distinct()
+            .collect()
+        }
+    else:
+        old_parts = set()
     new_part_vals = {
         tuple(str(r[c]) for c in partition_cols)
         for r in df.select(*partition_cols).distinct().collect()
@@ -731,9 +794,11 @@ def _merge_with_move(
         if pf(kv):
             expect_dirs[pkey] = _dirs(val)
             selected.append(pkey)
-    # Rewrite pass: ONLY the touched partitions, as survivors ∪ updates.
+    # Rewrite pass: ONLY the touched partitions, as survivors ∪ updates —
+    # read at the same pinned snapshot as the probe.
     try:
-        existing = read_table(spark, root, partition_filter=pf)
+        existing = read_table(spark, root, partition_filter=pf,
+                              version=prev["version"])
     except ValueError:
         existing = None  # every touched partition is new
     if existing is not None:
@@ -777,7 +842,10 @@ def delete_rows(
         return prev
     if not prev["partitions"]:
         raise ValueError(f"delete from empty table {root}")
-    existing = read_table(spark, root, partition_filter=partition_filter)
+    # Pinned to prev["version"]: the expect_dirs guard below defends the
+    # snapshot this read saw, not whatever a racing commit made live.
+    existing = read_table(spark, root, partition_filter=partition_filter,
+                          version=prev["version"])
     # SQL/Delta DELETE removes only condition=TRUE rows.  A bare
     # ``~condition`` is NULL (not TRUE) when the predicate evaluates to
     # NULL — e.g. ``col('source') == 'web'`` on a NULL source — and

@@ -384,9 +384,16 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def shingle_hashes(docs: DataFrame) -> DataFrame:
-    """Per-doc distinct shingle hashes ``(doc_id, h)`` for an arbitrary
+    """Per-doc shingle hashes ``(doc_id, h)`` for an arbitrary
     ``(doc_id, text)`` frame — the md5-derived 60-bit-mod-2^31 hash the
-    whole MinHash family (and its DuckDB oracles) keys on."""
+    whole MinHash family (and its DuckDB oracles) keys on.
+
+    NOT distinct per doc: a shingle string repeated within a document
+    emits one row per occurrence (deduplicating here would add a shuffle
+    the MinHash minima don't need).  Callers that count document
+    frequency from this frame MUST ``dropDuplicates(["doc_id", "h"])``
+    first, as the ingest gate's df matview does — otherwise a repeated
+    in-doc shingle overcounts its df."""
     w = docs.select("doc_id", _words(F.col("text")).alias("ws")).filter(
         F.size("ws") >= 3
     )

@@ -72,25 +72,15 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-8 cohort — keeper-key struct argmin, MG mapInPandas
-    # rewrite, simhash checkpoint rule, bigstar probe batching — all
-    # pruned: re-proven green in CORRECTNESS_r08.)
-    # round 9: the entire IVF/centroid family moved from the
-    # fixture-pinned vec_id∈[100,100+K) quantizer to hash-seeded
-    # corpus-scaled centroids (K ≈ n/125, two-level assignment) — every
-    # cell id, inverted list, and downstream ranking changed in BOTH
-    # engines, so each one's last green row is stale.
-    "mutual_knn_clusters",
-    "csls_bitext_mining",
-    "ivf_ann_topk",
-    "ivf_index_upsert_audit",
-    "ivf_kmeans_topk",
-    "ivf_kmeans_recall_check",
-    "semdedup_prune",
-    "semdedup_greedy_keep_first",
-    "pq_ann_topk",
-    "pq_ann_rerank_topk",
-    "pq_ann_recall_check",
+    # (round-9 cohort — the re-seeded IVF/centroid family — pruned:
+    # re-proven green in CORRECTNESS_r09, 50/50.)
+    # round 10: the ingest gate's standing-index probe moved to
+    # footer-stats file pruning (band-key clustered bands table,
+    # candidate-pruned signature verify) and the capped variant's df
+    # matview to touched-bucket merges with a hot/cold tier split —
+    # decisions must replay identically, so re-prove both.
+    "stream_neardup_ingest",
+    "stream_neardup_ingest_capped",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

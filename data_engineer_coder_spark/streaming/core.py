@@ -359,9 +359,12 @@ def write_stream_neardup_gate(
     df_cap: int | None = None,
     df_root: str | None = None,
     checkpoint: str | None = None,
+    bands_root: str | None = None,
+    df_buckets: int = 64,
+    compact_every: int | None = None,
 ):
-    """T8e (round 9): ONLINE NEAR-DUP INGEST GATE — the streaming face of
-    ``minhash_lsh_neardup``.
+    """T8e (round 9, index-pruned round 10): ONLINE NEAR-DUP INGEST GATE —
+    the streaming face of ``minhash_lsh_neardup``.
 
     A 100 TB corpus is not deduplicated once; it is INGESTED
     continuously, and every arriving batch must be screened against
@@ -372,54 +375,86 @@ def write_stream_neardup_gate(
        minhash_signatures`` — same 32-perm family, shingles, and
        md5-derived hash as the batch path, so decisions are replayable
        in plain SQL);
-    2. probes the STANDING signature index: batch band keys (8×4 LSH
-       bands) joined against the index's band keys with the batch side
-       explicitly ``broadcast()`` — the index, which grows with the
-       corpus, is scanned map-side ONCE per epoch and never shuffled;
-       candidate pairs are verified by signature agreement
-       (``≥ min_agree`` of 32 matching minima ≈ Jaccard ≥ 1/2);
+    2. probes the STANDING index with FILE-LEVEL BAND-KEY PRUNING: the
+       accepted docs' 8×4 LSH band keys live in a standing BANDS table
+       (``bands_root``, partitioned by band index, files SORTED by
+       band_key so their parquet footer min/max ranges are tight).  The
+       batch's own band-key set — bounded by 8 × batch size — is
+       collected and bisected against each index file's footer range
+       (``read_table(stats_filter=...)``): only files whose key range
+       can collide with the batch are ever read.  Per-epoch probe cost
+       is therefore ∝ colliding files, NOT ∝ index size.  Surviving
+       files join against the ``broadcast()`` batch side (index never
+       shuffled), and candidate pairs are verified by signature
+       agreement (``≥ min_agree`` of 32 matching minima ≈ Jaccard ≥
+       1/2) against a SECOND pruned read: the signatures table
+       (files sorted by doc_id) is stats-filtered down to just the
+       files containing candidate ids;
     3. screens WITHIN the batch the same way (keep-first by doc_id: a
        doc is rejected if it matches any smaller-id doc of the same
        batch — the greedy rule; like cluster-keep-first it can
        transitively over-reject through an already-rejected middle doc,
        which is the documented trade for a recursion-free decision);
     4. appends the survivors' rows to the docs table, their signatures
-       to the index, and a one-row (arrived / rejected-vs-index /
-       rejected-within-batch / accepted) ledger to the stats table —
-       all three through ``append_partitions`` with txid = epoch id,
-       so a replayed epoch is a no-op on every table (exactly-once).
+       + band keys to the index tables, and a one-row (arrived /
+       rejected-vs-index / rejected-within-batch / accepted) ledger to
+       the stats table — all through ``append_partitions`` with
+       txid = epoch id, so a replayed epoch is a no-op on every table
+       (exactly-once).  Every standing-table READ is pinned to the last
+       version committed BEFORE this txid (``version_before_txid``), so
+       a crash-replay sees the exact pre-epoch snapshot and the
+       accept/reject decisions AND the ledger's index-vs-batch split
+       replay byte-identically (ADVICE r9).
 
     Docs with <3 words have no shingles, hence no signature: they are
     accepted unconditionally (nothing to match) and add no index rows.
 
-    Scale notes: per-epoch cost is one map-side scan of the index (the
-    broadcast probe) + work ∝ candidates; across epochs the index scan
-    is the linear-per-epoch term — the production cut is a band-key
-    bloom/zone-map on the index files (the ACID table already records
-    footer stats) so a batch probes only colliding files.
+    ``compact_every`` schedules INDEX MAINTENANCE: every N epochs the
+    sig and bands tables' multi-epoch append dirs are compacted
+    (``compact_partitions`` under a ``maintenance-epoch-N`` txid,
+    snapshot-guarded so a compaction racing an epoch commit aborts
+    cleanly) with ``sort_by`` restoring the doc_id/band_key file order
+    the pruning depends on.  Without it a year of micro-batches is one
+    file per epoch per partition — the manifest grows and pruning-miss
+    reads multiply (BASELINE.md's lakehouse table: 30 epochs = 27×).
 
     ``df_cap`` (with ``df_root``) turns on EVOLVING boilerplate
-    suppression: a standing shingle document-frequency table — itself a
-    mergeable count matview maintained exactly like
-    ``write_stream_rollup_merge``, hash-bucketed on the shingle hash —
+    suppression: a standing shingle document-frequency matview —
+    mergeable counts maintained like ``write_stream_rollup_merge``,
+    hash-partitioned into ``df_buckets`` buckets on the shingle hash —
     records how many ARRIVED docs each shingle has appeared in; a
     shingle whose standing df (from strictly earlier epochs) exceeds
     the cap is excluded from this batch's signatures, so template
-    headers/footers stop dominating bands as the corpus grows (the
-    same df-skew rationale as the batch path's ``_SHINGLE_DF_CAP``).
-    The exclusion set is the HOT set — tiny by construction — and is
-    broadcast; the df merge costs O(batch shingles + standing rows).
-    At 100 TB the exact table gives way to a CMS
+    headers/footers stop dominating bands as the corpus grows.  Round
+    10 bounds BOTH halves of its per-epoch cost:
+
+    - the merge reads and rewrites ONLY the buckets containing batch
+      shingles (manifest-level pruning + ``replace_partitions`` of the
+      touched buckets) — cost ∝ touched_buckets × (vocab / df_buckets)
+      + batch, not ∝ total vocabulary; ``df_buckets`` scales with
+      corpus vocabulary exactly like ``spark.sql.shuffle.partitions``
+      scales with data;
+    - the hot set (df > cap) is PHYSICALLY segregated into a ``hot``
+      tier partition (two-level ``tier/bucket`` layout, rows promoted
+      on crossing the cap — df is monotone so promotion is one-way),
+      so the per-epoch exclusion read touches only the hot dirs, which
+      hold the boilerplate tail by construction, never the cold bulk.
+
+    At 100 TB the exact table can still give way to a CMS
     (``countmin_token_freq``) with identical gate semantics.  Without
     ``df_cap`` no df state is kept (see ``minhash_signatures``).
     """
+    from bisect import bisect_left
+
     from pyspark.sql import functions as F
 
     from ..io.acid_table import (
         append_partitions,
-        current_manifest,
+        compact_partitions,
+        manifest_at,
         read_table,
         replace_partitions,
+        version_before_txid,
     )
     from ..operators.dedup import (
         _K,
@@ -430,6 +465,8 @@ def write_stream_neardup_gate(
 
     if (df_cap is None) != (df_root is None):
         raise ValueError("df_cap and df_root must be provided together")
+    if bands_root is None:
+        bands_root = sig_root.rstrip("/") + "_bands"
 
     mcols = [f"m{j}" for j in range(_K)]
 
@@ -441,20 +478,52 @@ def write_stream_neardup_gate(
             s = term if s is None else s + term
         return s
 
+    def _range_hits(sorted_vals):
+        """stats_filter factory: file kept iff its [min,max] footer range
+        contains ANY of ``sorted_vals`` (bisect — the driver-side test is
+        O(log n) per file against a batch-bounded sorted list)."""
+
+        def flt(col):
+            def check(stats: dict) -> bool:
+                s = stats.get(col, (None, None))
+                if s[0] is None or s[1] is None:
+                    return True  # no usable stats: must read
+                i = bisect_left(sorted_vals, s[0])
+                return i < len(sorted_vals) and sorted_vals[i] <= s[1]
+
+            return check
+
+        return flt
+
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
+        txid = f"epoch-{epoch_id}"
+        # Crash-replay anchor: every standing-table READ in this epoch is
+        # pinned to the last version committed BEFORE this epoch's txid
+        # (= the live head on the normal path).
+        sig_v = version_before_txid(sig_root, txid)
+        bands_v = version_before_txid(bands_root, txid)
+        df_v = version_before_txid(df_root, txid) if df_root else 0
         batch = df.withColumn("epoch", F.lit(int(epoch_id)))
         hashed = shingle_hashes(batch.select("doc_id", "text"))
         n_capped = 0
         if df_cap is not None:
             hashed = hashed.localCheckpoint()
             hashed_eff = hashed
-            if current_manifest(df_root)["partitions"]:
+            df_man = manifest_at(df_root, df_v)
+            has_hot = any(
+                pkey.startswith("tier=hot/") for pkey in df_man["partitions"]
+            )
+            if has_hot:
                 # the hot set: shingles past the cap in STRICTLY earlier
-                # epochs (tiny by construction — broadcast)
+                # epochs — read ONLY the hot-tier dirs (tiny by
+                # construction — broadcast); the cold bulk is never read
                 excl = (
-                    read_table(spark, df_root)
-                    .filter(F.col("df") > df_cap)
+                    read_table(
+                        spark, df_root, version=df_v,
+                        partition_filter=lambda kv: kv["tier"] == "hot",
+                    )
+                    .filter(F.col("df") > df_cap)  # belt-and-braces: hot IS df>cap
                     .select("h")
                 )
                 n_capped = (
@@ -470,31 +539,59 @@ def write_stream_neardup_gate(
         bands = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
 
         rej_index = None
-        if current_manifest(sig_root)["partitions"]:
-            index_sig = read_table(spark, sig_root).select("doc_id", *mcols)
-            index_bands = index_sig.select(
-                F.col("doc_id").alias("idx_id"), F.explode(band_key_array()).alias("band_key")
+        if manifest_at(bands_root, bands_v)["partitions"]:
+            # batch band-key set: bounded by 8 × batch docs (driver-side
+            # sorted list for the per-file bisect — the same bounded-state
+            # class as the rollup sink's day list)
+            batch_keys = sorted(
+                r["band_key"]
+                for r in bands.select("band_key").distinct().collect()
             )
-            # broadcast the (small) batch side: the standing index is
-            # scanned once, map-side — no index shuffle at any corpus size
-            cand_i = (
-                index_bands.join(F.broadcast(bands), "band_key")
-                # self-exclusion: after a crash-replay the epoch's own
-                # accepted signatures are already committed to the index
-                .where(F.col("idx_id") != F.col("doc_id"))
-                .select("doc_id", "idx_id")
-                .distinct()
-            )
-            rej_index = (
-                cand_i.join(sig.alias("a"), "doc_id")
-                .join(index_sig.alias("b"), F.col("idx_id") == F.col("b.doc_id"))
-                .where(_agree("a", "b") >= F.lit(min_agree))
-                .select("a.doc_id")
-                .distinct()
-                # tiny id list, referenced 3× (count, anti-join, union):
-                # materialize so the standing index is scanned once
-                .localCheckpoint()
-            )
+            hit = _range_hits(batch_keys)("band_key")
+            try:
+                idx_bands = read_table(
+                    spark, bands_root, version=bands_v, stats_filter=hit
+                ).select(F.col("doc_id").alias("idx_id"), "band_key")
+            except ValueError:
+                idx_bands = None  # every index file pruned: no collisions
+            if idx_bands is not None:
+                # broadcast the (small) batch side: surviving index files
+                # are scanned once, map-side — never shuffled or broadcast
+                cand_i = (
+                    idx_bands.join(F.broadcast(bands), "band_key")
+                    # defense in depth: sig_v/bands_v pinning already
+                    # excludes this epoch's own replayed signatures
+                    .where(F.col("idx_id") != F.col("doc_id"))
+                    .select("doc_id", "idx_id")
+                    .distinct()
+                    # tiny pair list (LSH collisions only), referenced
+                    # below for the id set AND the verify join
+                    .localCheckpoint()
+                )
+                cand_ids = sorted(
+                    r["idx_id"]
+                    for r in cand_i.select("idx_id").distinct().collect()
+                )
+                if cand_ids:
+                    # second pruned read: only sig files whose doc_id
+                    # footer range contains a candidate id are opened
+                    idf = _range_hits(cand_ids)("doc_id")
+                    index_sig = read_table(
+                        spark, sig_root, version=sig_v, stats_filter=idf
+                    ).select("doc_id", *mcols)
+                    rej_index = (
+                        cand_i.join(sig.alias("a"), "doc_id")
+                        .join(
+                            index_sig.alias("b"),
+                            F.col("idx_id") == F.col("b.doc_id"),
+                        )
+                        .where(_agree("a", "b") >= F.lit(min_agree))
+                        .select("a.doc_id")
+                        .distinct()
+                        # tiny id list, referenced 3× (count, anti-join,
+                        # union): materialize once
+                        .localCheckpoint()
+                    )
 
         cand_b = (
             bands.alias("x")
@@ -524,12 +621,34 @@ def write_stream_neardup_gate(
         ).collect()[0]
         n_accepted = accepted.count()
 
-        txid = f"epoch-{epoch_id}"
         append_partitions(accepted, docs_root, ["epoch"], txid)
+        acc_sig = accepted.select("doc_id", "epoch").join(sig, "doc_id")
+        # signatures: partitioned by an id bucket (NOT epoch — so
+        # multi-epoch appends accumulate per partition and compaction has
+        # something to collapse), files sorted by doc_id for the
+        # candidate-id pruned verify read
         append_partitions(
-            accepted.select("doc_id", "epoch").join(sig, "doc_id"),
+            acc_sig.withColumn("sb", F.pmod("doc_id", F.lit(8)))
+            .repartition(F.col("sb"))
+            .sortWithinPartitions("doc_id"),
             sig_root,
-            ["epoch"],
+            ["sb"],
+            txid,
+        )
+        # band-key index: partitioned by band index, files sorted by
+        # band_key so footer ranges drive the probe's file pruning
+        acc_bands = (
+            acc_sig.select(
+                "doc_id", F.explode(band_key_array()).alias("band_key")
+            )
+            .withColumn(
+                "bj", F.split("band_key", "_").getItem(0).cast("int")
+            )
+        )
+        append_partitions(
+            acc_bands.repartition(F.col("bj")).sortWithinPartitions("band_key"),
+            bands_root,
+            ["bj"],
             txid,
         )
         # arrived_id_sum: a content checksum of WHICH docs this epoch
@@ -546,30 +665,76 @@ def write_stream_neardup_gate(
 
         if df_cap is not None:
             # merge this epoch's per-shingle arrived-doc counts into the
-            # standing df matview (the write_stream_rollup_merge shape:
-            # mergeable counts, hash-bucketed, replace touched buckets
-            # under the same epoch txid — exactly-once under replay).
-            # Counts include REJECTED docs: the gate saw them, and their
-            # boilerplate is exactly the signal the cap exists for.
-            # distinct (doc, h): two shingles hash-colliding within one
-            # doc must count that doc once (df = docs-per-hash, exactly)
+            # standing df matview — TOUCHED BUCKETS ONLY (the
+            # write_stream_rollup_merge shape: mergeable counts, replace
+            # just the slice this batch's shingles land in, under the
+            # epoch txid — exactly-once under replay).  Counts include
+            # REJECTED docs: the gate saw them, and their boilerplate is
+            # exactly the signal the cap exists for.  distinct (doc, h):
+            # two shingles hash-colliding within one doc must count that
+            # doc once (df = docs-per-hash, exactly).
             batch_counts = (
                 hashed.dropDuplicates(["doc_id", "h"])
                 .groupBy("h")
                 .agg(F.count("*").alias("df"))
+                .withColumn("bucket", F.pmod("h", F.lit(df_buckets)))
+                .localCheckpoint()
             )
-            merged = batch_counts
-            if current_manifest(df_root)["partitions"]:
-                merged = merged.unionByName(
-                    read_table(spark, df_root).select("h", "df")
-                    .withColumn("df", F.col("df").cast("long"))
-                )
+            touched = sorted(
+                int(r["bucket"])
+                for r in batch_counts.select("bucket").distinct().collect()
+            )
+            touched_set = set(touched)
+            merged = batch_counts.select("h", "df")
+            if manifest_at(df_root, df_v)["partitions"]:
+                try:
+                    standing = read_table(
+                        spark, df_root, version=df_v,
+                        partition_filter=lambda kv: int(kv["bucket"]) in touched_set,
+                    )
+                    merged = merged.unionByName(
+                        standing.select(
+                            "h", F.col("df").cast("long").alias("df")
+                        )
+                    )
+                except ValueError:
+                    pass  # none of the touched buckets exist yet
             merged = (
                 merged.groupBy("h")
                 .agg(F.sum("df").alias("df"))
-                .withColumn("bucket", F.pmod("h", F.lit(8)))
+                .withColumn("bucket", F.pmod("h", F.lit(df_buckets)))
+                # hot/cold tier: rows past the cap are physically
+                # segregated so the exclusion read never touches the bulk
+                .withColumn(
+                    "tier",
+                    F.when(F.col("df") > df_cap, F.lit("hot")).otherwise(
+                        F.lit("cold")
+                    ),
+                )
             )
-            replace_partitions(merged, df_root, ["bucket"], txid)
+            # a touched bucket whose last cold (or hot) row migrated
+            # tiers would otherwise keep its stale old dir live
+            droppable = [
+                f"tier={t}/bucket={b}"
+                for t in ("hot", "cold")
+                for b in touched
+            ]
+            replace_partitions(
+                merged, df_root, ["tier", "bucket"], txid,
+                drop_parts=droppable,
+            )
+
+        if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+            # scheduled index maintenance: collapse the per-epoch append
+            # dirs, re-sorting so footer-range pruning keeps its power.
+            # Maintenance runs under its own txid — snapshot-guarded
+            # (expect_dirs), so one racing an epoch commit aborts cleanly
+            # rather than erasing it; replay is a no-op.
+            mtx = f"maintenance-epoch-{epoch_id}"
+            compact_partitions(spark, sig_root, f"{mtx}-sigs",
+                               sort_by=["doc_id"])
+            compact_partitions(spark, bands_root, f"{mtx}-bands",
+                               sort_by=["band_key"])
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
