@@ -350,6 +350,28 @@ def stream_progress_report(spark, query) -> DataFrame:
     )
 
 
+def band_range_hits(sorted_vals):
+    """``stats_filter`` factory shared by the ingest gate's index probe
+    and its driver-gated pruning audit: a file is kept iff its [min,max]
+    footer range contains ANY of ``sorted_vals`` (bisect — the
+    driver-side test is O(log n) per file against a batch-bounded sorted
+    list).  Lifted to module level so the audit query replays the EXACT
+    decision function the gate runs, not a reimplementation."""
+    from bisect import bisect_left
+
+    def flt(col):
+        def check(stats: dict) -> bool:
+            s = stats.get(col, (None, None))
+            if s[0] is None or s[1] is None:
+                return True  # no usable stats: must read
+            i = bisect_left(sorted_vals, s[0])
+            return i < len(sorted_vals) and sorted_vals[i] <= s[1]
+
+        return check
+
+    return flt
+
+
 def write_stream_neardup_gate(
     sdf: DataFrame,
     sig_root: str,
@@ -444,8 +466,6 @@ def write_stream_neardup_gate(
     (``countmin_token_freq``) with identical gate semantics.  Without
     ``df_cap`` no df state is kept (see ``minhash_signatures``).
     """
-    from bisect import bisect_left
-
     from pyspark.sql import functions as F
 
     from ..io.acid_table import (
@@ -478,22 +498,7 @@ def write_stream_neardup_gate(
             s = term if s is None else s + term
         return s
 
-    def _range_hits(sorted_vals):
-        """stats_filter factory: file kept iff its [min,max] footer range
-        contains ANY of ``sorted_vals`` (bisect — the driver-side test is
-        O(log n) per file against a batch-bounded sorted list)."""
-
-        def flt(col):
-            def check(stats: dict) -> bool:
-                s = stats.get(col, (None, None))
-                if s[0] is None or s[1] is None:
-                    return True  # no usable stats: must read
-                i = bisect_left(sorted_vals, s[0])
-                return i < len(sorted_vals) and sorted_vals[i] <= s[1]
-
-            return check
-
-        return flt
+    _range_hits = band_range_hits
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession

@@ -430,7 +430,12 @@ def stream_rollup_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _neardup_gate_oracle() -> str:
+def _neardup_gate_ctes() -> str:
+    """The shared SQL-replay core of the ingest-gate oracles: shingles →
+    md5 hashes → 32-permutation minima → 8×4 band keys → ≥16/32
+    agreement pairs → the per-epoch accept/reject recursion (a0/a1/a2 =
+    each epoch's accepted set).  The ledger oracle, the probe-pruning
+    audit, and the index-compaction audit all append their own SELECT."""
     from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
 
     perm_rows = ", ".join(
@@ -514,7 +519,11 @@ rb2 AS (
 a2 AS (
   SELECT doc_id FROM e2
   WHERE doc_id NOT IN (SELECT doc_id FROM ri2 UNION SELECT doc_id FROM rb2)
-)
+)"""
+
+
+def _neardup_gate_oracle() -> str:
+    return _neardup_gate_ctes() + """
 SELECT 0 AS epoch,
        (SELECT COUNT(*) FROM e0) AS n_arrived,
        (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM e0) AS arrived_id_sum,
@@ -557,10 +566,27 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_neardup_gate(spark, sf_dir)
 
 
-def _run_neardup_gate(spark: SparkSession, sf_dir: str, df_cap: int | None = None) -> DataFrame:
+def _run_neardup_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int | None = None,
+    audit: str | None = None,
+    compact_every: int | None = None,
+) -> DataFrame:
     """Shared harness for the gate queries: 3 deterministically ordered
     epochs of the documents table through the real stream, returning the
-    per-epoch ledger (with the epoch-membership guard)."""
+    per-epoch ledger (with the epoch-membership guard).
+
+    ``audit`` switches the return value to a maintenance ledger instead:
+
+    - ``"probe"`` — replay the EPOCH-2 index probe's file-pruning
+      decisions against the bands table as it stood before epoch 2
+      (the exact snapshot version and the exact ``band_range_hits``
+      decision function the gate itself used), one row per index file;
+    - ``"compact"`` — the signature index's per-version (n_dirs,
+      n_rows) history across the 3 epoch appends and the scheduled
+      mid-stream compaction (requires ``compact_every``).
+    """
     import os
     import shutil
     import tempfile
@@ -604,6 +630,7 @@ def _run_neardup_gate(spark: SparkSession, sf_dir: str, df_cap: int | None = Non
             q = write_stream_neardup_gate(
                 sdf, roots["sigs"], roots["docs"], roots["stats"],
                 df_cap=df_cap, df_root=roots["dfs"] if df_cap else None,
+                compact_every=compact_every,
             )
             q.awaitTermination(600)
         finally:
@@ -628,6 +655,15 @@ def _run_neardup_gate(spark: SparkSession, sf_dir: str, df_cap: int | None = Non
             raise RuntimeError(
                 f"epoch membership drifted from the doc_id%3 split: {got} != {want}"
             )
+        if audit == "probe":
+            # scratch dir is deleted in finally: checkpoint the audit rows
+            return _neardup_probe_audit(
+                spark, docs, roots["sigs"] + "_bands"
+            ).localCheckpoint()
+        if audit == "compact":
+            return _neardup_compaction_audit(
+                spark, roots["sigs"]
+            ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -803,3 +839,200 @@ SELECT 2,
 )
 def stream_neardup_ingest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_neardup_gate(spark, sf_dir, df_cap=3)
+
+
+def _neardup_probe_audit(spark, docs, bands_root) -> DataFrame:
+    """Replay the EPOCH-2 probe's file-pruning decisions: for every file
+    of the bands index as it stood before epoch 2 (the same
+    ``version_before_txid`` snapshot the gate read), the footer
+    ``band_key`` range, the row count, and the gate's would-read verdict
+    under the REAL decision function (``band_range_hits``) against the
+    REAL epoch-2 batch key set.  One row per index file; the layout
+    guarantees exactly one file per (band index, source epoch) because
+    each epoch's append hash-repartitions on ``bj`` before the
+    partitioned write.  Driver-side state is bounded: 8 × batch docs
+    keys + ≤ 16 file entries."""
+    from ..io.acid_table import _dirs, manifest_at, version_before_txid
+    from ..operators.dedup import band_key_array, minhash_signatures
+    from .core import band_range_hits
+
+    bands_v = version_before_txid(bands_root, "epoch-2")
+    man = manifest_at(bands_root, bands_v)
+    sig2 = minhash_signatures(
+        docs.filter(F.pmod("doc_id", F.lit(3)) == 2).select("doc_id", "text")
+    )
+    batch_keys = sorted(
+        r["band_key"]
+        for r in sig2.select(F.explode(band_key_array()).alias("band_key"))
+        .distinct()
+        .collect()
+    )
+    hit = band_range_hits(batch_keys)("band_key")
+    rows = []
+    for val in man["partitions"].values():
+        for rel in _dirs(val):
+            # rel = "_staging/epoch-N/bj=J"
+            seg = rel.split("/")
+            src_epoch = int(seg[1].split("-", 1)[1])
+            bj = int(seg[2].split("=", 1)[1])
+            files = man["dir_files"][rel]
+            if len(files) != 1:
+                raise RuntimeError(
+                    f"expected one bands file per (bj, epoch) dir, {rel} has "
+                    f"{len(files)} — the audit's file↔SQL-group mapping broke"
+                )
+            f = files[0]
+            st = {c: tuple(v) for c, v in f.get("stats", {}).items()}
+            if "band_key" not in st:
+                raise RuntimeError(
+                    f"no band_key footer stats for {rel}/{f['path']} — the "
+                    "pruning the audit certifies is not active"
+                )
+            rows.append(
+                (bj, src_epoch, int(f["rows"]), st["band_key"][0],
+                 st["band_key"][1], bool(hit(st)))
+            )
+    return spark.createDataFrame(
+        rows,
+        "bj int, src_epoch int, n_keys long, min_key string, "
+        "max_key string, was_read boolean",
+    )
+
+
+def _neardup_compaction_audit(spark, sig_root) -> DataFrame:
+    """The signature index's commit history across the gate run with
+    mid-stream maintenance: per version, total staging dirs and the
+    time-travel row count.  Exactly 4 versions by construction (3 epoch
+    appends + the scheduled compaction after epoch 1) — fail loudly if
+    the schedule drifted."""
+    from ..io.acid_table import read_table, table_history
+
+    hist = table_history(spark, sig_root).select("version", "n_dirs")
+    versions = sorted(r["version"] for r in hist.collect())
+    if versions != [1, 2, 3, 4]:
+        raise RuntimeError(
+            f"expected 4 sig-index versions (3 appends + 1 compaction), "
+            f"got {versions}"
+        )
+    counts = spark.createDataFrame(
+        [
+            (v, read_table(spark, sig_root, version=v).count())
+            for v in (1, 2, 3, 4)
+        ],
+        "version int, n_rows long",
+    )
+    return hist.join(counts, "version").select(
+        "version",
+        F.col("n_dirs").cast("bigint").alias("n_dirs"),
+        "n_rows",
+    )
+
+
+# --------------------------------------------------------------------------
+# T8f (round 10): the gate's index probe is only allowed to READ files
+# whose band_key footer range can collide with the batch — this audit
+# drives the real 3-epoch stream, then replays the epoch-2 pruning
+# decision per index file through the gate's own decision function
+# against the gate's own snapshot, and the oracle recomputes every
+# column from the raw fixture: each (band, epoch) file's key range and
+# count from the accepted sets, and was_read = ∃ epoch-2 batch key in
+# [min, max].  Range-vs-existence parity holds because the files are
+# SORTED by band_key at write, so footer min/max are exact row values.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_neardup_probe_prune_audit",
+    oracle=_neardup_gate_ctes() + """,
+k2 AS (
+  SELECT DISTINCT b.band_key FROM bands b JOIN e2 ON e2.doc_id = b.doc_id
+),
+idx AS (
+  SELECT b.doc_id, b.band_key,
+         CAST(string_split(b.band_key, '_')[1] AS INT) AS bj,
+         CAST(b.doc_id % 3 AS INT) AS src_epoch
+  FROM bands b
+  WHERE b.doc_id IN (SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1)
+),
+g AS (
+  SELECT bj, src_epoch, COUNT(*) AS n_keys,
+         MIN(band_key) AS min_key, MAX(band_key) AS max_key
+  FROM idx GROUP BY bj, src_epoch
+)
+SELECT bj, src_epoch, n_keys, min_key, max_key,
+       EXISTS (SELECT 1 FROM k2
+               WHERE k2.band_key BETWEEN g.min_key AND g.max_key) AS was_read
+FROM g
+""",
+    tags=("streaming", "dedup", "llm", "acid", "scan", "real-stream"),
+    doc=(
+        "T8f: file-level band-key pruning of the ingest gate's standing "
+        "index — per (band, epoch) index file, the footer key range, row "
+        "count, and the probe's prune-before-list decision for the "
+        "epoch-2 batch, each recomputed from the fixture in SQL."
+    ),
+)
+def stream_neardup_probe_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_neardup_gate(spark, sf_dir, audit="probe")
+
+
+# --------------------------------------------------------------------------
+# T8g (round 10): scheduled index maintenance inside the gate — with
+# compact_every=2 the signature index's per-epoch append dirs are
+# collapsed (re-sorted by doc_id) after epoch 1, under a snapshot-
+# guarded maintenance txid.  The audit is the table's commit history:
+# dirs accumulate (v1, v2), compaction collapses them without changing
+# a row (v3), the next epoch appends on top (v4).  The oracle
+# recomputes the whole ledger from the accepted sets: rows = accepted
+# docs with ≥3 words (those carry signatures), dirs = doc_id%8 buckets
+# touched per epoch, collapsed to distinct buckets at the compaction.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_neardup_index_compaction_audit",
+    oracle=_neardup_gate_ctes() + """,
+s0 AS (
+  SELECT doc_id, doc_id % 8 AS sb FROM a0
+  WHERE doc_id IN (SELECT doc_id FROM w)
+),
+s1 AS (
+  SELECT doc_id, doc_id % 8 AS sb FROM a1
+  WHERE doc_id IN (SELECT doc_id FROM w)
+),
+s2 AS (
+  SELECT doc_id, doc_id % 8 AS sb FROM a2
+  WHERE doc_id IN (SELECT doc_id FROM w)
+)
+SELECT 1 AS version,
+       (SELECT COUNT(DISTINCT sb) FROM s0) AS n_dirs,
+       (SELECT COUNT(*) FROM s0) AS n_rows
+UNION ALL
+SELECT 2,
+       (SELECT COUNT(DISTINCT sb) FROM s0) + (SELECT COUNT(DISTINCT sb) FROM s1),
+       (SELECT COUNT(*) FROM s0) + (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT 3,
+       (SELECT COUNT(DISTINCT sb)
+        FROM (SELECT sb FROM s0 UNION SELECT sb FROM s1)),
+       (SELECT COUNT(*) FROM s0) + (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT 4,
+       (SELECT COUNT(DISTINCT sb)
+        FROM (SELECT sb FROM s0 UNION SELECT sb FROM s1))
+         + (SELECT COUNT(DISTINCT sb) FROM s2),
+       (SELECT COUNT(*) FROM s0) + (SELECT COUNT(*) FROM s1)
+         + (SELECT COUNT(*) FROM s2)
+""",
+    tags=("streaming", "dedup", "llm", "acid", "lakehouse", "real-stream"),
+    doc=(
+        "T8g: scheduled small-file maintenance of the gate's signature "
+        "index — per version, the staging-dir count and time-travel row "
+        "count across 3 epoch appends and the mid-stream compaction "
+        "(same rows, one dir per touched id bucket)."
+    ),
+)
+def stream_neardup_index_compaction_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _run_neardup_gate(spark, sf_dir, audit="compact", compact_every=2)

@@ -1299,3 +1299,127 @@ def test_merge_into_partition_move_aborts_on_race(spark, tmp_path):
     )
     got = {r["doc_id"]: (r["lang"], r["val"]) for r in read_table(spark, root).collect()}
     assert got == {1: ("en", 10), 2: ("en", 20), 3: ("en", 31), 8: ("fr", 80)}
+
+
+def test_version_before_txid_replay_anchor(spark, tmp_path):
+    """The crash-replay anchor: a transaction re-reading the table "as of
+    before itself" gets the last version WITHOUT its txid — the live head
+    on the normal path, the pre-epoch snapshot on a replay, and the
+    empty state when it was the first committer."""
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        current_manifest,
+        version_before_txid,
+    )
+
+    root = str(tmp_path / "t")
+    # never-committed txid on an empty table → empty state
+    assert version_before_txid(root, "epoch-0") == 0
+    append_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "epoch-0")
+    append_partitions(_acid_rows(spark, "2024-01-02", [2.0]), root, ["day"], "epoch-1")
+    assert current_manifest(root)["version"] == 2
+    # normal path: txid not committed yet → live head
+    assert version_before_txid(root, "epoch-2") == 2
+    # replay path: the epoch's own commit is excluded
+    assert version_before_txid(root, "epoch-1") == 1
+    # first committer replayed → the empty state
+    assert version_before_txid(root, "epoch-0") == 0
+
+
+def test_replace_partitions_drop_parts_migrated_partition(spark, tmp_path):
+    """A replaced partition whose rows ALL migrated elsewhere (named in
+    drop_parts, absent from the staged write) is dropped; drop_parts
+    keys the staged write repopulates are kept."""
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+
+    root = str(tmp_path / "t")
+    replace_partitions(
+        _acid_rows(spark, "2024-01-01", [1.0]).unionByName(
+            _acid_rows(spark, "2024-01-02", [2.0])
+        ),
+        root, ["day"], "t1",
+    )
+    # rewrite: day-01's row "moves" to day-02; day-01 ends up empty
+    moved = _acid_rows(spark, "2024-01-02", [1.0, 2.0])
+    replace_partitions(
+        moved, root, ["day"], "t2",
+        drop_parts=["day=2024-01-01", "day=2024-01-02"],
+    )
+    man = current_manifest(root)
+    assert sorted(man["partitions"]) == ["day=2024-01-02"]
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0]
+
+
+def test_compact_sort_by_keeps_footer_ranges_tight(spark, tmp_path):
+    """Sort-on-compact: after collapsing two overlapping-range epoch
+    files with sort_by, the compacted file's footer min/max stay exact
+    row values and stats pruning still skips non-colliding reads — the
+    property the ingest gate's band-pruned probe depends on."""
+    from pyspark.sql import Row
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        files_selected,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    # two epochs with interleaved key ranges in one partition
+    e0 = spark.createDataFrame([Row(day="d", k=k, v=0.0) for k in (1, 5, 9)])
+    e1 = spark.createDataFrame([Row(day="d", k=k, v=1.0) for k in (2, 6, 10)])
+    append_partitions(e0, root, ["day"], "e0")
+    append_partitions(e1, root, ["day"], "e1")
+    compact_partitions(spark, root, "c1", sort_by=["k"])
+
+    def rng(lo, hi):
+        def flt(stats):
+            s = stats.get("k", (None, None))
+            if s[0] is None:
+                return True
+            return s[1] >= lo and s[0] <= hi
+
+        return flt
+
+    sel = files_selected(root, stats_filter=rng(11, 99))
+    # compacted to one dir; the out-of-range probe reads NOTHING
+    assert all(not keep for files in sel.values() for _, keep in files)
+    sel = files_selected(root, stats_filter=rng(10, 10))
+    assert any(keep for files in sel.values() for _, keep in files)
+    got = read_table(spark, root, stats_filter=rng(1, 2)).count()
+    assert got == 6  # range-sorted single file: stats select it, all rows read
+
+
+def test_gate_maintenance_compaction_race_aborts(spark, tmp_path):
+    """The gate's scheduled index maintenance (sort_by compaction under a
+    maintenance txid) racing an epoch append aborts with a conflict and
+    leaves the epoch's rows intact — then succeeds on re-run."""
+    import pytest
+
+    from data_engineer_coder_spark.io.acid_table import (
+        append_partitions,
+        compact_partitions,
+        read_table,
+    )
+
+    root = str(tmp_path / "t")
+    append_partitions(_acid_rows(spark, "2024-01-01", [1.0]), root, ["day"], "epoch-0")
+    append_partitions(_acid_rows(spark, "2024-01-01", [2.0]), root, ["day"], "epoch-1")
+
+    def racing_epoch():
+        append_partitions(
+            _acid_rows(spark, "2024-01-01", [9.0]), root, ["day"], "epoch-2"
+        )
+
+    with pytest.raises(RuntimeError, match="conflict"):
+        compact_partitions(
+            spark, root, "maintenance-epoch-1-sigs", sort_by=["k"],
+            _crash_before_commit=racing_epoch,
+        )
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 9.0]
+    compact_partitions(spark, root, "maintenance-epoch-1-sigs", sort_by=["k"])
+    assert sorted(read_table(spark, root).toPandas()["v"]) == [1.0, 2.0, 9.0]
