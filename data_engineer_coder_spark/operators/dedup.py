@@ -2176,3 +2176,150 @@ def quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000.0 * dup_cnt / F.count("*")).cast("bigint").alias("dup_rate_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L14b (round 10): VARIABLE-LENGTH exact-substring dedup — the Lee et
+# al. ("Deduplicating Training Data Makes Language Models Better",
+# 2022) removal semantics at span threshold k, exactly: a token
+# position is duplicated iff it lies inside SOME >=k-token substring
+# that occurs at least twice in the corpus (any doc, any position,
+# within-doc repeats included).  Equivalence used: a >=k duplicated
+# span exists through a position iff one of the k-grams covering the
+# position is globally repeated — so marking repeated k-gram windows
+# and unioning their [pos, pos+k-1] intervals per doc gives the EXACT
+# covered-token set for ALL span lengths >= k at once (no suffix array
+# needed: the suffix array in the paper serves the same k-gram-repeat
+# query; on Spark the count-over-gram shuffle is the natural
+# equivalent, one Theta(corpus tokens) pass).
+#
+# vs the fixed 8-word segment transform (segment_dedup_keep_first):
+# segments tile the doc at stride 8 and dedup WHOLE tiles; this op
+# marks arbitrary-offset, arbitrary-length (>=k) duplicated spans and
+# reports per-doc coverage + the longest covered run.
+#
+# Scale: the gram explode is ~corpus tokens rows; the repeat marking is
+# one map-side-combined groupBy(gram); interval union is a per-doc
+# window (state bounded by doc length).  No step holds more than one
+# doc's positions or one gram's partial count.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 15  # span threshold (tokens); Lee et al. use 50 on BPE tokens
+
+
+@register(
+    "exact_substring_dedup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, LEN(ws) - {_SPAN_K - 2}),
+           i -> {{'pos': i,
+                  'g': array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ')}}
+         )) AS u
+  FROM t WHERE LEN(ws) >= {_SPAN_K}
+), o2 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM occ),
+dupg AS (SELECT g FROM o2 GROUP BY g HAVING COUNT(*) > 1),
+ds AS (SELECT doc_id, pos FROM o2 WHERE g IN (SELECT g FROM dupg)),
+marked AS (
+  SELECT doc_id, pos,
+         LEAST({_SPAN_K},
+               COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                        {_SPAN_K})) AS c,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_K} OR
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ds
+), numbered AS (
+  SELECT doc_id, pos, c,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+), runs AS (
+  SELECT doc_id, isl, MAX(pos) + {_SPAN_K} - MIN(pos) AS rl, SUM(c) AS nd
+  FROM numbered GROUP BY doc_id, isl
+), cov AS (
+  SELECT doc_id, SUM(nd) AS n_dup, MAX(rl) AS max_run FROM runs GROUP BY doc_id
+)
+SELECT t.doc_id,
+       LEN(ws) AS n_tokens,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(max_run, 0) AS BIGINT) AS max_dup_run,
+       CAST(FLOOR(10000.0 * COALESCE(n_dup, 0) / LEN(ws)) AS BIGINT)
+         AS dup_frac_e4
+FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+""",
+    tags=("dedup", "llm", "text"),
+    doc=(
+        "L14b: variable-length exact-substring dedup (Lee et al. 2022 "
+        f"semantics, k={_SPAN_K}) — per doc, the EXACT count of token "
+        "positions inside any >=k-token substring occurring twice "
+        "anywhere in the corpus, plus the longest duplicated-coverage "
+        "run; repeated-k-gram marking + per-doc interval union."
+    ),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import ngram_array
+
+    k = _SPAN_K
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file fixture: spread before the per-row gram explode
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
+    t = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    occ = (
+        t.filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(ngram_array(F.col("ws"), k)).alias("p0", "g"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    )
+    # repeated windows: >=2 occurrences corpus-wide (map-side partial agg;
+    # no task buffers a hot gram's rows)
+    dupg = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("g")
+    )
+    ds = occ.join(dupg, "g", "left_semi").select("doc_id", "pos")
+    # interval union + islands per doc: windows are length-k intervals at
+    # sorted starts; consecutive starts <= k apart merge into one run
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = ds.select(
+        "doc_id",
+        "pos",
+        F.least(
+            F.lit(k),
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)),
+        ).alias("c"),
+        F.when(
+            F.coalesce(
+                F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)
+            ) > k,
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    numbered = marked.withColumn(
+        "isl",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = numbered.groupBy("doc_id", "isl").agg(
+        (F.max("pos") + k - F.min("pos")).alias("rl"),
+        F.sum("c").alias("nd"),
+    )
+    cov = runs.groupBy("doc_id").agg(
+        F.sum("nd").alias("n_dup"), F.max("rl").alias("max_run")
+    )
+    base = t.select("doc_id", F.size("ws").alias("n_tokens"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
+        F.floor(
+            10000.0 * F.coalesce("n_dup", F.lit(0)) / F.col("n_tokens")
+        ).cast("bigint").alias("dup_frac_e4"),
+    )

@@ -744,3 +744,95 @@ def write_stream_neardup_gate(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+def write_stream_decontam_gate(
+    sdf: DataFrame,
+    eval_root: str,
+    docs_root: str,
+    stats_root: str,
+    quarantine_root: str | None = None,
+    checkpoint: str | None = None,
+):
+    """T8h (round 10): ONLINE DECONTAMINATION GATE — the streaming face
+    of ``ngram_decontaminate`` (the L10 hygiene counterpart of what the
+    near-dup gate is to L2).
+
+    A training corpus ingested continuously must be screened for
+    eval-set leakage AT INGEST, not in a quarterly sweep.  The held-out
+    benchmark's 8-gram index is materialized ONCE into a standing ACID
+    table (``eval_root`` — built by the caller before the stream
+    starts); each arriving micro-batch then:
+
+    1. builds its docs' word 8-grams (``ngram_array`` — the exact
+       construction the batch report and its oracle use);
+    2. probes the eval index with the batch side exploded and the EVAL
+       side ``broadcast()``: an eval set is small by construction (KBs
+       of grams vs a corpus of TBs), so the contaminated-doc semi-join
+       is map-side at any corpus size — the batch never shuffles, and
+       per-epoch cost is ∝ batch grams, independent of corpus history;
+    3. splits the batch: docs sharing ANY 8-gram with the eval set are
+       CONTAMINATED (quarantined with evidence when
+       ``quarantine_root`` is given — an audit needs the rejects, not
+       just their count), the rest are accepted;
+    4. appends survivors, quarantined rows, and a one-row ledger
+       (arrived / contaminated / accepted + arrived-id checksum) —
+       all through ``append_partitions`` with txid = epoch id, so a
+       replayed epoch is a no-op on every table (exactly-once).
+
+    Unlike the near-dup gate there is NO evolving cross-epoch state:
+    decontamination is against a FIXED held-out set by definition, so
+    decisions are epoch-local and the replay oracle needs no unrolling
+    — the stateful part is the exactly-once ledger and the standing
+    quarantine/docs tables.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import append_partitions, read_table
+    from ..operators.textops import _DECON_N, ngram_array
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        txid = f"epoch-{epoch_id}"
+        batch = df.withColumn("epoch", F.lit(int(epoch_id)))
+        ev = read_table(spark, eval_root).select("g")
+        occ = batch.select(
+            "doc_id",
+            F.explode(
+                ngram_array(F.split("text", " "), _DECON_N)
+            ).alias("g"),
+        )
+        contam_ids = (
+            occ.join(F.broadcast(ev), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            # tiny id list, referenced 3x (count, split, quarantine):
+            # materialize so the batch grams are built once
+            .localCheckpoint()
+        )
+        accepted = batch.join(contam_ids, "doc_id", "left_anti")
+        quarantined = batch.join(contam_ids, "doc_id", "left_semi")
+        agg = batch.agg(
+            F.count("*").alias("n_arrived"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("arrived_id_sum"),
+        ).collect()[0]
+        n_contam = contam_ids.count()
+        append_partitions(accepted, docs_root, ["epoch"], txid)
+        if quarantine_root is not None and n_contam:
+            append_partitions(quarantined, quarantine_root, ["epoch"], txid)
+        ledger = spark.createDataFrame(
+            [(
+                int(epoch_id),
+                int(agg["n_arrived"]),
+                int(agg["arrived_id_sum"]),
+                int(n_contam),
+                int(agg["n_arrived"]) - int(n_contam),
+            )],
+            "epoch int, n_arrived long, arrived_id_sum long, "
+            "n_contaminated long, n_accepted long",
+        )
+        append_partitions(ledger, stats_root, ["epoch"], txid)
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

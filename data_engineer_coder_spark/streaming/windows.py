@@ -566,6 +566,37 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_neardup_gate(spark, sf_dir)
 
 
+def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3):
+    """Deterministic epoch split (``doc_id % n_epochs``) of ``df`` as a
+    file-source stream under ``tmp``: one file per epoch, arrival order
+    forced BOTH ways the file source may sort pending files (name asc,
+    mtime asc), one micro-batch per file."""
+    import os
+    import shutil
+    import time as _time
+
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir)
+    now = _time.time()
+    for e in range(n_epochs):
+        part_dir = os.path.join(tmp, f"part{e}")
+        df.filter(F.pmod("doc_id", F.lit(n_epochs)) == e).coalesce(1).write.parquet(part_dir)
+        src_file = next(
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"e{e}.parquet")
+        shutil.move(src_file, dst)
+        os.utime(dst, (now + 30 * e, now + 30 * e))
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
 def _run_neardup_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -597,31 +628,7 @@ def _run_neardup_gate(
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     tmp = tempfile.mkdtemp(prefix="ndgate_")
     try:
-        src_dir = os.path.join(tmp, "src")
-        os.makedirs(src_dir)
-        # Deterministic epoch split (doc_id % 3), one file per epoch,
-        # arrival order forced BOTH ways the file source may sort
-        # pending files (name asc, mtime asc).
-        import time as _time
-
-        now = _time.time()
-        for e in range(3):
-            part_dir = os.path.join(tmp, f"part{e}")
-            docs.filter(F.pmod("doc_id", F.lit(3)) == e).coalesce(1).write.parquet(part_dir)
-            src_file = next(
-                os.path.join(part_dir, f)
-                for f in os.listdir(part_dir)
-                if f.endswith(".parquet")
-            )
-            dst = os.path.join(src_dir, f"e{e}.parquet")
-            shutil.move(src_file, dst)
-            os.utime(dst, (now + 30 * e, now + 30 * e))
-        schema = spark.read.parquet(src_dir).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
-        )
+        sdf = _ordered_epoch_stream(spark, docs, tmp)
         roots = {n: os.path.join(tmp, n) for n in ("sigs", "docs", "stats", "dfs")}
         key = "spark.sql.shuffle.partitions"
         prev = spark.conf.get(key)
@@ -1036,3 +1043,142 @@ def stream_neardup_index_compaction_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _run_neardup_gate(spark, sf_dir, audit="compact", compact_every=2)
+
+
+# --------------------------------------------------------------------------
+# T8h (round 10): the ONLINE DECONTAMINATION GATE through the driver
+# gate — the L10 hygiene face of what T8e is to L2 near-dup.  The
+# held-out slice's 8-gram index (doc_id % 97 == 0, the same split as
+# ngram_decontaminate) is materialized ONCE into a standing ACID table;
+# the TRAIN docs then arrive as a real 3-epoch stream and every batch
+# is screened map-side against the broadcast index: any shared 8-gram
+# quarantines the doc at ingest.  The oracle replays every decision
+# (grams, eval membership, per-epoch ledger) from the raw fixture.
+# --------------------------------------------------------------------------
+
+
+def _decontam_gate_oracle() -> str:
+    from ..operators.textops import _DECON_MOD, _DECON_N
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_DECON_MOD} = 0 AS is_eval,
+         string_split(text, ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, is_eval,
+         array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ') AS g
+  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
+  WHERE i + {_DECON_N - 1} <= LEN(ws)
+), ev AS (
+  SELECT DISTINCT g FROM g WHERE is_eval
+), contam AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE NOT is_eval AND g IN (SELECT g FROM ev)
+), tr AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS e FROM t WHERE NOT is_eval
+)
+SELECT e AS epoch,
+       COUNT(*) AS n_arrived,
+       CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS arrived_id_sum,
+       COUNT(c.doc_id) AS n_contaminated,
+       COUNT(*) - COUNT(c.doc_id) AS n_accepted
+FROM tr LEFT JOIN contam c USING (doc_id)
+GROUP BY e
+"""
+
+
+@register(
+    "stream_decontaminate_ingest",
+    oracle=_decontam_gate_oracle(),
+    tags=("streaming", "decontamination", "llm", "acid", "real-stream"),
+    doc=(
+        "T8h real stream: 3 ordered micro-batches of training documents "
+        "through the online decontamination gate (broadcast eval 8-gram "
+        "index, contaminated docs quarantined, survivors + ledger "
+        "appended exactly-once); returns the per-epoch ledger.  Oracle "
+        "= full SQL replay of every gate decision."
+    ),
+)
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import read_table, replace_partitions
+    from ..operators.textops import _DECON_MOD, _DECON_N, ngram_array
+    from .core import write_stream_decontam_gate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.pmod("doc_id", F.lit(_DECON_MOD)) == 0
+    train = docs.filter(~is_eval)
+    tmp = tempfile.mkdtemp(prefix="dcgate_")
+    try:
+        # the standing eval index, built once before the stream starts —
+        # hash-bucketed so the build parallelizes; read whole + broadcast
+        # per epoch (an eval set is small by construction)
+        ev = (
+            docs.filter(is_eval)
+            .select(
+                F.explode(
+                    ngram_array(F.split("text", " "), _DECON_N)
+                ).alias("g")
+            )
+            .distinct()
+            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(8)))
+        )
+        roots = {
+            n: os.path.join(tmp, n)
+            for n in ("eval", "docs", "stats", "quarantine")
+        }
+        replace_partitions(
+            ev.repartition(F.col("b")), roots["eval"], ["b"], "eval-build"
+        )
+        sdf = _ordered_epoch_stream(spark, train, tmp)
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            q = write_stream_decontam_gate(
+                sdf, roots["eval"], roots["docs"], roots["stats"],
+                quarantine_root=roots["quarantine"],
+            )
+            q.awaitTermination(600)
+        finally:
+            spark.conf.set(key, prev)
+        stats = [
+            (int(r["epoch"]), r["n_arrived"], r["arrived_id_sum"],
+             r["n_contaminated"], r["n_accepted"])
+            for r in read_table(spark, roots["stats"]).collect()
+        ]
+        # Loud determinism guards: epoch membership must match the
+        # doc_id % 3 split of the TRAIN slice, and the standing tables
+        # must reconcile with the ledger (docs + quarantine == arrived).
+        want = {
+            int(r["e"]): (r["n"], int(r["ids"] or 0))
+            for r in train.groupBy(F.pmod("doc_id", F.lit(3)).alias("e"))
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("ids"))
+            .collect()
+        }
+        got = {e: (n, ids) for e, n, ids, _, _ in stats}
+        if got != want:
+            raise RuntimeError(
+                f"epoch membership drifted from the doc_id%3 split: {got} != {want}"
+            )
+        n_acc = read_table(spark, roots["docs"]).count()
+        try:
+            n_quar = read_table(spark, roots["quarantine"]).count()
+        except ValueError:
+            n_quar = 0
+        if n_acc + n_quar != sum(n for _, n, _, _, _ in stats):
+            raise RuntimeError(
+                f"docs({n_acc}) + quarantine({n_quar}) != arrived — "
+                "the gate lost or duplicated rows"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        stats,
+        "epoch int, n_arrived long, arrived_id_sum long, "
+        "n_contaminated long, n_accepted long",
+    )
