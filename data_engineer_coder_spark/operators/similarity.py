@@ -2021,12 +2021,14 @@ def ann_lsh_multiprobe_recall_check(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
-# L3f (round 8): PRODUCT-QUANTIZATION ANN (Jégou et al., PAMI 2011) —
-# the remaining member of the production ANN family (exact / LSH /
-# multi-probe / IVF / IVF+k-means / PQ).  The 64-dim space splits into
-# 8 subspaces × 8 dims; each subspace gets a 16-entry codebook (corpus
-# vectors 100–115, the repo's deterministic-seed rule), so a corpus
-# vector compresses to 8 bytes of codes.  Queries never decompress:
+# L3f (round 8, codebooks TRAINED round 10): PRODUCT-QUANTIZATION ANN
+# (Jégou et al., PAMI 2011) — the remaining member of the production
+# ANN family (exact / LSH / multi-probe / IVF / IVF+k-means / PQ).
+# The 64-dim space splits into 8 subspaces × 8 dims; each subspace
+# gets a 16-entry codebook — hash-ranked seed vectors refined by one
+# per-subspace k-means (Lloyd) round over the corpus on the integer
+# grid (``_pq_train``) — so a corpus vector compresses to 8 bytes of
+# codes.  Queries never decompress:
 # ADC (asymmetric distance computation) precomputes each probe's
 # 8×16-entry table of exact squared distances to every centroid slice
 # and scores a candidate by 8 table lookups.
@@ -2050,9 +2052,16 @@ _SQL_PQ_L2 = (
 )
 
 
-@register(
-    "pq_ann_topk",
-    oracle=f"""
+def _sql_pq_ctes() -> str:
+    """Shared PQ oracle core: hash-ranked seeds (cb0) -> round-0
+    assignment (codes0) -> one Lloyd round per subspace (tr: exact
+    bigint slice sums, one double divide, ROUND — the _recenter
+    convention, bit-identical to the Spark fold) -> trained codebook
+    (cb; a codeword with no members keeps its seed slice) -> final
+    corpus codes + per-probe ADC distance tables."""
+    sl = f"n.qv[(cb0.s * {_PQ_SUBDIM} + 1):((cb0.s + 1) * {_PQ_SUBDIM})]"
+    slc = f"n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
+    return f"""
 WITH n AS (
   SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
 ),
@@ -2064,27 +2073,57 @@ picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
     FROM n
   ) WHERE hr <= {_PQ_K}
 ),
-cb AS (  -- codebook: (subspace s, code c, 8-dim centroid slice)
+cb0 AS (  -- seed codebook: (subspace s, code c, 8-dim centroid slice)
   SELECT g.s, c,
          qv[(g.s * {_PQ_SUBDIM} + 1):((g.s + 1) * {_PQ_SUBDIM})] AS cs
   FROM picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
 ),
-codes AS (  -- corpus encoding: per (vec, subspace) the nearest code
+codes0 AS (  -- round-0 assignment: per (vec, subspace) the nearest seed
+  SELECT vec_id, s, c FROM (
+    SELECT n.vec_id, cb0.s, cb0.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id, cb0.s
+             ORDER BY {_SQL_PQ_L2.format(a=sl, b='cb0.cs')}, cb0.c
+           ) AS rn
+    FROM n CROSS JOIN cb0
+  ) WHERE rn = 1
+),
+tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
+  SELECT s, c, list(m ORDER BY d) AS cs FROM (
+    SELECT c0.s, c0.c, g.d AS d,
+           CAST(ROUND(CAST(SUM(n.qv[c0.s * {_PQ_SUBDIM} + g.d]) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS m
+    FROM codes0 c0
+    JOIN n ON n.vec_id = c0.vec_id,
+         generate_series(1, {_PQ_SUBDIM}) AS g(d)
+    GROUP BY c0.s, c0.c, g.d
+  ) GROUP BY s, c
+),
+cb AS (  -- trained codebook; empty codewords keep their seed slice
+  SELECT cb0.s, cb0.c, COALESCE(tr.cs, cb0.cs) AS cs
+  FROM cb0 LEFT JOIN tr ON tr.s = cb0.s AND tr.c = cb0.c
+),
+codes AS (  -- corpus encoding vs the TRAINED codebook
   SELECT vec_id, s, c FROM (
     SELECT n.vec_id, cb.s, cb.c,
            ROW_NUMBER() OVER (
              PARTITION BY n.vec_id, cb.s
-             ORDER BY {_SQL_PQ_L2.format(a=f'n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]', b='cb.cs')}, cb.c
+             ORDER BY {_SQL_PQ_L2.format(a=slc, b='cb.cs')}, cb.c
            ) AS rn
     FROM n CROSS JOIN cb
   ) WHERE rn = 1
 ),
 dtab AS (  -- per probe the exact distance to every (s, c) centroid slice
   SELECT n.vec_id AS probe_id, cb.s, cb.c,
-         {_SQL_PQ_L2.format(a=f'n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]', b='cb.cs')} AS d
+         {_SQL_PQ_L2.format(a=slc, b='cb.cs')} AS d
   FROM n CROSS JOIN cb
   WHERE n.vec_id < 20
-),
+)"""
+
+
+@register(
+    "pq_ann_topk",
+    oracle=_sql_pq_ctes() + """,
 scored AS (  -- ADC: sum of 8 table lookups per (probe, candidate)
   SELECT t.probe_id, codes.vec_id AS neighbor_id, SUM(t.d) AS adc_dist
   FROM codes
@@ -2119,15 +2158,117 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_l2(a, b) -> Column:
+    """Exact integer squared L2 between two 8-dim slices (array fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_sub(s) -> Column:
+    """8-dim slice of the row's ``qv`` for subspace s (Column or int)."""
+    return F.slice(F.col("qv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+
+def _pq_code_for(s) -> Column:
+    """Expression-level argmin over the 16 entries of ``cb[s]``: fold a
+    (best_dist, best_c) struct — zero shuffle, zero explode.  Row needs
+    ``qv`` and the broadcast ``cb`` column."""
+    big = F.lit(1 << 62).cast("bigint")
+
+    def step(acc, c):
+        d = _pq_l2(_pq_sub(s), F.get(F.get(F.col("cb"), s), c))
+        better = d < acc["bd"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+            F.when(better, c).otherwise(acc["bc"]).alias("bc"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+        F.struct(big.alias("bd"), F.lit(-1).alias("bc")),
+        step,
+    )["bc"]
+
+
+def _pq_train(emb: DataFrame, cb0_row: DataFrame) -> DataFrame:
+    """One k-means (Lloyd) round per subspace over the corpus: assign
+    every vector's 8-dim slice to its nearest seed codeword (the same
+    expression-level argmin fold the encoder uses — map-side, zero
+    shuffle), then recenter each (subspace, code) as the elementwise
+    integer mean of its member slices (the ``_recenter`` convention:
+    exact bigint sums, one double divide, ROUND).  A codeword that
+    attracted no members keeps its seed slice, so the codebook stays a
+    dense {_PQ_SUBS}×{_PQ_K} grid and the flat ADC indexing holds.
+
+    Scale shape: assignment is map-side against the broadcast seed row;
+    the recenter is one groupBy over n×{_PQ_SUBS} rows into
+    {_PQ_SUBS}×{_PQ_K} groups — map-side partial aggregation does
+    almost all of it, like any mean.  Returns the trained one-row
+    broadcastable codebook ``cb[s][c]``."""
+    enc0 = emb.crossJoin(F.broadcast(cb0_row)).select(
+        "qv",
+        F.array(*[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]).alias(
+            "codes"
+        ),
+    )
+    ex = enc0.select("qv", F.posexplode("codes").alias("s", "c")).select(
+        "s",
+        "c",
+        F.expr(f"slice(qv, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sl"),
+    )
+    sums = ex.groupBy("s", "c").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.get("sl", d)).alias(f"_s{d}")
+            for d in range(_PQ_SUBDIM)
+        ],
+    )
+    mean_arr = F.array(
+        *[
+            F.round(F.col(f"_s{d}").cast("double") / F.col("_n")).cast(
+                "bigint"
+            )
+            for d in range(_PQ_SUBDIM)
+        ]
+    )
+    trained = sums.select("s", "c", mean_arr.alias("tcs"))
+    seed_entries = (
+        cb0_row.select(F.posexplode("cb").alias("s", "arr"))
+        .select("s", F.posexplode("arr").alias("c", "scs"))
+    )
+    merged = seed_entries.join(
+        F.broadcast(trained), ["s", "c"], "left"
+    ).select("s", "c", F.coalesce("tcs", "scs").alias("cs"))
+    return (
+        merged.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "c", "cs"))).alias("e")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+                lambda s: F.transform(
+                    F.filter(F.col("e"), lambda x: x["s"] == s),
+                    lambda x: x["cs"],
+                ),
+            ).alias("cb")
+        )
+    )
+
+
 def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(probe_id, neighbor_id, adc_dist) for all 20 probes × corpus —
     the shared PQ encode + ADC scan behind both the pure-ADC top-k and
-    the shortlist-re-rank variant."""
+    the shortlist-re-rank variant.  The codebook is TRAINED: hash-ranked
+    seeds refined by one per-subspace Lloyd round (``_pq_train``)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _qvec("embedding").alias("qv")
     )
-    # codebook as ONE broadcast row: cb[s][c] = 8-dim centroid slice
-    cb_row = (
+    # seed codebook as ONE broadcast row: cb[s][c] = 8-dim centroid slice
+    cb0_row = (
         # hash-ranked seeds: top-_PQ_K by the family mix hash — a
         # TakeOrderedAndProject (distributed top-K), no id pinning
         emb.withColumn("_h", _seed_h(F.col("vec_id")))
@@ -2148,39 +2289,12 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def l2(a, b) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    def sub(s) -> Column:
-        # 8-dim slice for subspace s (s is a Column or int)
-        return F.slice(F.col("qv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-
-    big = F.lit(1 << 62).cast("bigint")
-
-    def code_for(s) -> Column:
-        # expression-level argmin over the 16 codebook entries: fold a
-        # (best_dist, best_c) struct — zero shuffle, zero explode
-        def step(acc, c):
-            d = l2(sub(s), F.get(F.get(F.col("cb"), s), c))
-            better = d < acc["bd"]
-            return F.struct(
-                F.when(better, d).otherwise(acc["bd"]).alias("bd"),
-                F.when(better, c).otherwise(acc["bc"]).alias("bc"),
-            )
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
-            F.struct(big.alias("bd"), F.lit(-1).alias("bc")),
-            step,
-        )["bc"]
+    # one Lloyd round refines the seeds into the shipped codebook
+    cb_row = _pq_train(emb, cb0_row).localCheckpoint(eager=False)
 
     corpus = emb.crossJoin(F.broadcast(cb_row)).select(
         "vec_id",
-        F.array(*[code_for(F.lit(s)) for s in range(_PQ_SUBS)]).alias("codes"),
+        F.array(*[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]).alias("codes"),
     )
     # probe distance tables: flat 128-entry array indexed [s*16 + c]
     dtab = (
@@ -2193,7 +2307,7 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
                     lambda s: F.transform(
                         F.get(F.col("cb"), s),
-                        lambda cs: l2(sub(s), cs),
+                        lambda cs: _pq_l2(_pq_sub(s), cs),
                     ),
                 )
             ).alias("dtab"),
@@ -2221,7 +2335,8 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Jégou et al. §V): the 8-byte-code ADC scan builds a SHORTLIST
 # (top-32 by integer ADC distance), and only those 32 candidates per
 # probe are re-scored with the exact cosine.  Measured at sf0.01:
-# recall@3 goes 0.12 (pure ADC, metric-mismatched L2-on-codes) → 0.53,
+# recall@3 goes 0.12 (pure ADC, metric-mismatched L2-on-codes) → 0.53
+# (seed codebooks, r8) → 0.63 (trained codebooks, r10 Lloyd round),
 # at the cost of fetching 32 full vectors per probe — at 100 TB the
 # full-precision reads drop from |corpus| to probes × 32.  The
 # shortlist is deterministic (integer ADC + id tie-break), so the
@@ -2233,39 +2348,7 @@ _PQ_SHORTLIST = 32
 
 @register(
     "pq_ann_rerank_topk",
-    oracle=f"""
-WITH n AS (
-  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
-),
-picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
-  SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
-  FROM (
-    SELECT vec_id, qv,
-           ROW_NUMBER() OVER (ORDER BY {_sql_seed_h('vec_id')}, vec_id) AS hr
-    FROM n
-  ) WHERE hr <= {_PQ_K}
-),
-cb AS (  -- codebook: (subspace s, code c, 8-dim centroid slice)
-  SELECT g.s, c,
-         qv[(g.s * {_PQ_SUBDIM} + 1):((g.s + 1) * {_PQ_SUBDIM})] AS cs
-  FROM picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
-),
-codes AS (
-  SELECT vec_id, s, c FROM (
-    SELECT n.vec_id, cb.s, cb.c,
-           ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id, cb.s
-             ORDER BY {_SQL_PQ_L2.format(a=f'n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]', b='cb.cs')}, cb.c
-           ) AS rn
-    FROM n CROSS JOIN cb
-  ) WHERE rn = 1
-),
-dtab AS (
-  SELECT n.vec_id AS probe_id, cb.s, cb.c,
-         {_SQL_PQ_L2.format(a=f'n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]', b='cb.cs')} AS d
-  FROM n CROSS JOIN cb
-  WHERE n.vec_id < 20
-),
+    oracle=_sql_pq_ctes() + f""",
 adc AS (
   SELECT t.probe_id, codes.vec_id AS neighbor_id, SUM(t.d) AS adc_dist
   FROM codes
@@ -2364,8 +2447,9 @@ FROM embeddings WHERE vec_id < 20
     doc=(
         "L3 quality gate for PQ+re-rank: every probe covered and the "
         "mean found cosine ≥80% of the exact-top-3 optimum (measured "
-        "0.53 recall@3 / high competitive ratio at sf0.01 — re-ranked "
-        "neighbors are near-optimal even when ids differ)."
+        "0.63 recall@3 at sf0.01 with the r10 trained codebooks, up "
+        "from 0.53 on seeds — re-ranked neighbors are near-optimal "
+        "even when ids differ)."
     ),
 )
 def pq_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # decisions must replay identically, so re-prove both.
     "stream_neardup_ingest",
     "stream_neardup_ingest_capped",
+    # round 10: PQ codebooks are now TRAINED (one Lloyd round per
+    # subspace) — every code, ADC table, shortlist, and ranking changed
+    # in BOTH engines, so the family's last green rows are stale.
+    "pq_ann_topk",
+    "pq_ann_rerank_topk",
+    "pq_ann_recall_check",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -223,3 +223,75 @@ def test_pareto_frontier_matches_python_reference(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_pq_train_dense_codebook_and_lower_error(spark, sf_dir):
+    """The r10 trained PQ codebook stays a dense 8x16 grid of 8-dim
+    slices, and one Lloyd round does not worsen (and in practice
+    lowers) the corpus quantization error vs the hash-ranked seeds."""
+    from data_engineer_coder_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _pq_train,
+        _qvec,
+        _seed_h,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _qvec("embedding").alias("qv"))
+    )
+    cb0_row = (
+        emb.withColumn("_h", _seed_h(F.col("vec_id")))
+        .orderBy("_h", "vec_id")
+        .limit(_PQ_K)
+        .drop("_h")
+        .orderBy("vec_id")
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "qv"))).alias("cents"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+                lambda s: F.transform(
+                    F.col("cents"),
+                    lambda ct: F.slice(ct["qv"], s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                ),
+            ).alias("cb")
+        )
+    )
+    cb1_row = _pq_train(emb, cb0_row)
+    cb1 = cb1_row.collect()[0]["cb"]
+    assert len(cb1) == _PQ_SUBS
+    assert all(len(sub) == _PQ_K for sub in cb1)
+    assert all(len(cs) == _PQ_SUBDIM for sub in cb1 for cs in sub)
+
+    def total_err(cb_row):
+        # sum over vectors and subspaces of the min squared L2 to any code
+        joined = emb.crossJoin(F.broadcast(cb_row))
+        err_s = [
+            F.array_min(
+                F.transform(
+                    F.get(F.col("cb"), s),
+                    lambda cs, s=s: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("qv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                            cs,
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            )
+            for s in range(_PQ_SUBS)
+        ]
+        expr = err_s[0]
+        for e in err_s[1:]:
+            expr = expr + e
+        return joined.agg(F.sum(expr)).collect()[0][0]
+
+    e0, e1 = total_err(cb0_row), total_err(cb1_row)
+    # Lloyd monotonicity, modulo the per-dim integer ROUND of the means
+    assert e1 <= e0 * 1.01
+    assert e1 < e0  # and on real data it strictly improves
