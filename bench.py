@@ -161,6 +161,11 @@ HEADLINE = [
     "acid_partition_move_audit",
     "stream_rollup_matview",
     "stream_neardup_ingest",
+    # round 10: variable-length exact-substring dedup + the streaming
+    # decontamination gate (the probe-prune / compaction audits and the
+    # capped gate share the T8e family; kept out to bound wall time)
+    "exact_substring_dedup",
+    "stream_decontaminate_ingest",
 ]
 
 

@@ -384,6 +384,7 @@ def write_stream_neardup_gate(
     bands_root: str | None = None,
     df_buckets: int = 64,
     compact_every: int | None = None,
+    index_file_rows: int | None = None,
 ):
     """T8e (round 9, index-pruned round 10): ONLINE NEAR-DUP INGEST GATE —
     the streaming face of ``minhash_lsh_neardup``.
@@ -411,7 +412,18 @@ def write_stream_neardup_gate(
        agreement (``≥ min_agree`` of 32 matching minima ≈ Jaccard ≥
        1/2) against a SECOND pruned read: the signatures table
        (files sorted by doc_id) is stats-filtered down to just the
-       files containing candidate ids;
+       files containing candidate ids.  Pruning power is a function of
+       FILE GRANULARITY: with one file per (band, epoch) — the default,
+       right for bulk loads where the batch is a meaningful fraction of
+       the corpus — every file spans its band's whole key range and the
+       probe reads them all.  ``index_file_rows`` switches the index
+       writes to range-split files of ≈ that many rows (the 128 MB-file
+       shape at cluster scale): each file then covers a narrow key
+       subrange, and a small batch's probe opens at most ~|batch keys|
+       files NO MATTER how many files the index has accumulated — the
+       continuous-ingestion regime (batch ≪ corpus) where per-epoch
+       probe cost stops tracking index size (measured: see BASELINE.md
+       round-10 probe-pruning table);
     3. screens WITHIN the batch the same way (keep-first by doc_id: a
        doc is rejected if it matches any smaller-id doc of the same
        batch — the greedy rule; like cluster-keep-first it can
@@ -650,12 +662,24 @@ def write_stream_neardup_gate(
                 "bj", F.split("band_key", "_").getItem(0).cast("int")
             )
         )
-        append_partitions(
-            acc_bands.repartition(F.col("bj")).sortWithinPartitions("band_key"),
-            bands_root,
-            ["bj"],
-            txid,
-        )
+        if index_file_rows:
+            # fine-grained index files: range-split on (bj, band_key) so
+            # each file's footer covers a NARROW key subrange.  This is
+            # what makes the probe's file pruning bite in the production
+            # regime (batch ≪ index): files hit ≤ batch keys, regardless
+            # of how many files the index has grown to.  One extra count
+            # per epoch (bounded driver state) sizes the split.
+            nf = max(1, -(-acc_bands.count() // index_file_rows))
+            staged_bands = acc_bands.repartitionByRange(
+                nf, F.col("bj"), F.col("band_key")
+            ).sortWithinPartitions("bj", "band_key")
+        else:
+            # one file per (band, epoch): right when batches are a
+            # meaningful fraction of the corpus (bulk loads, fixtures)
+            staged_bands = acc_bands.repartition(
+                F.col("bj")
+            ).sortWithinPartitions("band_key")
+        append_partitions(staged_bands, bands_root, ["bj"], txid)
         # arrived_id_sum: a content checksum of WHICH docs this epoch
         # saw — lets auditors (and the registry oracle) pin batch
         # membership, not just cardinality

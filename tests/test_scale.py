@@ -375,3 +375,78 @@ def test_neardup_gate_probe_broadcasts_batch_not_index(spark, sf_dir):
     # exactly one broadcast exchange in the tree (formatted explain
     # repeats each node in the details section — count tree form only)
     assert plan.count("BroadcastExchange (") == 1, plan
+
+
+def test_neardup_gate_fine_grained_index_prunes_files(spark, sf_dir, tmp_path):
+    """T8e probe pruning: with ``index_file_rows`` set, the bands index
+    is range-split into narrow-key files, so a SMALL batch's probe opens
+    only colliding files — and the gate's accept/reject decisions are
+    IDENTICAL to the default one-file-per-(band, epoch) layout (file
+    granularity is a physical knob, never a semantic one)."""
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        files_selected,
+        read_table,
+    )
+    from data_engineer_coder_spark.operators.dedup import (
+        band_key_array,
+        minhash_signatures,
+    )
+    from data_engineer_coder_spark.streaming.core import (
+        band_range_hits,
+        write_stream_neardup_gate,
+    )
+    from data_engineer_coder_spark.streaming.windows import (
+        _ordered_epoch_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    ledgers = {}
+    try:
+        for mode, ifr in (("coarse", None), ("fine", 64)):
+            tmp = str(tmp_path / mode)
+            os.makedirs(os.path.join(tmp))
+            sdf = _ordered_epoch_stream(spark, docs, tmp)
+            roots = {n: os.path.join(tmp, n) for n in ("sigs", "docs", "stats")}
+            q = write_stream_neardup_gate(
+                sdf, roots["sigs"], roots["docs"], roots["stats"],
+                index_file_rows=ifr,
+            )
+            q.awaitTermination(600)
+            ledgers[mode] = sorted(
+                tuple(r) for r in read_table(spark, roots["stats"]).collect()
+            )
+            if mode == "fine":
+                bands_root = roots["sigs"] + "_bands"
+                man = current_manifest(bands_root)
+                n_files = sum(
+                    len(v) for v in man["dir_files"].values()
+                )
+                # range-split produced a finer layout than 8 dirs × 2
+                # epochs (the shape pruning needs)
+                assert n_files > 16, man["dir_files"].keys()
+                # a one-doc probe's band keys hit only a sliver of them
+                one = minhash_signatures(docs.filter(F.col("doc_id") == 1))
+                keys = sorted(
+                    r["band_key"]
+                    for r in one.select(
+                        F.explode(band_key_array()).alias("band_key")
+                    ).collect()
+                )
+                assert keys, "probe doc has no signature"
+                hit = band_range_hits(keys)("band_key")
+                sel = files_selected(bands_root, stats_filter=hit)
+                n_read = sum(k for files in sel.values() for _, k in files)
+                # ≤ one file per probe key PER EPOCH GENERATION (3
+                # appends overlap in key range until compaction), ≪ total
+                assert n_read <= 3 * len(keys), (n_read, len(keys))
+                assert n_read < n_files / 2, (n_read, n_files)
+    finally:
+        spark.conf.set(key, prev)
+    # physical layout must not change a single gate decision
+    assert ledgers["fine"] == ledgers["coarse"]
