@@ -350,6 +350,31 @@ def stream_progress_report(spark, query) -> DataFrame:
     )
 
 
+# Count-min sketch shape for the ingest gate's CMS df mode: d seeded
+# rows × w cells.  w is sized so fixture-scale vocabularies (~30k
+# shingles) see near-exact estimates; at corpus scale the guarantee is
+# the usual one-sided ε = e/w overcount on a FIXED-size state.  The
+# md5-derived bucket construction mirrors countmin_token_freq
+# (operators/aggregates.py) so the oracle replays it verbatim.
+_GATE_CMS_D = 4
+_GATE_CMS_W = 65536
+
+
+def _gate_cms_bucket(j: int, h) -> "F.Column":
+    """Row-j count-min bucket of a shingle-hash Column (BIGINT rendered
+    as its decimal string, so DuckDB's ``CAST(h AS VARCHAR)`` replays
+    it)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), h.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(_GATE_CMS_W),
+    )
+
+
 def band_range_hits(sorted_vals):
     """``stats_filter`` factory shared by the ingest gate's index probe
     and its driver-gated pruning audit: a file is kept iff its [min,max]
@@ -385,6 +410,7 @@ def write_stream_neardup_gate(
     df_buckets: int = 64,
     compact_every: int | None = None,
     index_file_rows: int | None = None,
+    df_mode: str = "exact",
 ):
     """T8e (round 9, index-pruned round 10): ONLINE NEAR-DUP INGEST GATE —
     the streaming face of ``minhash_lsh_neardup``.
@@ -474,9 +500,17 @@ def write_stream_neardup_gate(
       so the per-epoch exclusion read touches only the hot dirs, which
       hold the boilerplate tail by construction, never the cold bulk.
 
-    At 100 TB the exact table can still give way to a CMS
-    (``countmin_token_freq``) with identical gate semantics.  Without
-    ``df_cap`` no df state is kept (see ``minhash_signatures``).
+    ``df_mode="cms"`` (round 10) replaces the exact matview with the
+    documented COUNT-MIN sketch: the standing df state becomes a fixed
+    d×w counter table (≤ ``_GATE_CMS_D``·``_GATE_CMS_W`` non-zero
+    rows at ANY vocabulary), the exclusion set is the batch shingles
+    whose min-over-rows estimate exceeds the cap (estimate ≥ exact df —
+    one-sided, so the cap can only fire earlier), and the per-epoch
+    merge re-sums sketch + batch increments in O(sketch + batch) —
+    the variant whose epoch cost is INDEPENDENT of corpus vocabulary,
+    since with hash-bucketed exact counts any non-trivial batch touches
+    every bucket and the merge stays Θ(vocab).  Without ``df_cap`` no
+    df state is kept (see ``minhash_signatures``).
     """
     from pyspark.sql import functions as F
 
@@ -524,7 +558,47 @@ def write_stream_neardup_gate(
         batch = df.withColumn("epoch", F.lit(int(epoch_id)))
         hashed = shingle_hashes(batch.select("doc_id", "text"))
         n_capped = 0
-        if df_cap is not None:
+        if df_cap is not None and df_mode == "cms":
+            # COUNT-MIN path: the standing state is a FIXED-SIZE sketch
+            # (d×w non-zero cells, ≤ _GATE_CMS_D·_GATE_CMS_W rows no
+            # matter the vocabulary), so both the exclusion probe and
+            # the merge cost O(sketch + batch) per epoch — the 100 TB
+            # shape.  The estimate is one-sided (≥ exact df), so the cap
+            # can only fire EARLIER than the exact matview — the
+            # documented sketch trade, replayed exactly by the oracle.
+            hashed = hashed.localCheckpoint()
+            hashed_eff = hashed
+            df_man = manifest_at(df_root, df_v)
+            if df_man["partitions"]:
+                cms = read_table(spark, df_root, version=df_v)
+                bh = hashed.select("h").distinct()
+                probes = bh.select(
+                    "h",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(j).alias("j"),
+                                    _gate_cms_bucket(j, F.col("h")).alias(
+                                        "bucket"
+                                    ),
+                                )
+                                for j in range(_GATE_CMS_D)
+                            ]
+                        )
+                    ).alias("jb"),
+                ).select("h", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+                excl = (
+                    probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+                    .groupBy("h")
+                    .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+                    .filter(F.col("est") > df_cap)
+                    .select("h")
+                    .localCheckpoint()
+                )
+                n_capped = excl.count()
+                hashed_eff = hashed.join(F.broadcast(excl), "h", "left_anti")
+        elif df_cap is not None:
             hashed = hashed.localCheckpoint()
             hashed_eff = hashed
             df_man = manifest_at(df_root, df_v)
@@ -692,7 +766,50 @@ def write_stream_neardup_gate(
         )
         append_partitions(stats, stats_root, ["epoch"], txid)
 
-        if df_cap is not None:
+        if df_cap is not None and df_mode == "cms":
+            # fold this epoch's per-shingle arrived-doc counts into the
+            # standing count-min sketch: batch counts hash into the d×w
+            # cells and the WHOLE sketch (bounded, ≤ d·w non-zero rows)
+            # is re-summed and replaced under the epoch txid —
+            # exactly-once under replay, cost independent of vocabulary.
+            batch_counts = (
+                hashed.dropDuplicates(["doc_id", "h"])
+                .groupBy("h")
+                .agg(F.count("*").alias("df"))
+            )
+            inc = (
+                batch_counts.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(j).alias("j"),
+                                    _gate_cms_bucket(j, F.col("h")).alias(
+                                        "bucket"
+                                    ),
+                                    F.col("df").cast("long").alias("cnt"),
+                                )
+                                for j in range(_GATE_CMS_D)
+                            ]
+                        )
+                    ).alias("jbc")
+                )
+                .select("jbc.j", "jbc.bucket", "jbc.cnt")
+            )
+            merged = inc
+            if manifest_at(df_root, df_v)["partitions"]:
+                merged = merged.unionByName(
+                    read_table(spark, df_root, version=df_v).select(
+                        "j", "bucket", F.col("cnt").cast("long").alias("cnt")
+                    )
+                )
+            merged = merged.groupBy("j", "bucket").agg(
+                F.sum("cnt").alias("cnt")
+            )
+            replace_partitions(
+                merged.repartition(F.col("j")), df_root, ["j"], txid
+            )
+        elif df_cap is not None:
             # merge this epoch's per-shingle arrived-doc counts into the
             # standing df matview — TOUCHED BUCKETS ONLY (the
             # write_stream_rollup_merge shape: mergeable counts, replace

@@ -603,6 +603,7 @@ def _run_neardup_gate(
     df_cap: int | None = None,
     audit: str | None = None,
     compact_every: int | None = None,
+    df_mode: str = "exact",
 ) -> DataFrame:
     """Shared harness for the gate queries: 3 deterministically ordered
     epochs of the documents table through the real stream, returning the
@@ -626,6 +627,15 @@ def _run_neardup_gate(
     from .core import write_stream_neardup_gate
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # df_buckets is a physical knob (like shuffle partitions): size it to
+    # the corpus vocabulary so each bucket slice stays file-sized — 8 at
+    # fixture scale, growing with the corpus (semantics are unaffected;
+    # the oracle never sees the layout).  One bounded count sizes it.
+    df_buckets = (
+        max(8, min(1024, docs.count() // 6250))
+        if df_cap and df_mode == "exact"
+        else 8
+    )
     tmp = tempfile.mkdtemp(prefix="ndgate_")
     try:
         sdf = _ordered_epoch_stream(spark, docs, tmp)
@@ -637,7 +647,8 @@ def _run_neardup_gate(
             q = write_stream_neardup_gate(
                 sdf, roots["sigs"], roots["docs"], roots["stats"],
                 df_cap=df_cap, df_root=roots["dfs"] if df_cap else None,
-                compact_every=compact_every,
+                df_buckets=df_buckets, compact_every=compact_every,
+                df_mode=df_mode,
             )
             q.awaitTermination(600)
         finally:
@@ -681,19 +692,106 @@ def _run_neardup_gate(
     )
 
 
-def _neardup_gate_capped_oracle(cap: int) -> str:
+def _neardup_gate_capped_oracle(cap: int, mode: str = "exact") -> str:
     """Full replay of the DF-CAPPED gate: signatures are epoch-specific —
     a shingle whose document frequency over STRICTLY EARLIER epochs
     (arrived docs, accepted or not) exceeds ``cap`` is excluded from the
     current epoch's signatures, exactly as the standing df matview does
     it on the Spark side.  Each doc still gets ONE signature (from its
     own ingest epoch), so the pair/agreement/acceptance chain is
-    unchanged once ``sig`` is built per-epoch."""
+    unchanged once ``sig`` is built per-epoch.
+
+    ``mode="cms"`` replays the COUNT-MIN variant instead: the exclusion
+    set per epoch is the batch shingles whose min-over-d-rows sketch
+    estimate (cells summed over ALL strictly-earlier arrived docs, the
+    exact md5-bucket construction the Spark side uses) exceeds the cap
+    — the one-sided sketch can only exclude MORE than exact df."""
     from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
+    from .core import _GATE_CMS_D, _GATE_CMS_W
 
     perm_rows = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     )
+
+    def bsql(j: int, col: str) -> str:
+        return (f"(('0x' || substring(md5('{j}|' || CAST({col} AS VARCHAR)),"
+                f" 1, 8))::BIGINT % {_GATE_CMS_W})")
+
+    if mode == "exact":
+        excl_ctes = f"""df1 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
+  FROM hv JOIN e0 ON e0.doc_id = hv.doc_id GROUP BY h
+),
+df2 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
+  FROM hv JOIN (SELECT doc_id FROM e0 UNION SELECT doc_id FROM e1) u
+       ON u.doc_id = hv.doc_id
+  GROUP BY h
+),
+x1 AS (SELECT h FROM df1 WHERE df > {cap}),
+x2 AS (SELECT h FROM df2 WHERE df > {cap}),"""
+    else:
+        def probes(src: str) -> str:
+            return " UNION ALL ".join(
+                f"SELECT h, {j} AS j, {bsql(j, 'h')} AS bucket FROM {src}"
+                for j in range(_GATE_CMS_D)
+            )
+
+        def cells(src: str) -> str:
+            return " UNION ALL ".join(
+                f"SELECT {j} AS j, {bsql(j, 'h')} AS bucket, c FROM {src}"
+                for j in range(_GATE_CMS_D)
+            )
+
+        excl_ctes = f"""hc1 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS c
+  FROM hv JOIN e0 ON e0.doc_id = hv.doc_id GROUP BY h
+),
+cms1 AS (
+  SELECT j, bucket, SUM(c) AS cnt FROM ({cells('hc1')}) GROUP BY j, bucket
+),
+hc2 AS (
+  SELECT h, COUNT(DISTINCT hv.doc_id) AS c
+  FROM hv JOIN (SELECT doc_id FROM e0 UNION SELECT doc_id FROM e1) u
+       ON u.doc_id = hv.doc_id
+  GROUP BY h
+),
+cms2 AS (
+  SELECT j, bucket, SUM(c) AS cnt FROM ({cells('hc2')}) GROUP BY j, bucket
+),
+b1 AS (SELECT DISTINCT h FROM hv JOIN e1 ON e1.doc_id = hv.doc_id),
+b2 AS (SELECT DISTINCT h FROM hv JOIN e2 ON e2.doc_id = hv.doc_id),
+x1 AS (
+  SELECT h FROM (
+    SELECT p.h, COALESCE(c1.cnt, 0) AS cnt
+    FROM ({probes('b1')}) p
+    LEFT JOIN cms1 c1 ON c1.j = p.j AND c1.bucket = p.bucket
+  ) GROUP BY h HAVING MIN(cnt) > {cap}
+),
+x2 AS (
+  SELECT h FROM (
+    SELECT p.h, COALESCE(c2.cnt, 0) AS cnt
+    FROM ({probes('b2')}) p
+    LEFT JOIN cms2 c2 ON c2.j = p.j AND c2.bucket = p.bucket
+  ) GROUP BY h HAVING MIN(cnt) > {cap}
+),"""
+
+    sql = _capped_oracle_body(perm_rows, excl_ctes, cap)
+    if mode != "exact":
+        # The CMS exclusion subtree is deep; DuckDB inlines single-use
+        # CTEs, and ``sig``/``hvu``/``hv1`` are each referenced several
+        # times downstream — without materialization every reference
+        # re-derives the whole shingle->sketch->exclusion chain and the
+        # oracle goes combinatorial (measured: >550 s vs 0.2 s for the
+        # pieces).  Same fix as the bpe_learn_iterative oracle.
+        for cte in ("hv", "x1", "x2", "sig", "m2"):
+            sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
+def _capped_oracle_body(perm_rows: str, excl_ctes: str, cap: int) -> str:
+    from ..operators.dedup import _MERSENNE, _ROWS
+
     return f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws
@@ -717,18 +815,7 @@ ep AS (SELECT doc_id, doc_id % 3 AS e FROM documents),
 e0 AS (SELECT doc_id FROM ep WHERE e = 0),
 e1 AS (SELECT doc_id FROM ep WHERE e = 1),
 e2 AS (SELECT doc_id FROM ep WHERE e = 2),
-df1 AS (
-  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
-  FROM hv JOIN e0 ON e0.doc_id = hv.doc_id GROUP BY h
-),
-df2 AS (
-  SELECT h, COUNT(DISTINCT hv.doc_id) AS df
-  FROM hv JOIN (SELECT doc_id FROM e0 UNION SELECT doc_id FROM e1) u
-       ON u.doc_id = hv.doc_id
-  GROUP BY h
-),
-x1 AS (SELECT h FROM df1 WHERE df > {cap}),
-x2 AS (SELECT h FROM df2 WHERE df > {cap}),
+{excl_ctes}
 perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(j, a, b)),
 hv0 AS (SELECT hv.doc_id, h FROM hv JOIN e0 ON e0.doc_id = hv.doc_id),
 hv1 AS (
@@ -1182,3 +1269,21 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, n_arrived long, arrived_id_sum long, "
         "n_contaminated long, n_accepted long",
     )
+
+
+@register(
+    "stream_neardup_ingest_cms",
+    oracle=_neardup_gate_capped_oracle(3, mode="cms"),
+    tags=("streaming", "dedup", "llm", "acid", "sketch", "real-stream"),
+    doc=(
+        "T8e with SKETCHED boilerplate suppression — the 100 TB df "
+        "variant: the standing df state is a count-min sketch (4x65536 "
+        "md5-bucket counters, <=262k rows at ANY vocabulary), so the "
+        "per-epoch exclusion probe and merge cost O(sketch + batch), "
+        "independent of corpus vocabulary; estimates are one-sided so "
+        "the df>3 cap can only fire earlier than the exact matview.  "
+        "Oracle = full SQL replay including the sketch itself."
+    ),
+)
+def stream_neardup_ingest_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_neardup_gate(spark, sf_dir, df_cap=3, df_mode="cms")
