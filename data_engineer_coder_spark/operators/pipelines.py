@@ -112,16 +112,14 @@ surv AS (
 ),
 evg AS (
   SELECT DISTINCT array_to_string(list_slice(ws2, i, i + {_BUILD_NGRAM - 1}), ' ') AS g
-  FROM (SELECT string_split(text, ' ') AS ws2 FROM b WHERE is_eval)
-  CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_BUILD_NGRAM - 1} <= LEN(ws2)
+  FROM (SELECT string_split(text, ' ') AS ws2 FROM b WHERE is_eval),
+       unnest(range(1, LEN(ws2) - {_BUILD_NGRAM - 2})) AS u(i)
 ),
 contam AS (
   SELECT DISTINCT doc_id
-  FROM (SELECT doc_id, string_split(text, ' ') AS ws3 FROM surv)
-  CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_BUILD_NGRAM - 1} <= LEN(ws3)
-    AND array_to_string(list_slice(ws3, i, i + {_BUILD_NGRAM - 1}), ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws3 FROM surv),
+       unnest(range(1, LEN(ws3) - {_BUILD_NGRAM - 2})) AS u(i)
+  WHERE array_to_string(list_slice(ws3, i, i + {_BUILD_NGRAM - 1}), ' ')
           IN (SELECT g FROM evg)
 ),
 f AS (

@@ -997,8 +997,7 @@ WITH t AS (
 ), g AS (
   SELECT doc_id, source, is_eval,
          array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ') AS g
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_DECON_N - 1} <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) - {_DECON_N - 2})) AS u(i)
 ), ev AS (
   SELECT DISTINCT g FROM g WHERE is_eval
 ), contam AS (
@@ -1232,8 +1231,7 @@ WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
 ), tok AS (
   SELECT doc_id, source, i AS pos, ws[i] AS tok
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) + 1)) AS u(i)
 ), marked AS (
   SELECT doc_id, source, pos, tok,
          CASE WHEN tok = LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -2697,8 +2695,7 @@ def linear_probe_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (
   SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + 7 <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) - 6)) AS u(i)
 ),
 dup AS (
   SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS dd FROM g GROUP BY g)
@@ -2804,8 +2801,7 @@ WITH t AS (
 g AS (
   SELECT DISTINCT doc_id, is_eval,
          array_to_string(list_slice(ws, i, i + {_CONTAIN_K - 1}), ' ') AS g
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_CONTAIN_K - 1} <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) - {_CONTAIN_K - 2})) AS u(i)
 ),
 ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE is_eval),
 esz AS (SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS e_size FROM ev GROUP BY eval_doc),
@@ -2906,8 +2902,7 @@ WITH t AS (
 g AS (
   SELECT DISTINCT doc_id, is_eval,
          array_to_string(list_slice(ws, i, i + {_CONTAIN_K - 1}), ' ') AS g
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_CONTAIN_K - 1} <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) - {_CONTAIN_K - 2})) AS u(i)
 ),
 gh AS (SELECT doc_id, is_eval, g, md5(g) AS h FROM g),
 ev AS (SELECT doc_id AS eval_doc, g, h FROM gh WHERE is_eval),

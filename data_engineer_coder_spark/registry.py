@@ -72,21 +72,19 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-9 cohort — the re-seeded IVF/centroid family — pruned:
-    # re-proven green in CORRECTNESS_r09, 50/50.)
-    # round 10: the ingest gate's standing-index probe moved to
-    # footer-stats file pruning (band-key clustered bands table,
-    # candidate-pruned signature verify) and the capped variant's df
-    # matview to touched-bucket merges with a hot/cold tier split —
-    # decisions must replay identically, so re-prove both.
-    "stream_neardup_ingest",
-    "stream_neardup_ingest_capped",
-    # round 10: PQ codebooks are now TRAINED (one Lloyd round per
-    # subspace) — every code, ADC table, shortlist, and ranking changed
-    # in BOTH engines, so the family's last green rows are stale.
-    "pq_ann_topk",
-    "pq_ann_rerank_topk",
-    "pq_ann_recall_check",
+    # (round-10 cohort — gate file-pruning + trained-PQ family — pruned:
+    # re-proven green in CORRECTNESS_r10, 50/50.)
+    # round 11 (ADVICE r10): every oracle that capped n-gram/token
+    # positions at 128 (`range(1, 129)`) now derives the position range
+    # from LEN(ws) — identical results at current fixtures (max doc 100
+    # words), but the oracle TEXT changed, so re-prove each.
+    "ngram_decontaminate",
+    "repeated_token_runs",
+    "doc_dup_ngram_coverage",
+    "containment_decontaminate",
+    "containment_sketch_audit",
+    "pretraining_corpus_build",
+    "stream_decontaminate_ingest",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

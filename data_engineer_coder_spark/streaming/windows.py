@@ -1155,8 +1155,7 @@ WITH t AS (
 ), g AS (
   SELECT doc_id, is_eval,
          array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ') AS g
-  FROM t CROSS JOIN (SELECT unnest(range(1, 129)) AS i)
-  WHERE i + {_DECON_N - 1} <= LEN(ws)
+  FROM t, unnest(range(1, LEN(ws) - {_DECON_N - 2})) AS u(i)
 ), ev AS (
   SELECT DISTINCT g FROM g WHERE is_eval
 ), contam AS (

@@ -292,6 +292,8 @@ def test_pq_train_dense_codebook_and_lower_error(spark, sf_dir):
         return joined.agg(F.sum(expr)).collect()[0][0]
 
     e0, e1 = total_err(cb0_row), total_err(cb1_row)
-    # Lloyd monotonicity, modulo the per-dim integer ROUND of the means
+    # Lloyd monotonicity, modulo the per-dim integer ROUND of the means.
+    # No strict-improvement assert (ADVICE r10): one integer-rounded
+    # Lloyd step is not guaranteed to strictly lower quantization error,
+    # so a fixture/seed change could fail a `e1 < e0` check spuriously.
     assert e1 <= e0 * 1.01
-    assert e1 < e0  # and on real data it strictly improves
