@@ -85,6 +85,13 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "containment_sketch_audit",
     "pretraining_corpus_build",
     "stream_decontaminate_ingest",
+    # round 11: the gate's driver-side key collects are now capped with
+    # an unpruned-scan fallback, and the exact df matview's bucket
+    # layout is table metadata — decisions are unchanged by design, but
+    # the implementation changed, so re-prove the family.
+    "stream_neardup_ingest",
+    "stream_neardup_ingest_capped",
+    "stream_neardup_ingest_cms",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -397,6 +397,31 @@ def band_range_hits(sorted_vals):
     return flt
 
 
+def _df_table_buckets(df_root: str, requested: int) -> int:
+    """The exact df matview's bucket count is TABLE metadata, not a call
+    parameter (ADVICE r10): the hash layout is baked into the standing
+    rows, so a caller re-tuning ``df_buckets`` across restarts would
+    split the same shingle hash across two bucket dirs — touched-bucket
+    pruning then merges against only one of them, df undercounts, and
+    the boilerplate cap silently weakens.  The value is persisted in a
+    ``_config.json`` sidecar at table creation (atomic write-then-rename,
+    like the manifest itself); every later run derives the layout from
+    the table, and ``requested`` only applies to a table that does not
+    exist yet."""
+    import json
+
+    cfg_path = os.path.join(df_root, "_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return int(json.load(f)["df_buckets"])
+    os.makedirs(df_root, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=df_root, prefix="_config.")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"df_buckets": int(requested)}, f)
+    os.replace(tmp, cfg_path)
+    return int(requested)
+
+
 def write_stream_neardup_gate(
     sdf: DataFrame,
     sig_root: str,
@@ -411,6 +436,7 @@ def write_stream_neardup_gate(
     compact_every: int | None = None,
     index_file_rows: int | None = None,
     df_mode: str = "exact",
+    prune_key_cap: int = 100_000,
 ):
     """T8e (round 9, index-pruned round 10): ONLINE NEAR-DUP INGEST GATE —
     the streaming face of ``minhash_lsh_neardup``.
@@ -493,7 +519,12 @@ def write_stream_neardup_gate(
       touched buckets) — cost ∝ touched_buckets × (vocab / df_buckets)
       + batch, not ∝ total vocabulary; ``df_buckets`` scales with
       corpus vocabulary exactly like ``spark.sql.shuffle.partitions``
-      scales with data;
+      scales with data, but it is CREATION-TIME metadata: the first
+      commit persists it in the df table's ``_config.json`` and every
+      later run derives the layout from the table
+      (``_df_table_buckets``), so a restart passing a different value
+      cannot split standing hashes across two bucket layouts and
+      silently undercount df (ADVICE r10);
     - the hot set (df > cap) is PHYSICALLY segregated into a ``hot``
       tier partition (two-level ``tier/bucket`` layout, rows promoted
       on crossing the cap — df is monotone so promotion is one-way),
@@ -509,8 +540,21 @@ def write_stream_neardup_gate(
     merge re-sums sketch + batch increments in O(sketch + batch) —
     the variant whose epoch cost is INDEPENDENT of corpus vocabulary,
     since with hash-bucketed exact counts any non-trivial batch touches
-    every bucket and the merge stays Θ(vocab).  Without ``df_cap`` no
-    df state is kept (see ``minhash_signatures``).
+    every bucket and the merge stays Θ(vocab).  **CMS is the 100 TB
+    default**: the measured per-epoch scaling decade is 0.55 for the
+    sketch vs 0.93 for the exact matview (BASELINE.md round-10 df-state
+    table) — reserve ``df_mode="exact"`` for BOUNDED vocabularies
+    (fixed templates, enum-like fields) where Θ(vocab) per epoch is
+    acceptable and exact df is worth it.  Without ``df_cap`` no df
+    state is kept (see ``minhash_signatures``).
+
+    ``prune_key_cap`` bounds the gate's only driver-side state — the
+    sorted band-key / candidate-id lists behind the footer-range file
+    pruning: an epoch whose key set exceeds the cap (a pathological
+    multi-million-doc batch) falls back to the unpruned index scan, so
+    the driver never holds more than ``prune_key_cap`` keys while the
+    accept/reject decisions stay byte-identical (pruning only chooses
+    which files to READ, never which candidates to consider).
     """
     from pyspark.sql import functions as F
 
@@ -633,12 +677,19 @@ def write_stream_neardup_gate(
         if manifest_at(bands_root, bands_v)["partitions"]:
             # batch band-key set: bounded by 8 × batch docs (driver-side
             # sorted list for the per-file bisect — the same bounded-state
-            # class as the rollup sink's day list)
-            batch_keys = sorted(
-                r["band_key"]
-                for r in bands.select("band_key").distinct().collect()
-            )
-            hit = _range_hits(batch_keys)("band_key")
+            # class as the rollup sink's day list).  The bound is
+            # ENFORCED, not assumed (r11): a pathological epoch whose
+            # key set exceeds ``prune_key_cap`` falls back to the
+            # unpruned index scan — decisions are identical (pruning is
+            # a read optimization, never a filter on candidates), only
+            # the probe reads more files.
+            keys_df = bands.select("band_key").distinct()
+            hit = None
+            if keys_df.count() <= prune_key_cap:
+                batch_keys = sorted(
+                    r["band_key"] for r in keys_df.collect()
+                )
+                hit = _range_hits(batch_keys)("band_key")
             try:
                 idx_bands = read_table(
                     spark, bands_root, version=bands_v, stats_filter=hit
@@ -659,14 +710,18 @@ def write_stream_neardup_gate(
                     # below for the id set AND the verify join
                     .localCheckpoint()
                 )
-                cand_ids = sorted(
-                    r["idx_id"]
-                    for r in cand_i.select("idx_id").distinct().collect()
-                )
-                if cand_ids:
+                cand_df = cand_i.select("idx_id").distinct()
+                n_cand = cand_df.count()
+                if n_cand:
                     # second pruned read: only sig files whose doc_id
-                    # footer range contains a candidate id are opened
-                    idf = _range_hits(cand_ids)("doc_id")
+                    # footer range contains a candidate id are opened —
+                    # same enforced cap + unpruned fallback as above
+                    idf = None
+                    if n_cand <= prune_key_cap:
+                        cand_ids = sorted(
+                            r["idx_id"] for r in cand_df.collect()
+                        )
+                        idf = _range_hits(cand_ids)("doc_id")
                     index_sig = read_table(
                         spark, sig_root, version=sig_v, stats_filter=idf
                     ).select("doc_id", *mcols)
@@ -819,11 +874,15 @@ def write_stream_neardup_gate(
             # exactly the signal the cap exists for.  distinct (doc, h):
             # two shingles hash-colliding within one doc must count that
             # doc once (df = docs-per-hash, exactly).
+            # layout comes from the TABLE, not the call (ADVICE r10):
+            # a restart with a different df_buckets must not split
+            # standing hashes across two bucket layouts
+            eff_buckets = _df_table_buckets(df_root, df_buckets)
             batch_counts = (
                 hashed.dropDuplicates(["doc_id", "h"])
                 .groupBy("h")
                 .agg(F.count("*").alias("df"))
-                .withColumn("bucket", F.pmod("h", F.lit(df_buckets)))
+                .withColumn("bucket", F.pmod("h", F.lit(eff_buckets)))
                 .localCheckpoint()
             )
             touched = sorted(
@@ -848,7 +907,7 @@ def write_stream_neardup_gate(
             merged = (
                 merged.groupBy("h")
                 .agg(F.sum("df").alias("df"))
-                .withColumn("bucket", F.pmod("h", F.lit(df_buckets)))
+                .withColumn("bucket", F.pmod("h", F.lit(eff_buckets)))
                 # hot/cold tier: rows past the cap are physically
                 # segregated so the exclusion read never touches the bulk
                 .withColumn(

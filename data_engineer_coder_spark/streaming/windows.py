@@ -923,12 +923,18 @@ SELECT 2,
     oracle=_neardup_gate_capped_oracle(3),
     tags=("streaming", "dedup", "llm", "acid", "real-stream"),
     doc=(
-        "T8e with EVOLVING boilerplate suppression: the gate additionally "
-        "maintains a standing shingle document-frequency matview "
-        "(hash-bucketed mergeable counts, replace-merged per epoch under "
-        "the same txid); shingles past df>3 over earlier epochs are "
-        "excluded from signatures before banding.  Oracle = full SQL "
-        "replay including the per-epoch exclusion sets."
+        "T8e with EVOLVING boilerplate suppression — the EXACT-df "
+        "variant for BOUNDED vocabularies: the gate maintains a standing "
+        "shingle document-frequency matview (hash-bucketed mergeable "
+        "counts, bucket layout persisted as table metadata, "
+        "replace-merged per epoch under the same txid); shingles past "
+        "df>3 over earlier epochs are excluded from signatures before "
+        "banding.  Its per-epoch merge is Theta(vocab) (measured decade "
+        "exponent 0.93 — any non-trivial batch touches every bucket), "
+        "so at open-vocabulary 100 TB scale use "
+        "stream_neardup_ingest_cms (fixed-size sketch state, measured "
+        "0.55) instead.  Oracle = full SQL replay including the "
+        "per-epoch exclusion sets."
     ),
 )
 def stream_neardup_ingest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -642,3 +642,121 @@ def test_neardup_gate_df_cap_excludes_boilerplate(spark, tmp_path):
     # the standing df matview recorded every boiler shingle at df=2
     dfs = read_table(spark, str(tmp_path / "capped_dfs"))
     assert dfs.filter(F.col("df") >= 2).count() == n_capped
+
+
+def test_neardup_gate_prune_key_cap_fallback(spark, tmp_path):
+    """r11: the gate's driver-side key lists are capped — past
+    ``prune_key_cap`` the probe falls back to the UNPRUNED index scan,
+    and the accept/reject decisions must be byte-identical (pruning
+    chooses which files to read, never which candidates to consider)."""
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import read_table
+    from data_engineer_coder_spark.streaming.core import write_stream_neardup_gate
+
+    dup = "the quick brown fox jumps over the lazy dog today and tomorrow"
+    uniq1 = "completely different words about spark streaming engines at scale"
+    uniq2 = "a third unrelated document mentioning parquet manifests and commits"
+    e0 = [(10, dup), (14, uniq1)]
+    e1 = [(21, dup), (23, uniq2), (25, uniq1 + " with an extra suffix")]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((e0, e1)):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    def _run(tag, cap):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_neardup_gate(
+            sdf,
+            str(tmp_path / f"{tag}_sigs"),
+            str(tmp_path / f"{tag}_docs"),
+            str(tmp_path / f"{tag}_stats"),
+            prune_key_cap=cap,
+        )
+        q.awaitTermination(300)
+        ledger = sorted(
+            (int(r["epoch"]), r["n_arrived"], r["n_rejected_index"],
+             r["n_rejected_batch"], r["n_accepted"])
+            for r in read_table(spark, str(tmp_path / f"{tag}_stats")).collect()
+        )
+        docs = sorted(
+            r["doc_id"]
+            for r in read_table(spark, str(tmp_path / f"{tag}_docs")).collect()
+        )
+        return ledger, docs
+
+    pruned = _run("pruned", 100_000)     # epoch-1 key set well under cap
+    fallback = _run("fallback", 1)       # cap=1 < 8×|batch| keys → unpruned scan
+    assert pruned == fallback
+    # sanity: the gate actually rejected the cross-epoch near-dup
+    assert pruned[0][1][2] == 1  # epoch 1: n_rejected_index == 1
+
+
+def test_df_table_buckets_is_table_metadata(spark, tmp_path):
+    """r11 (ADVICE r10): the exact df matview's bucket count persists in
+    the table's _config.json — a later run requesting a DIFFERENT
+    df_buckets must get the table's original layout back, so standing
+    rows are never split across two hash layouts."""
+    import json
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import read_table
+    from data_engineer_coder_spark.streaming.core import (
+        _df_table_buckets,
+        write_stream_neardup_gate,
+    )
+
+    root = str(tmp_path / "dfs_meta")
+    assert _df_table_buckets(root, 8) == 8       # creates the config
+    assert _df_table_buckets(root, 64) == 8      # table layout wins
+    with open(_os.path.join(root, "_config.json")) as f:
+        assert json.load(f) == {"df_buckets": 8}
+
+    # integration: a capped gate run writes the sidecar next to the
+    # manifest, and the standing rows' bucket values respect it
+    boiler = "subscribe to our weekly newsletter for updates and special offers today"
+    e0 = [(10, boiler), (12, boiler)]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    part = str(tmp_path / "p0")
+    spark.createDataFrame(e0, "doc_id long, text string").coalesce(1).write.parquet(part)
+    f0 = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+    dst = _os.path.join(src, "e0.parquet")
+    _os.rename(_os.path.join(part, f0), dst)
+    _os.utime(dst, (_time.time(), _time.time()))
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    df_root = str(tmp_path / "gate_dfs")
+    q = write_stream_neardup_gate(
+        sdf,
+        str(tmp_path / "g_sigs"),
+        str(tmp_path / "g_docs"),
+        str(tmp_path / "g_stats"),
+        df_cap=1,
+        df_root=df_root,
+        df_buckets=4,
+    )
+    q.awaitTermination(300)
+    with open(_os.path.join(df_root, "_config.json")) as f:
+        assert json.load(f) == {"df_buckets": 4}
+    dfs = read_table(spark, df_root)
+    assert dfs.filter(F.col("bucket").cast("int") >= 4).count() == 0
+    # and a scale-up request on the standing table is ignored
+    assert _df_table_buckets(df_root, 1024) == 4
