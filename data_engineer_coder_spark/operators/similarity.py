@@ -2193,7 +2193,33 @@ def _pq_code_for(s) -> Column:
     )["bc"]
 
 
+def _cb_row_from_entries(entries: DataFrame) -> DataFrame:
+    """Reshape (s, c, cs) codebook entries into the ONE broadcastable
+    row ``cb[s][c] = 8-dim centroid slice`` the encoder folds over."""
+    return (
+        entries.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "c", "cs"))).alias("e")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+                lambda s: F.transform(
+                    F.filter(F.col("e"), lambda x: x["s"] == s),
+                    lambda x: x["cs"],
+                ),
+            ).alias("cb")
+        )
+    )
+
+
 def _pq_train(emb: DataFrame, cb0_row: DataFrame) -> DataFrame:
+    """Trained codebook as the one-row broadcastable ``cb[s][c]`` (see
+    ``_pq_train_entries`` for the actual Lloyd round)."""
+    return _cb_row_from_entries(_pq_train_entries(emb, cb0_row))
+
+
+def _pq_train_entries(emb: DataFrame, cb0_row: DataFrame) -> DataFrame:
     """One k-means (Lloyd) round per subspace over the corpus: assign
     every vector's 8-dim slice to its nearest seed codeword (the same
     expression-level argmin fold the encoder uses — map-side, zero
@@ -2206,8 +2232,8 @@ def _pq_train(emb: DataFrame, cb0_row: DataFrame) -> DataFrame:
     Scale shape: assignment is map-side against the broadcast seed row;
     the recenter is one groupBy over n×{_PQ_SUBS} rows into
     {_PQ_SUBS}×{_PQ_K} groups — map-side partial aggregation does
-    almost all of it, like any mean.  Returns the trained one-row
-    broadcastable codebook ``cb[s][c]``."""
+    almost all of it, like any mean.  Returns the trained (s, c, cs)
+    entry frame — the shape the standing-artifact table stores."""
     enc0 = emb.crossJoin(F.broadcast(cb0_row)).select(
         "qv",
         F.array(*[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]).alias(
@@ -2239,38 +2265,16 @@ def _pq_train(emb: DataFrame, cb0_row: DataFrame) -> DataFrame:
         cb0_row.select(F.posexplode("cb").alias("s", "arr"))
         .select("s", F.posexplode("arr").alias("c", "scs"))
     )
-    merged = seed_entries.join(
+    return seed_entries.join(
         F.broadcast(trained), ["s", "c"], "left"
     ).select("s", "c", F.coalesce("tcs", "scs").alias("cs"))
+
+
+def _pq_seed_row(emb: DataFrame) -> DataFrame:
+    """Seed codebook as ONE broadcast row: cb[s][c] = 8-dim centroid
+    slice of the top-``_PQ_K`` hash-ranked corpus vectors — a
+    TakeOrderedAndProject (distributed top-K), no id pinning."""
     return (
-        merged.groupBy()
-        .agg(
-            F.array_sort(F.collect_list(F.struct("s", "c", "cs"))).alias("e")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
-                lambda s: F.transform(
-                    F.filter(F.col("e"), lambda x: x["s"] == s),
-                    lambda x: x["cs"],
-                ),
-            ).alias("cb")
-        )
-    )
-
-
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(probe_id, neighbor_id, adc_dist) for all 20 probes × corpus —
-    the shared PQ encode + ADC scan behind both the pure-ADC top-k and
-    the shortlist-re-rank variant.  The codebook is TRAINED: hash-ranked
-    seeds refined by one per-subspace Lloyd round (``_pq_train``)."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _qvec("embedding").alias("qv")
-    )
-    # seed codebook as ONE broadcast row: cb[s][c] = 8-dim centroid slice
-    cb0_row = (
-        # hash-ranked seeds: top-_PQ_K by the family mix hash — a
-        # TakeOrderedAndProject (distributed top-K), no id pinning
         emb.withColumn("_h", _seed_h(F.col("vec_id")))
         .orderBy("_h", "vec_id")
         .limit(_PQ_K)
@@ -2289,8 +2293,80 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # one Lloyd round refines the seeds into the shipped codebook
-    cb_row = _pq_train(emb, cb0_row).localCheckpoint(eager=False)
+
+def _corpus_fingerprint(path: str) -> str:
+    """Cheap content-version key for a fixture table: file name/size/
+    mtime_ns tuples (recursing one level for directory layouts).  The
+    standing-codebook cache below is invalidated whenever the corpus
+    file changes — the 'codebook is versioned against a corpus
+    snapshot' contract, without hashing terabytes."""
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{st.st_size}|{st.st_mtime_ns}"
+    parts = sorted(
+        (f, os.stat(os.path.join(path, f)).st_size,
+         os.stat(os.path.join(path, f)).st_mtime_ns)
+        for f in os.listdir(path)
+    )
+    return repr(parts)
+
+
+def _pq_codebook_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook as a STANDING ARTIFACT (r11, VERDICT r10).
+
+    A codebook is trained once per corpus snapshot and versioned, not
+    re-derived inside every query plan (the same standing-index pattern
+    as ``ivf_index_upsert_audit``'s centroids): the first call for a
+    given corpus fingerprint runs the seed + one-Lloyd-round training
+    (``_pq_seed_row``/``_pq_train``) and commits the 8×16 (s, c,
+    centroid-slice) entries to an ACID table keyed by
+    (PQ-params, corpus fingerprint); every later call — the other PQ
+    queries, the drift audit, repeated benchmark runs — reads the 128
+    rows back instead of re-scanning the corpus.  Training is exactly
+    the in-plan computation (integer centroid slices), so the artifact
+    is bit-identical to what the DuckDB oracle re-derives.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from ..io.acid_table import current_manifest, read_table, replace_partitions
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"pq-v1|{_PQ_SUBS}|{_PQ_SUBDIM}|{_PQ_K}|{os.path.realpath(src)}|"
+        f"{_corpus_fingerprint(src)}".encode()
+    ).hexdigest()
+    root = os.path.join(
+        tempfile.gettempdir(), "decs_artifacts", "pq_codebook", key
+    )
+    if not current_manifest(root)["partitions"]:
+        entries = _pq_train_entries(emb, _pq_seed_row(emb))
+        replace_partitions(entries, root, ["s"], "train-v1")
+    stored = read_table(spark, root).select(
+        F.col("s").cast("int").alias("s"),
+        F.col("c").cast("int").alias("c"),
+        F.col("cs").cast("array<bigint>").alias("cs"),
+    )
+    return _cb_row_from_entries(stored)
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist) for all 20 probes × corpus —
+    the shared PQ encode + ADC scan behind both the pure-ADC top-k and
+    the shortlist-re-rank variant.  The codebook is TRAINED (hash-ranked
+    seeds + one per-subspace Lloyd round) and comes from the standing
+    artifact table (``_pq_codebook_row``) — 128 rows read back, not a
+    per-query corpus training pass."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    cb_row = _pq_codebook_row(spark, sf_dir).localCheckpoint(eager=False)
 
     corpus = emb.crossJoin(F.broadcast(cb_row)).select(
         "vec_id",
@@ -2464,6 +2540,142 @@ def pq_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_n_found") == F.col("n_probes") * F.col("k"))
         ).alias("all_probes_covered"),
         (F.col("ratio") >= 0.80).alias("competitive_ge_80pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L3g (round 11): PQ codebook DRIFT AUDIT — the retrain trigger for the
+# standing codebook artifact (_pq_codebook_row).  A versioned codebook
+# serves queries for months; the maintenance question is "does arriving
+# data still quantize well under it?".  Standing corpus = vec_id % 10
+# != 0, arriving batch = the rest (the ivf_index_upsert_audit split);
+# per subspace the audit reports the exact integer mean quantization
+# error of each side under the SHIPPED codebook plus the assignment-
+# share shift (L1/2 distance of the per-codeword usage histograms, in
+# e4 fixed point via per-cell integer division — overflow-safe at any
+# corpus size), and flags retrain when the batch quantizes >20% worse
+# or usage shifts >0.15.  Everything is BIGINT arithmetic on the exact
+# quantized grid, so the oracle replays training, encoding, and both
+# metrics bit-for-bit.
+# --------------------------------------------------------------------------
+
+_PQ_DRIFT_QERR_PCT = 120   # batch mean qerr > 1.2x standing mean → retrain
+_PQ_DRIFT_SHIFT_E4 = 1500  # assignment-share L1/2 distance > 0.15 → retrain
+
+
+@register(
+    "pq_codebook_drift_audit",
+    oracle=_sql_pq_ctes() + f""",
+qe AS (
+  SELECT c.vec_id, c.s, c.c, n.vec_id % 10 = 0 AS is_batch,
+         {_SQL_PQ_L2.format(
+             a=f"n.qv[(c.s * {_PQ_SUBDIM} + 1):((c.s + 1) * {_PQ_SUBDIM})]",
+             b='cb.cs')} AS d
+  FROM codes c
+  JOIN cb ON cb.s = c.s AND cb.c = c.c
+  JOIN n ON n.vec_id = c.vec_id
+),
+g AS (
+  SELECT s, c,
+         COUNT(*) FILTER (WHERE NOT is_batch) AS n_s,
+         COUNT(*) FILTER (WHERE is_batch) AS n_b,
+         COALESCE(SUM(d) FILTER (WHERE NOT is_batch), 0) AS e_s,
+         COALESCE(SUM(d) FILTER (WHERE is_batch), 0) AS e_b
+  FROM qe GROUP BY s, c
+),
+tot AS (
+  SELECT s, SUM(n_s) AS ns, SUM(n_b) AS nb, SUM(e_s) AS qes, SUM(e_b) AS qeb
+  FROM g GROUP BY s
+),
+sh AS (
+  SELECT g.s,
+         SUM(ABS((g.n_s * 10000) // t.ns - (g.n_b * 10000) // t.nb)) AS s2
+  FROM g JOIN tot t USING (s) GROUP BY g.s
+)
+SELECT CAST(t.s AS INT) AS s,
+       CAST(t.ns AS BIGINT) AS n_standing,
+       CAST(t.nb AS BIGINT) AS n_batch,
+       CAST(t.qes // t.ns AS BIGINT) AS standing_qerr_mean,
+       CAST(t.qeb // t.nb AS BIGINT) AS batch_qerr_mean,
+       CAST(s2 // 2 AS BIGINT) AS assign_shift_e4,
+       ((t.qeb // t.nb) * 100 > (t.qes // t.ns) * {_PQ_DRIFT_QERR_PCT}
+        OR s2 // 2 > {_PQ_DRIFT_SHIFT_E4}) AS retrain_flag
+FROM tot t JOIN sh ON sh.s = t.s
+""",
+    tags=("similarity", "llm", "ann", "incremental", "quality"),
+    doc=(
+        "L3g: PQ codebook drift audit — per subspace, exact integer "
+        "mean quantization error of the standing corpus vs an arriving "
+        "batch (vec_id %% 10 == 0) under the standing codebook "
+        "artifact, plus the e4 assignment-share shift; retrain_flag "
+        "fires at >20%% worse batch error or >0.15 usage shift."
+    ),
+)
+def pq_codebook_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    cb_row = _pq_codebook_row(spark, sf_dir).localCheckpoint(eager=False)
+    enc = emb.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id",
+        "qv",
+        "cb",
+        F.array(*[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]).alias(
+            "codes"
+        ),
+    )
+    ex = enc.select(
+        (F.col("vec_id") % 10 == 0).alias("is_batch"),
+        "qv",
+        "cb",
+        F.posexplode("codes").alias("s", "c"),
+    ).select(
+        "is_batch",
+        "s",
+        "c",
+        _pq_l2(
+            F.expr(f"slice(qv, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"),
+            F.get(F.get(F.col("cb"), F.col("s")), F.col("c")),
+        ).alias("d"),
+    )
+    g = ex.groupBy("s", "c").agg(
+        F.count(F.when(~F.col("is_batch"), 1)).alias("n_s"),
+        F.count(F.when(F.col("is_batch"), 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(~F.col("is_batch"), F.col("d"))), F.lit(0)).alias("e_s"),
+        F.coalesce(F.sum(F.when(F.col("is_batch"), F.col("d"))), F.lit(0)).alias("e_b"),
+    )
+    tot = g.groupBy("s").agg(
+        F.sum("n_s").alias("ns"),
+        F.sum("n_b").alias("nb"),
+        F.sum("e_s").alias("qes"),
+        F.sum("e_b").alias("qeb"),
+    )
+    # per-cell fixed-point shares BEFORE summing (each term <= 10000):
+    # exact in both engines and overflow-safe at any corpus size
+    sh = (
+        g.join(F.broadcast(tot.select("s", "ns", "nb")), "s")
+        .select(
+            "s",
+            F.abs(
+                F.expr("(n_s * 10000) div ns") - F.expr("(n_b * 10000) div nb")
+            ).alias("t"),
+        )
+        .groupBy("s")
+        .agg(F.sum("t").alias("s2"))
+    )
+    sqm = F.expr("qes div ns")
+    bqm = F.expr("qeb div nb")
+    return tot.join(sh, "s").select(
+        F.col("s").cast("int").alias("s"),
+        F.col("ns").cast("bigint").alias("n_standing"),
+        F.col("nb").cast("bigint").alias("n_batch"),
+        sqm.cast("bigint").alias("standing_qerr_mean"),
+        bqm.cast("bigint").alias("batch_qerr_mean"),
+        F.expr("s2 div 2").cast("bigint").alias("assign_shift_e4"),
+        (
+            (bqm * 100 > sqm * _PQ_DRIFT_QERR_PCT)
+            | (F.expr("s2 div 2") > _PQ_DRIFT_SHIFT_E4)
+        ).alias("retrain_flag"),
     )
 
 

@@ -92,6 +92,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "stream_neardup_ingest",
     "stream_neardup_ingest_capped",
     "stream_neardup_ingest_cms",
+    # round 11: the trained PQ codebook became a standing ACID artifact
+    # (train-once, read-back) — values are bit-identical by design, but
+    # the plan changed, so re-prove the family.
+    "pq_ann_topk",
+    "pq_ann_rerank_topk",
+    "pq_ann_recall_check",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
