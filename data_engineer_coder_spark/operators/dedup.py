@@ -2323,3 +2323,210 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             10000.0 * F.coalesce("n_dup", F.lit(0)) / F.col("n_tokens")
         ).cast("bigint").alias("dup_frac_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# L14c (round 11): exact-substring dedup REWRITE — the removal TRANSFORM
+# the L14b report measures.  Lee et al. (2022) semantics are removal:
+# keep ONE occurrence of every duplicated >=k-token substring and cut
+# the rest.  Granularity here is the covering k-gram, keep-first by the
+# lexicographic (doc_id, pos) of each repeated k-gram (the
+# segment_dedup_keep_first convention): every NON-keeper occurrence of
+# a repeated k-gram marks its [pos, pos+k-1] window for removal, the
+# per-doc marked windows union into runs, and each doc is rebuilt from
+# its surviving tokens.  For a >=k span duplicated across docs this is
+# exact removal of the later copies (every covering k-gram of a later
+# copy has a lexicographically earlier twin inside the first copy); the
+# greedy per-gram rule can additionally clip tokens of a FIRST
+# occurrence that overlaps someone else's removed window — the same
+# documented recursion-free trade as the gate's within-batch keep-first.
+#
+# Scale: identical shape to the report (one Θ(corpus tokens) gram pass,
+# partial-agg keeper argmin, per-doc windows bounded by doc length);
+# the rebuild adds one per-doc array filter — no new shuffle class.
+# --------------------------------------------------------------------------
+
+
+def exact_substring_rewrite(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Rebuild each doc minus all non-first occurrences of duplicated
+    >=k-token substrings.  Input needs (doc_id, text); returns
+    (doc_id, n_tokens, n_removed_tokens, n_kept_tokens, clean_text)
+    with clean_text = surviving tokens joined by ' ' (empty when the
+    whole doc was removed).  Composable: pretraining_corpus_build uses
+    it as an optional post-dedup stage."""
+    from .textops import ngram_array
+
+    t = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    occ = (
+        t.filter(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(ngram_array(F.col("ws"), k)).alias("p0", "g"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "g")
+    )
+    # keeper per repeated gram: partial-agg min over a (doc_id, pos)
+    # struct — skew-proof for boilerplate grams, collision-free at any
+    # doc length (the segment_dedup_keep_first argmin)
+    keep = (
+        occ.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("keeper"),
+        )
+        .filter(F.col("c") > 1)
+        .select("g", "keeper")
+    )
+    rem = (
+        occ.join(keep, "g")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keeper.doc_id"))
+                & (F.col("pos") == F.col("keeper.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    # interval union per doc (the exact_substring_dedup islands): runs
+    # of length-k windows whose starts are <= k apart merge
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = rem.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    numbered = marked.withColumn(
+        "isl",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = numbered.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("rs"), (F.max("pos") + k - 1).alias("re")
+    )
+    rr = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rs", "re")).alias("rr"),
+        F.sum(F.col("re") - F.col("rs") + 1).alias("n_removed"),
+    )
+    joined = t.join(rr, "doc_id", "left")
+    kept_idx = F.when(
+        F.col("rr").isNull(), F.sequence(F.lit(1), F.size("ws"))
+    ).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size("ws")),
+            lambda i: ~F.exists(
+                F.col("rr"), lambda r: (i >= r["rs"]) & (i <= r["re"])
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed_tokens"),
+        (F.size("ws") - F.coalesce("n_removed", F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(F.col("ws"), i)), " "
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "exact_substring_dedup_rewrite",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, LEN(ws) - {_SPAN_K - 2}),
+             i -> {{'pos': i,
+                    'g': array_to_string(list_slice(ws, i, i + {_SPAN_K - 1}), ' ')}}
+           )) AS u
+    FROM t WHERE LEN(ws) >= {_SPAN_K}
+  )
+),
+keep AS (
+  SELECT g, MIN({{'doc_id': doc_id, 'pos': pos}}) AS keeper
+  FROM occ GROUP BY g HAVING COUNT(*) > 1
+),
+rem AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN keep kp ON o.g = kp.g
+  WHERE NOT (o.doc_id = struct_extract(kp.keeper, 'doc_id')
+             AND o.pos = struct_extract(kp.keeper, 'pos'))
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_K} OR
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM rem
+),
+numbered AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, isl, MIN(pos) AS rs, MAX(pos) + {_SPAN_K - 1} AS re
+  FROM numbered GROUP BY doc_id, isl
+),
+cov AS (SELECT doc_id, SUM(re - rs + 1) AS n_removed FROM runs GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, u.i AS i, u.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, LEN(ws) + 1),
+                                 i -> {{'i': i, 'tok': ws[i]}})) AS u
+    FROM t
+  )
+),
+keptpos AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM runs r
+                    WHERE r.doc_id = tp.doc_id AND tp.i BETWEEN r.rs AND r.re)
+),
+h AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+  FROM keptpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       LEN(ws) AS n_tokens,
+       CAST(COALESCE(cov.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CAST(LEN(ws) - COALESCE(cov.n_removed, 0) AS BIGINT) AS n_kept_tokens,
+       h.clean_hash
+FROM t
+LEFT JOIN cov ON cov.doc_id = t.doc_id
+LEFT JOIN h ON h.doc_id = t.doc_id
+""",
+    tags=("dedup", "llm", "text"),
+    doc=(
+        "L14c: exact-substring dedup REWRITE (Lee et al. removal "
+        f"semantics, k={_SPAN_K}) — every repeated k-gram window keeps "
+        "only its lexicographically first (doc_id, pos) occurrence; "
+        "later occurrences' windows union into runs and each doc is "
+        "rebuilt from surviving tokens.  Oracle replays span ownership "
+        "AND the surviving text (md5 of the rebuilt doc)."
+    ),
+)
+def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-file fixture: spread before the per-row gram explode
+    docs = docs.repartition(shuffle_parts(docs), F.col("doc_id"))
+    rw = exact_substring_rewrite(docs)
+    return rw.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        "n_kept_tokens",
+        # a fully-removed doc has no surviving text: NULL, not md5('')
+        F.when(F.col("n_kept_tokens") > 0, F.md5("clean_text")).alias(
+            "clean_hash"
+        ),
+    )

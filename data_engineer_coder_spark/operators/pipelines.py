@@ -161,7 +161,9 @@ FROM funnel f LEFT JOIN wins w USING (source)
         "with per-stage removal counts."
     ),
 )
-def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pretraining_corpus_build(
+    spark: SparkSession, sf_dir: str, substring_dedup: bool = False
+) -> DataFrame:
     """Per-source funnel of the five-stage corpus build.
 
     Stage order is the production order: held-out eval docs leave first
@@ -171,6 +173,16 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum assigns what's left to context windows.  Every count is
     an exact integer; the only joins are broadcast-sized (canonical
     markers, contamination ids, eval n-grams).
+
+    ``substring_dedup=True`` (r11) inserts the Lee-et-al. removal stage
+    between exact dedup and decontamination: survivors are rewritten
+    minus all non-first occurrences of duplicated >=15-token substrings
+    (``dedup.exact_substring_rewrite``), docs rewritten to empty drop
+    out, and the downstream stages (decontamination grams, token
+    counts, packing) run on the CLEANED text.  The registered query
+    keeps the default (off) so the oracle replays the canonical
+    five-stage funnel; the flag is covered by the funnel-conservation
+    test in tests/test_round11_ops.py.
     """
     base = with_quality(table(spark, sf_dir, "documents")).withColumn(
         "is_eval", F.col("doc_id") % _BUILD_EVAL_MOD == 0
@@ -196,6 +208,27 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") & F.coalesce(F.col("_canon"), F.lit(False)))
         .select("doc_id", "source", "text", "n_tokens")
     )
+    if substring_dedup:
+        from .dedup import exact_substring_rewrite
+
+        # rewrite over the DEDUP SURVIVORS (duplicated spans among docs
+        # the funnel will actually keep), then run everything downstream
+        # — decontamination grams, token counts, packing — on the
+        # cleaned text; fully-removed docs leave the funnel here
+        rw = exact_substring_rewrite(surv.select("doc_id", "text"))
+        surv = (
+            surv.drop("text", "n_tokens")
+            .join(rw.filter(F.col("n_kept_tokens") > 0), "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                F.col("clean_text").alias("text"),
+                F.col("n_kept_tokens").cast("int").alias("n_tokens"),
+            )
+            # referenced twice downstream (contamination grams + the
+            # ledger's effective-token join) — materialize the rewrite
+            .localCheckpoint(eager=False)
+        )
     evg = grams(base.filter("is_eval")).select("g").distinct()
     contam_ids = (
         grams(surv)
@@ -204,10 +237,25 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    f = (
-        corpus.join(canon, "doc_id", "left")
-        .join(contam_ids, "doc_id", "left")
-        .select(
+    f = corpus.join(canon, "doc_id", "left").join(contam_ids, "doc_id", "left")
+    if substring_dedup:
+        # fold rewrite-dropped docs (entire text was duplicated spans)
+        # into the duplicate bucket, and carry the CLEANED token counts
+        # into the ledger and the packing prefix-sum
+        eff = surv.select("doc_id", F.col("n_tokens").alias("_eff_tokens"))
+        f = f.join(eff, "doc_id", "left").select(
+            "source",
+            "doc_id",
+            "keep",
+            F.coalesce("_eff_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce(F.col("_canon"), F.lit(False))
+                & F.col("_eff_tokens").isNotNull()
+            ).alias("canon"),
+            F.col("_hit").isNotNull().alias("contam"),
+        )
+    else:
+        f = f.select(
             "source",
             "doc_id",
             "keep",
@@ -215,7 +263,6 @@ def pretraining_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_canon"), F.lit(False)).alias("canon"),
             F.col("_hit").isNotNull().alias("contam"),
         )
-    )
     kept = f.filter(F.col("keep") & F.col("canon") & ~F.col("contam"))
     w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

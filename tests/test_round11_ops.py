@@ -1,0 +1,178 @@
+"""Round-11 operator unit tests (beyond the generic oracle sweep):
+exact-substring REWRITE semantics, the PQ standing-codebook artifact,
+and the funnel-conservation property of the optional rewrite stage in
+pretraining_corpus_build."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_exact_substring_rewrite_keep_first_semantics(spark):
+    """A >=k-token span duplicated across two docs must survive in the
+    FIRST doc and be cut from the second; unrelated text survives; a
+    byte-identical later doc is rewritten to empty."""
+    from data_engineer_coder_spark.operators.dedup import (
+        _SPAN_K,
+        exact_substring_rewrite,
+    )
+
+    span = " ".join(f"w{i}" for i in range(_SPAN_K))  # exactly k tokens
+    head = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{head} {span}"),          # first occurrence: keeps the span
+        (2, f"{span} {tail}"),          # later copy: span cut, tail kept
+        (3, f"{head} {span}"),          # byte-identical to doc 1 → empty
+        (4, "short doc under k tokens"),  # no grams → untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_rewrite(docs).collect()}
+
+    # conservation on every row
+    for r in out.values():
+        assert r["n_removed_tokens"] + r["n_kept_tokens"] == r["n_tokens"]
+
+    # doc 1: head survives; span is ALSO duplicated (docs 2 and 3 carry
+    # it) but doc 1 holds the first occurrence of every covering gram
+    # EXCEPT those whose first occurrence is doc 1 itself — since doc 3
+    # duplicates doc 1 entirely, doc 1 is still the keeper everywhere
+    assert out[1]["clean_text"] == f"{head} {span}"
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2: the k-token span is a later occurrence → removed; the tail
+    # plus any prefix tokens not covered by a repeated window survive
+    assert out[2]["clean_text"].endswith(tail)
+    assert span not in out[2]["clean_text"]
+    assert out[2]["n_removed_tokens"] >= _SPAN_K
+    # doc 3: every window duplicates doc 1 → fully removed
+    assert out[3]["n_kept_tokens"] == 0
+    assert out[3]["clean_text"] == ""
+    # doc 4: under k tokens, untouched
+    assert out[4]["clean_text"] == rows[3][1]
+    assert out[4]["n_removed_tokens"] == 0
+
+
+def test_exact_substring_rewrite_within_doc_repeat(spark):
+    """A >=k span repeated WITHIN one doc keeps only the first copy
+    (keeper ordering is (doc_id, pos), so the earlier position wins)."""
+    from data_engineer_coder_spark.operators.dedup import (
+        _SPAN_K,
+        exact_substring_rewrite,
+    )
+
+    span = " ".join(f"x{i}" for i in range(_SPAN_K))
+    mid = "unrelated filler words in the middle here now okay yes"
+    docs = spark.createDataFrame(
+        [(7, f"{span} {mid} {span}")], "doc_id long, text string"
+    )
+    r = exact_substring_rewrite(docs).collect()[0]
+    assert r["n_removed_tokens"] == _SPAN_K
+    assert r["clean_text"] == f"{span} {mid}"
+
+
+def test_rewrite_report_consistency(spark, sf_dir):
+    """Against the real fixture: removed tokens are a SUBSET of the
+    covered tokens the L14b report counts (the report counts every
+    covered position, the rewrite keeps each span's first occurrence),
+    and conservation holds corpus-wide."""
+    from data_engineer_coder_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_dedup_rewrite,
+    )
+
+    rep = {
+        r["doc_id"]: r["n_dup_tokens"]
+        for r in exact_substring_dedup(spark, sf_dir).collect()
+    }
+    rw = exact_substring_dedup_rewrite(spark, sf_dir).collect()
+    assert len(rw) == len(rep)
+    n_removed_total = 0
+    for r in rw:
+        assert r["n_removed_tokens"] + r["n_kept_tokens"] == r["n_tokens"]
+        assert r["n_removed_tokens"] <= rep[r["doc_id"]]
+        n_removed_total += r["n_removed_tokens"]
+    # the fixture has real duplication: the transform must actually cut
+    assert n_removed_total > 0
+
+
+def test_corpus_build_substring_stage_conservation(spark, sf_dir):
+    """pretraining_corpus_build(substring_dedup=True): per-source funnel
+    buckets must still partition n_input, kept token mass can only
+    shrink vs the canonical funnel, and the bucket counts outside the
+    dedup/kept pair are unchanged (the rewrite only moves docs from
+    kept to dup and shrinks texts)."""
+    from data_engineer_coder_spark.operators.pipelines import (
+        pretraining_corpus_build,
+    )
+
+    base = {r["source"]: r for r in pretraining_corpus_build(spark, sf_dir).collect()}
+    rw = {
+        r["source"]: r
+        for r in pretraining_corpus_build(
+            spark, sf_dir, substring_dedup=True
+        ).collect()
+    }
+    assert set(base) == set(rw)
+    for src, r in rw.items():
+        assert (
+            r["n_fail_quality"] + r["n_dup"] + r["n_contaminated"] + r["n_kept"]
+            == r["n_input"]
+        )
+        b = base[src]
+        assert r["n_input"] == b["n_input"]
+        assert r["n_fail_quality"] == b["n_fail_quality"]
+        assert r["n_dup"] >= b["n_dup"]  # rewrite-dropped docs land here
+        if r["n_contaminated"] == b["n_contaminated"]:
+            # same decontamination outcome → cleaning only shrinks text
+            assert r["kept_tokens"] <= b["kept_tokens"]
+    # the rewrite can also DE-contaminate a doc (the leaked 8-gram sat
+    # inside a removed duplicated span) — contamination never grows at
+    # this fixture, and the corpus-wide kept token mass shrinks
+    assert sum(r["n_contaminated"] for r in rw.values()) <= sum(
+        b["n_contaminated"] for b in base.values()
+    )
+    assert sum(r["kept_tokens"] for r in rw.values()) < sum(
+        b["kept_tokens"] for b in base.values()
+    )
+
+
+def test_pq_codebook_artifact_cached_and_bitstable(spark, sf_dir):
+    """The standing codebook artifact must equal an in-plan training
+    pass bit-for-bit, and the second call must hit the cache (same ACID
+    table version — no retrain commit)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_engineer_coder_spark.io.acid_table import current_manifest
+    from data_engineer_coder_spark.io.tables import table as t
+    from data_engineer_coder_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _corpus_fingerprint,
+        _pq_codebook_row,
+        _pq_seed_row,
+        _pq_train,
+        _qvec,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    fresh = _pq_train(emb, _pq_seed_row(emb)).collect()[0]["cb"]
+    stored = _pq_codebook_row(spark, sf_dir).collect()[0]["cb"]
+    assert stored == fresh
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"pq-v1|{_PQ_SUBS}|{_PQ_SUBDIM}|{_PQ_K}|{os.path.realpath(src)}|"
+        f"{_corpus_fingerprint(src)}".encode()
+    ).hexdigest()
+    root = os.path.join(
+        tempfile.gettempdir(), "decs_artifacts", "pq_codebook", key
+    )
+    v1 = current_manifest(root)["version"]
+    again = _pq_codebook_row(spark, sf_dir).collect()[0]["cb"]
+    assert again == fresh
+    assert current_manifest(root)["version"] == v1  # cache hit, no commit
