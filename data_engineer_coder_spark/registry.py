@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.cdc",
     "data_engineer_coder_spark.sources.custom",
     "data_engineer_coder_spark.streaming.windows",
+    "data_engineer_coder_spark.streaming.curation",
     "data_engineer_coder_spark.streaming.stateful",
     "data_engineer_coder_spark.streaming.joins",
 )

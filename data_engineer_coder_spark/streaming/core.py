@@ -397,6 +397,178 @@ def band_range_hits(sorted_vals):
     return flt
 
 
+def _neardup_screen(
+    spark,
+    sig: DataFrame,
+    sig_root: str,
+    bands_root: str,
+    sig_v: int,
+    bands_v: int,
+    min_agree: int,
+    prune_key_cap: int,
+):
+    """The near-dup DECISION CORE shared by the T8e ingest gate and the
+    r11 curation gate: given this batch's MinHash signatures, probe the
+    standing bands/signature index (footer-range pruned reads, capped
+    driver-side key lists with unpruned fallback, reads pinned to the
+    pre-epoch snapshot versions) and screen within the batch (keep-first
+    by doc_id).  Returns ``(bands, rej_index, rej_batch)`` — ``bands``
+    is the batch's exploded band-key frame (the caller appends the
+    accepted subset to the index), ``rej_index`` is None when the index
+    is empty, and ``rej_batch`` already excludes index-rejected docs so
+    the two ledger counts partition the rejected set."""
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import manifest_at, read_table
+    from ..operators.dedup import _K, band_key_array
+
+    mcols = [f"m{j}" for j in range(_K)]
+
+    def _agree(a: str, b: str):
+        # number of matching minima between two aliased wide sig frames
+        s = None
+        for c in mcols:
+            term = (F.col(f"{a}.{c}") == F.col(f"{b}.{c}")).cast("int")
+            s = term if s is None else s + term
+        return s
+
+    bands = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
+
+    rej_index = None
+    if manifest_at(bands_root, bands_v)["partitions"]:
+        # batch band-key set: bounded by 8 × batch docs (driver-side
+        # sorted list for the per-file bisect).  The bound is ENFORCED:
+        # past ``prune_key_cap`` keys the probe falls back to the
+        # unpruned scan — decisions identical, only more files read.
+        keys_df = bands.select("band_key").distinct()
+        hit = None
+        if keys_df.count() <= prune_key_cap:
+            batch_keys = sorted(r["band_key"] for r in keys_df.collect())
+            hit = band_range_hits(batch_keys)("band_key")
+        try:
+            idx_bands = read_table(
+                spark, bands_root, version=bands_v, stats_filter=hit
+            ).select(F.col("doc_id").alias("idx_id"), "band_key")
+        except ValueError:
+            idx_bands = None  # every index file pruned: no collisions
+        if idx_bands is not None:
+            # broadcast the (small) batch side: surviving index files
+            # are scanned once, map-side — never shuffled or broadcast
+            cand_i = (
+                idx_bands.join(F.broadcast(bands), "band_key")
+                # defense in depth: sig_v/bands_v pinning already
+                # excludes this epoch's own replayed signatures
+                .where(F.col("idx_id") != F.col("doc_id"))
+                .select("doc_id", "idx_id")
+                .distinct()
+                # tiny pair list (LSH collisions only), referenced
+                # below for the id set AND the verify join
+                .localCheckpoint()
+            )
+            cand_df = cand_i.select("idx_id").distinct()
+            n_cand = cand_df.count()
+            if n_cand:
+                # second pruned read: only sig files whose doc_id
+                # footer range contains a candidate id are opened —
+                # same enforced cap + unpruned fallback as above
+                idf = None
+                if n_cand <= prune_key_cap:
+                    cand_ids = sorted(r["idx_id"] for r in cand_df.collect())
+                    idf = band_range_hits(cand_ids)("doc_id")
+                index_sig = read_table(
+                    spark, sig_root, version=sig_v, stats_filter=idf
+                ).select("doc_id", *mcols)
+                rej_index = (
+                    cand_i.join(sig.alias("a"), "doc_id")
+                    .join(
+                        index_sig.alias("b"),
+                        F.col("idx_id") == F.col("b.doc_id"),
+                    )
+                    .where(_agree("a", "b") >= F.lit(min_agree))
+                    .select("a.doc_id")
+                    .distinct()
+                    # tiny id list, referenced 3× (count, anti-join,
+                    # union): materialize once
+                    .localCheckpoint()
+                )
+
+    cand_b = (
+        bands.alias("x")
+        .join(F.broadcast(bands.alias("y")), "band_key")
+        .where(F.col("x.doc_id") > F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("prior_id"))
+        .distinct()
+    )
+    rej_batch = (
+        cand_b.join(sig.alias("a"), "doc_id")
+        .join(sig.alias("b"), F.col("prior_id") == F.col("b.doc_id"))
+        .where(_agree("a", "b") >= F.lit(min_agree))
+        .select("a.doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    if rej_index is not None:
+        rej_batch = rej_batch.join(rej_index, "doc_id", "left_anti")
+    return bands, rej_index, rej_batch
+
+
+def _append_neardup_index(
+    acc_sig: DataFrame,
+    sig_root: str,
+    bands_root: str,
+    txid: str,
+    index_file_rows: int | None = None,
+):
+    """Append accepted docs' signatures + band keys to the standing
+    index tables under ``txid`` — the layout (id-bucketed signature
+    files sorted by doc_id; band-partitioned key files sorted by
+    band_key) is exactly what the pruned probe depends on.  Shared by
+    the T8e gate and the r11 curation gate."""
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import append_partitions
+    from ..operators.dedup import band_key_array
+
+    # signatures: partitioned by an id bucket (NOT epoch — so
+    # multi-epoch appends accumulate per partition and compaction has
+    # something to collapse), files sorted by doc_id for the
+    # candidate-id pruned verify read
+    append_partitions(
+        acc_sig.withColumn("sb", F.pmod("doc_id", F.lit(8)))
+        .repartition(F.col("sb"))
+        .sortWithinPartitions("doc_id"),
+        sig_root,
+        ["sb"],
+        txid,
+    )
+    # band-key index: partitioned by band index, files sorted by
+    # band_key so footer ranges drive the probe's file pruning
+    acc_bands = (
+        acc_sig.select(
+            "doc_id", F.explode(band_key_array()).alias("band_key")
+        )
+        .withColumn("bj", F.split("band_key", "_").getItem(0).cast("int"))
+    )
+    if index_file_rows:
+        # fine-grained index files: range-split on (bj, band_key) so
+        # each file's footer covers a NARROW key subrange.  This is
+        # what makes the probe's file pruning bite in the production
+        # regime (batch ≪ index): files hit ≤ batch keys, regardless
+        # of how many files the index has grown to.  One extra count
+        # per epoch (bounded driver state) sizes the split.
+        nf = max(1, -(-acc_bands.count() // index_file_rows))
+        staged_bands = acc_bands.repartitionByRange(
+            nf, F.col("bj"), F.col("band_key")
+        ).sortWithinPartitions("bj", "band_key")
+    else:
+        # one file per (band, epoch): right when batches are a
+        # meaningful fraction of the corpus (bulk loads, fixtures)
+        staged_bands = acc_bands.repartition(
+            F.col("bj")
+        ).sortWithinPartitions("band_key")
+    append_partitions(staged_bands, bands_root, ["bj"], txid)
+
+
 def _df_table_buckets(df_root: str, requested: int) -> int:
     """The exact df matview's bucket count is TABLE metadata, not a call
     parameter (ADVICE r10): the hash layout is baked into the standing
@@ -566,29 +738,12 @@ def write_stream_neardup_gate(
         replace_partitions,
         version_before_txid,
     )
-    from ..operators.dedup import (
-        _K,
-        band_key_array,
-        minhash_from_hashes,
-        shingle_hashes,
-    )
+    from ..operators.dedup import minhash_from_hashes, shingle_hashes
 
     if (df_cap is None) != (df_root is None):
         raise ValueError("df_cap and df_root must be provided together")
     if bands_root is None:
         bands_root = sig_root.rstrip("/") + "_bands"
-
-    mcols = [f"m{j}" for j in range(_K)]
-
-    def _agree(a: str, b: str):
-        # number of matching minima between two aliased wide sig frames
-        s = None
-        for c in mcols:
-            term = (F.col(f"{a}.{c}") == F.col(f"{b}.{c}")).cast("int")
-            s = term if s is None else s + term
-        return s
-
-    _range_hits = band_range_hits
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
@@ -671,94 +826,11 @@ def write_stream_neardup_gate(
         else:
             hashed_eff = hashed
         sig = minhash_from_hashes(hashed_eff).localCheckpoint()
-        bands = sig.select("doc_id", F.explode(band_key_array()).alias("band_key"))
-
-        rej_index = None
-        if manifest_at(bands_root, bands_v)["partitions"]:
-            # batch band-key set: bounded by 8 × batch docs (driver-side
-            # sorted list for the per-file bisect — the same bounded-state
-            # class as the rollup sink's day list).  The bound is
-            # ENFORCED, not assumed (r11): a pathological epoch whose
-            # key set exceeds ``prune_key_cap`` falls back to the
-            # unpruned index scan — decisions are identical (pruning is
-            # a read optimization, never a filter on candidates), only
-            # the probe reads more files.
-            keys_df = bands.select("band_key").distinct()
-            hit = None
-            if keys_df.count() <= prune_key_cap:
-                batch_keys = sorted(
-                    r["band_key"] for r in keys_df.collect()
-                )
-                hit = _range_hits(batch_keys)("band_key")
-            try:
-                idx_bands = read_table(
-                    spark, bands_root, version=bands_v, stats_filter=hit
-                ).select(F.col("doc_id").alias("idx_id"), "band_key")
-            except ValueError:
-                idx_bands = None  # every index file pruned: no collisions
-            if idx_bands is not None:
-                # broadcast the (small) batch side: surviving index files
-                # are scanned once, map-side — never shuffled or broadcast
-                cand_i = (
-                    idx_bands.join(F.broadcast(bands), "band_key")
-                    # defense in depth: sig_v/bands_v pinning already
-                    # excludes this epoch's own replayed signatures
-                    .where(F.col("idx_id") != F.col("doc_id"))
-                    .select("doc_id", "idx_id")
-                    .distinct()
-                    # tiny pair list (LSH collisions only), referenced
-                    # below for the id set AND the verify join
-                    .localCheckpoint()
-                )
-                cand_df = cand_i.select("idx_id").distinct()
-                n_cand = cand_df.count()
-                if n_cand:
-                    # second pruned read: only sig files whose doc_id
-                    # footer range contains a candidate id are opened —
-                    # same enforced cap + unpruned fallback as above
-                    idf = None
-                    if n_cand <= prune_key_cap:
-                        cand_ids = sorted(
-                            r["idx_id"] for r in cand_df.collect()
-                        )
-                        idf = _range_hits(cand_ids)("doc_id")
-                    index_sig = read_table(
-                        spark, sig_root, version=sig_v, stats_filter=idf
-                    ).select("doc_id", *mcols)
-                    rej_index = (
-                        cand_i.join(sig.alias("a"), "doc_id")
-                        .join(
-                            index_sig.alias("b"),
-                            F.col("idx_id") == F.col("b.doc_id"),
-                        )
-                        .where(_agree("a", "b") >= F.lit(min_agree))
-                        .select("a.doc_id")
-                        .distinct()
-                        # tiny id list, referenced 3× (count, anti-join,
-                        # union): materialize once
-                        .localCheckpoint()
-                    )
-
-        cand_b = (
-            bands.alias("x")
-            .join(F.broadcast(bands.alias("y")), "band_key")
-            .where(F.col("x.doc_id") > F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("prior_id"))
-            .distinct()
+        _, rej_index, rej_batch = _neardup_screen(
+            spark, sig, sig_root, bands_root, sig_v, bands_v,
+            min_agree, prune_key_cap,
         )
-        rej_batch = (
-            cand_b.join(sig.alias("a"), "doc_id")
-            .join(sig.alias("b"), F.col("prior_id") == F.col("b.doc_id"))
-            .where(_agree("a", "b") >= F.lit(min_agree))
-            .select("a.doc_id")
-            .distinct()
-            .localCheckpoint()
-        )
-        if rej_index is not None:
-            rej_batch = rej_batch.join(rej_index, "doc_id", "left_anti")
-            n_rej_index = rej_index.count()
-        else:
-            n_rej_index = 0
+        n_rej_index = rej_index.count() if rej_index is not None else 0
         n_rej_batch = rej_batch.count()
         rejected = rej_batch if rej_index is None else rej_index.unionByName(rej_batch)
         accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
@@ -769,46 +841,9 @@ def write_stream_neardup_gate(
 
         append_partitions(accepted, docs_root, ["epoch"], txid)
         acc_sig = accepted.select("doc_id", "epoch").join(sig, "doc_id")
-        # signatures: partitioned by an id bucket (NOT epoch — so
-        # multi-epoch appends accumulate per partition and compaction has
-        # something to collapse), files sorted by doc_id for the
-        # candidate-id pruned verify read
-        append_partitions(
-            acc_sig.withColumn("sb", F.pmod("doc_id", F.lit(8)))
-            .repartition(F.col("sb"))
-            .sortWithinPartitions("doc_id"),
-            sig_root,
-            ["sb"],
-            txid,
+        _append_neardup_index(
+            acc_sig, sig_root, bands_root, txid, index_file_rows
         )
-        # band-key index: partitioned by band index, files sorted by
-        # band_key so footer ranges drive the probe's file pruning
-        acc_bands = (
-            acc_sig.select(
-                "doc_id", F.explode(band_key_array()).alias("band_key")
-            )
-            .withColumn(
-                "bj", F.split("band_key", "_").getItem(0).cast("int")
-            )
-        )
-        if index_file_rows:
-            # fine-grained index files: range-split on (bj, band_key) so
-            # each file's footer covers a NARROW key subrange.  This is
-            # what makes the probe's file pruning bite in the production
-            # regime (batch ≪ index): files hit ≤ batch keys, regardless
-            # of how many files the index has grown to.  One extra count
-            # per epoch (bounded driver state) sizes the split.
-            nf = max(1, -(-acc_bands.count() // index_file_rows))
-            staged_bands = acc_bands.repartitionByRange(
-                nf, F.col("bj"), F.col("band_key")
-            ).sortWithinPartitions("bj", "band_key")
-        else:
-            # one file per (band, epoch): right when batches are a
-            # meaningful fraction of the corpus (bulk loads, fixtures)
-            staged_bands = acc_bands.repartition(
-                F.col("bj")
-            ).sortWithinPartitions("band_key")
-        append_partitions(staged_bands, bands_root, ["bj"], txid)
         # arrived_id_sum: a content checksum of WHICH docs this epoch
         # saw — lets auditors (and the registry oracle) pin batch
         # membership, not just cardinality
@@ -1030,6 +1065,163 @@ def write_stream_decontam_gate(
             )],
             "epoch int, n_arrived long, arrived_id_sum long, "
             "n_contaminated long, n_accepted long",
+        )
+        append_partitions(ledger, stats_root, ["epoch"], txid)
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )
+
+
+def write_stream_curation_gate(
+    sdf: DataFrame,
+    eval_root: str,
+    sig_root: str,
+    docs_root: str,
+    quarantine_root: str,
+    verdicts_root: str,
+    stats_root: str,
+    min_agree: int = 16,
+    checkpoint: str | None = None,
+    bands_root: str | None = None,
+    index_file_rows: int | None = None,
+    prune_key_cap: int = 100_000,
+):
+    """T8i (round 11): the UNIFIED CURATION INGEST PIPELINE — the three
+    proven gates (near-dup screen → decontamination → stats rollup)
+    composed over ONE arriving stream under ONE per-epoch transaction.
+
+    Separately, T8e screens near-dups, T8h quarantines eval leakage,
+    and T8d keeps ledgers — but a real 100 TB ingest runs them as one
+    epoch transaction: every table this pipeline touches (docs,
+    quarantine, per-doc verdicts, near-dup index, ledger) commits under
+    the SAME ``epoch-N`` txid, so a crash-replayed epoch is a no-op on
+    ALL of them at once — the corpus can never hold a doc whose verdict
+    row is missing, or vice versa.  This is the streaming face of
+    ``pretraining_corpus_build``'s batch funnel and the reference's
+    whole pipeline concept (task_1 >> task_2 >> task_3,
+    ``/root/reference/dags/airflow_dag.py:62``) made transactional.
+
+    Per micro-batch of ``(doc_id, text)`` rows:
+
+    1. NEAR-DUP SCREEN (``_neardup_screen`` — the T8e decision core
+       verbatim: MinHash signatures, footer-range-pruned probe of the
+       standing index pinned to the pre-epoch snapshot, capped driver
+       lists, within-batch keep-first).  Verdicts:
+       ``rejected_neardup_index`` / ``rejected_neardup_batch``.
+    2. DECONTAMINATION of the survivors (the T8h probe verbatim: the
+       batch's word 8-grams semi-joined against the ``broadcast()``
+       standing eval index — the batch never shuffles).  Contaminated
+       survivors are quarantined WITH their rows (an audit needs the
+       rejects): verdict ``quarantined_contaminated``.
+    3. The remainder is ``accepted``: rows land in the docs table and
+       ONLY their signatures/band keys enter the standing near-dup
+       index (``_append_neardup_index``) — the index mirrors the
+       corpus, so a near-dup of a quarantined doc is judged by the
+       decontamination gate (which rejects it iff it shares the leaked
+       grams), not by membership of a doc the corpus refused.
+    4. One per-doc VERDICT row per arrival and one per-epoch LEDGER row
+       (arrived / rejected-index / rejected-batch / quarantined /
+       accepted + the arrived-id checksum) — the full audit trail, all
+       under the epoch txid.
+
+    Screen order is deliberate: near-dup first means a doc that is both
+    a near-dup AND contaminated reports as near-dup (the cheaper, more
+    common verdict), and the eval probe runs on the smaller survivor
+    set.  Cost shape per epoch: the T8e probe (∝ colliding index
+    files) + the T8h broadcast semi-join (∝ batch grams) — nothing new
+    is added to either component's scaling story.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io.acid_table import append_partitions, read_table, version_before_txid
+    from ..operators.dedup import minhash_from_hashes, shingle_hashes
+    from ..operators.textops import _DECON_N, ngram_array
+
+    if bands_root is None:
+        bands_root = sig_root.rstrip("/") + "_bands"
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        txid = f"epoch-{epoch_id}"
+        # Crash-replay anchor: every standing-table READ in this epoch
+        # is pinned to the last version committed BEFORE this txid.
+        sig_v = version_before_txid(sig_root, txid)
+        bands_v = version_before_txid(bands_root, txid)
+        batch = df.withColumn("epoch", F.lit(int(epoch_id)))
+
+        # 1. near-dup screen (T8e core)
+        sig = minhash_from_hashes(
+            shingle_hashes(batch.select("doc_id", "text"))
+        ).localCheckpoint()
+        _, rej_index, rej_batch = _neardup_screen(
+            spark, sig, sig_root, bands_root, sig_v, bands_v,
+            min_agree, prune_key_cap,
+        )
+        n_rej_index = rej_index.count() if rej_index is not None else 0
+        n_rej_batch = rej_batch.count()
+        rejected = (
+            rej_batch if rej_index is None
+            else rej_index.unionByName(rej_batch)
+        )
+        survivors = batch.join(rejected, "doc_id", "left_anti")
+
+        # 2. decontamination of the survivors (T8h core)
+        ev = read_table(spark, eval_root).select("g")
+        occ = survivors.select(
+            "doc_id",
+            F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g"),
+        )
+        contam_ids = (
+            occ.join(F.broadcast(ev), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        n_quarantined = contam_ids.count()
+        quarantined = survivors.join(contam_ids, "doc_id", "left_semi")
+        accepted = survivors.join(contam_ids, "doc_id", "left_anti").localCheckpoint()
+        n_accepted = accepted.count()
+        arrived = batch.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ids"),
+        ).collect()[0]
+
+        # 3. commits — every table under the SAME epoch txid
+        append_partitions(accepted, docs_root, ["epoch"], txid)
+        if n_quarantined:
+            append_partitions(quarantined, quarantine_root, ["epoch"], txid)
+        acc_sig = accepted.select("doc_id", "epoch").join(sig, "doc_id")
+        _append_neardup_index(
+            acc_sig, sig_root, bands_root, txid, index_file_rows
+        )
+
+        # 4. per-doc verdicts + the epoch ledger
+        def tag(ids_df, verdict: str):
+            return ids_df.select("doc_id").withColumn(
+                "verdict", F.lit(verdict)
+            )
+
+        verdicts = tag(rej_batch, "rejected_neardup_batch").unionByName(
+            tag(contam_ids, "quarantined_contaminated")
+        ).unionByName(tag(accepted, "accepted"))
+        if rej_index is not None:
+            verdicts = verdicts.unionByName(
+                tag(rej_index, "rejected_neardup_index")
+            )
+        append_partitions(
+            verdicts.withColumn("epoch", F.lit(int(epoch_id))),
+            verdicts_root,
+            ["epoch"],
+            txid,
+        )
+        ledger = spark.createDataFrame(
+            [(int(epoch_id), int(arrived["n"]), int(arrived["ids"]),
+              int(n_rej_index), int(n_rej_batch), int(n_quarantined),
+              int(n_accepted))],
+            "epoch int, n_arrived long, arrived_id_sum long, "
+            "n_rejected_index long, n_rejected_batch long, "
+            "n_quarantined long, n_accepted long",
         )
         append_partitions(ledger, stats_root, ["epoch"], txid)
 

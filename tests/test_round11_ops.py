@@ -176,3 +176,101 @@ def test_pq_codebook_artifact_cached_and_bitstable(spark, sf_dir):
     again = _pq_codebook_row(spark, sf_dir).collect()[0]["cb"]
     assert again == fresh
     assert current_manifest(root)["version"] == v1  # cache hit, no commit
+
+
+def test_curation_gate_verdicts_and_replay_noop(spark, tmp_path):
+    """T8i: the unified curation gate must (a) reject a cross-epoch
+    near-dup via the standing index, (b) keep-first within a batch,
+    (c) quarantine an eval-contaminated doc WITH its row, (d) accept
+    the rest, (e) keep a quarantined doc OUT of the near-dup index (its
+    later near-dup is judged by decontamination, not the index), and
+    (f) stay exactly-once across a full stream replay — every table's
+    version unchanged."""
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.operators.textops import _DECON_N, ngram_array
+    from data_engineer_coder_spark.streaming.core import write_stream_curation_gate
+
+    # eval doc: 8+ words → one 8-gram index entry family
+    eval_text = "the secret benchmark answer is forty two exactly no more"
+    dup = "a perfectly ordinary training document about spark and parquet files"
+    uniq = "another unrelated document mentioning manifests commits and snapshots"
+    contaminated = f"prefix words here then {eval_text} trailing tail"
+    e0 = [(10, dup), (12, contaminated), (14, uniq)]
+    e1 = [(21, dup), (23, contaminated)]  # 21 near-dups indexed 10;
+    # 23 near-dups QUARANTINED 12 — must be caught by decontamination
+    # (12 never entered the index), not accepted
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((e0, e1)):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    roots = {
+        n: str(tmp_path / n)
+        for n in ("eval", "sigs", "docs", "quarantine", "verdicts", "stats")
+    }
+    ev = (
+        spark.createDataFrame([(eval_text,)], "text string")
+        .select(F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g"))
+        .distinct()
+        .withColumn("b", F.lit(0))
+    )
+    replace_partitions(ev, roots["eval"], ["b"], "eval-build")
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_curation_gate(
+            sdf, roots["eval"], roots["sigs"], roots["docs"],
+            roots["quarantine"], roots["verdicts"], roots["stats"],
+        )
+        q.awaitTermination(300)
+
+    _run()
+    v = {
+        (int(r["doc_id"]), int(r["epoch"])): r["verdict"]
+        for r in read_table(spark, roots["verdicts"]).collect()
+    }
+    assert v[(10, 0)] == "accepted"
+    assert v[(12, 0)] == "quarantined_contaminated"
+    assert v[(14, 0)] == "accepted"
+    assert v[(21, 1)] == "rejected_neardup_index"   # near-dup of indexed 10
+    assert v[(23, 1)] == "quarantined_contaminated"  # 12 not in index → decontam catches it
+    assert sorted(r["doc_id"] for r in read_table(spark, roots["docs"]).collect()) == [10, 14]
+    assert sorted(
+        r["doc_id"] for r in read_table(spark, roots["quarantine"]).collect()
+    ) == [12, 23]
+    # the index holds ONLY accepted docs' signatures
+    assert sorted(
+        r["doc_id"] for r in read_table(spark, roots["sigs"]).collect()
+    ) == [10, 14]
+    ledger = {
+        int(r["epoch"]): (r["n_arrived"], r["n_rejected_index"],
+                          r["n_rejected_batch"], r["n_quarantined"],
+                          r["n_accepted"])
+        for r in read_table(spark, roots["stats"]).collect()
+    }
+    assert ledger[0] == (3, 0, 0, 1, 2)
+    assert ledger[1] == (2, 1, 0, 1, 0)
+
+    v_before = {n: current_manifest(roots[n])["version"] for n in roots}
+    _run()  # fresh checkpoint → full replay of both epochs
+    for n, ver in v_before.items():
+        assert current_manifest(roots[n])["version"] == ver, n
+    assert read_table(spark, roots["verdicts"]).count() == 5
