@@ -166,6 +166,13 @@ HEADLINE = [
     # capped gate share the T8e family; kept out to bound wall time)
     "exact_substring_dedup",
     "stream_decontaminate_ingest",
+    # round 11: the unified curation pipeline (one epoch txid across
+    # near-dup screen + decontamination + verdicts), the exact-substring
+    # REMOVAL transform, and the PQ codebook drift audit (the PQ pair
+    # above now reads the standing codebook artifact)
+    "stream_curation_ingest",
+    "exact_substring_dedup_rewrite",
+    "pq_codebook_drift_audit",
 ]
 
 

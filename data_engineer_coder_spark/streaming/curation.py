@@ -175,7 +175,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.acid_table import read_table, replace_partitions
     from ..operators.textops import _DECON_MOD, _DECON_N, ngram_array
     from .core import write_stream_curation_gate
-    from .windows import _ordered_epoch_stream
+    from .windows import _await_gate, _ordered_epoch_stream
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     is_eval = F.pmod("doc_id", F.lit(_DECON_MOD)) == 0
@@ -211,7 +211,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sdf, roots["eval"], roots["sigs"], roots["docs"],
                 roots["quarantine"], roots["verdicts"], roots["stats"],
             )
-            q.awaitTermination(600)
+            _await_gate(q)
         finally:
             spark.conf.set(key, prev)
         ledger = [

@@ -566,6 +566,25 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_neardup_gate(spark, sf_dir)
 
 
+def _await_gate(q) -> None:
+    """Wait for an availableNow gate stream, failing LOUDLY on timeout:
+    a truncated run would otherwise surface as a confusing
+    epoch-membership guard failure over a partial stats table
+    (observed at ov-sf100, where 3 epochs of 1.67M docs exceed the old
+    hardcoded 600 s).  ``SPARK_GRAFT_STREAM_TIMEOUT`` (seconds) sizes
+    the cap for scaling campaigns; the default keeps fixture runs
+    bounded."""
+    import os as _os
+
+    timeout_s = int(_os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "600"))
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"gate stream did not finish within {timeout_s}s — raise "
+            "SPARK_GRAFT_STREAM_TIMEOUT for large fixtures"
+        )
+
+
 def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3):
     """Deterministic epoch split (``doc_id % n_epochs``) of ``df`` as a
     file-source stream under ``tmp``: one file per epoch, arrival order
@@ -650,7 +669,7 @@ def _run_neardup_gate(
                 df_buckets=df_buckets, compact_every=compact_every,
                 df_mode=df_mode,
             )
-            q.awaitTermination(600)
+            _await_gate(q)
         finally:
             spark.conf.set(key, prev)
         stats = [
@@ -1235,7 +1254,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sdf, roots["eval"], roots["docs"], roots["stats"],
                 quarantine_root=roots["quarantine"],
             )
-            q.awaitTermination(600)
+            _await_gate(q)
         finally:
             spark.conf.set(key, prev)
         stats = [
