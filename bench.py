@@ -173,6 +173,10 @@ HEADLINE = [
     "stream_curation_ingest",
     "exact_substring_dedup_rewrite",
     "pq_codebook_drift_audit",
+    # round 11: streaming ANN index maintenance (bootstrap-trained
+    # standing quantizer, arriving vectors assigned/encoded/appended
+    # under epoch txids)
+    "stream_ann_index_ingest",
 ]
 
 

@@ -2052,25 +2052,22 @@ _SQL_PQ_L2 = (
 )
 
 
-def _sql_pq_ctes() -> str:
-    """Shared PQ oracle core: hash-ranked seeds (cb0) -> round-0
-    assignment (codes0) -> one Lloyd round per subspace (tr: exact
-    bigint slice sums, one double divide, ROUND — the _recenter
-    convention, bit-identical to the Spark fold) -> trained codebook
-    (cb; a codeword with no members keeps its seed slice) -> final
-    corpus codes + per-probe ADC distance tables."""
+def _sql_pq_train_cb(train: str = "n") -> str:
+    """PQ codebook-training CTE chain over CTE ``{train}`` (vec_id,
+    qv): hash-ranked seeds (cb0) -> round-0 assignment (codes0) -> one
+    Lloyd round per subspace (tr: exact bigint slice sums, one double
+    divide, ROUND — the _recenter convention, bit-identical to the
+    Spark fold) -> trained codebook ``cb`` (a codeword with no members
+    keeps its seed slice).  Parameterized (round 11) so the streaming
+    ANN-index gate can train on its bootstrap slice while the batch PQ
+    queries keep training on the full corpus."""
     sl = f"n.qv[(cb0.s * {_PQ_SUBDIM} + 1):((cb0.s + 1) * {_PQ_SUBDIM})]"
-    slc = f"n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
-    return f"""
-WITH n AS (
-  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
-),
-picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
+    return f"""picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
   SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
   FROM (
     SELECT vec_id, qv,
            ROW_NUMBER() OVER (ORDER BY {_sql_seed_h('vec_id')}, vec_id) AS hr
-    FROM n
+    FROM {train}
   ) WHERE hr <= {_PQ_K}
 ),
 cb0 AS (  -- seed codebook: (subspace s, code c, 8-dim centroid slice)
@@ -2085,7 +2082,7 @@ codes0 AS (  -- round-0 assignment: per (vec, subspace) the nearest seed
              PARTITION BY n.vec_id, cb0.s
              ORDER BY {_SQL_PQ_L2.format(a=sl, b='cb0.cs')}, cb0.c
            ) AS rn
-    FROM n CROSS JOIN cb0
+    FROM {train} AS n CROSS JOIN cb0
   ) WHERE rn = 1
 ),
 tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
@@ -2094,7 +2091,7 @@ tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
            CAST(ROUND(CAST(SUM(n.qv[c0.s * {_PQ_SUBDIM} + g.d]) AS DOUBLE)
                       / COUNT(*)) AS BIGINT) AS m
     FROM codes0 c0
-    JOIN n ON n.vec_id = c0.vec_id,
+    JOIN {train} AS n ON n.vec_id = c0.vec_id,
          generate_series(1, {_PQ_SUBDIM}) AS g(d)
     GROUP BY c0.s, c0.c, g.d
   ) GROUP BY s, c
@@ -2102,17 +2099,37 @@ tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
 cb AS (  -- trained codebook; empty codewords keep their seed slice
   SELECT cb0.s, cb0.c, COALESCE(tr.cs, cb0.cs) AS cs
   FROM cb0 LEFT JOIN tr ON tr.s = cb0.s AND tr.c = cb0.c
-),
-codes AS (  -- corpus encoding vs the TRAINED codebook
+)"""
+
+
+def _sql_pq_encode(src: str = "n", out: str = "codes") -> str:
+    """``{out}`` CTE: encode every row of CTE ``{src}`` (vec_id, qv)
+    against the trained codebook CTE ``cb`` — per (vec, subspace) the
+    L2-nearest codeword, ties to the lower code."""
+    slc = f"n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
+    return f"""{out} AS (  -- encoding vs the TRAINED codebook
   SELECT vec_id, s, c FROM (
     SELECT n.vec_id, cb.s, cb.c,
            ROW_NUMBER() OVER (
              PARTITION BY n.vec_id, cb.s
              ORDER BY {_SQL_PQ_L2.format(a=slc, b='cb.cs')}, cb.c
            ) AS rn
-    FROM n CROSS JOIN cb
+    FROM {src} AS n CROSS JOIN cb
   ) WHERE rn = 1
+)"""
+
+
+def _sql_pq_ctes() -> str:
+    """Shared PQ oracle core for the batch queries: codebook trained on
+    the full corpus (``_sql_pq_train_cb``), corpus codes
+    (``_sql_pq_encode``) + per-probe ADC distance tables."""
+    slc = f"n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
+    return f"""
+WITH n AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
 ),
+{_sql_pq_train_cb('n')},
+{_sql_pq_encode('n', 'codes')},
 dtab AS (  -- per probe the exact distance to every (s, c) centroid slice
   SELECT n.vec_id AS probe_id, cb.s, cb.c,
          {_SQL_PQ_L2.format(a=slc, b='cb.cs')} AS d

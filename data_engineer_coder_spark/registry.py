@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.sources.custom",
     "data_engineer_coder_spark.streaming.windows",
     "data_engineer_coder_spark.streaming.curation",
+    "data_engineer_coder_spark.streaming.ann_ingest",
     "data_engineer_coder_spark.streaming.stateful",
     "data_engineer_coder_spark.streaming.joins",
 )

@@ -1228,3 +1228,149 @@ def write_stream_curation_gate(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+def write_stream_ann_index_gate(
+    sdf: DataFrame,
+    cents_root: str,
+    cb_root: str,
+    index_root: str,
+    stats_root: str,
+    index_buckets: int = 16,
+    checkpoint: str | None = None,
+):
+    """T8j (round 11): STREAMING ANN INDEX MAINTENANCE — arriving
+    vectors are assigned to the standing IVF quantizer, PQ-encoded
+    against the standing codebook, and appended to the inverted-list
+    index under one epoch transaction.
+
+    This is the ingest face of the similarity-search family: the batch
+    queries (``ivf_ann_topk``, ``pq_ann_topk``) search a FINISHED
+    index; ``ivf_index_upsert_audit`` proves one batch upsert; this
+    gate runs the real loop a 100 TB corpus lives in — vectors arrive
+    continuously, the quantizer is a STANDING ARTIFACT (trained once on
+    a bootstrap sample, versioned, reused — the VERDICT-r10 codebook
+    rule), and only the arriving batch is ever assigned or encoded.
+
+    Per micro-batch of ``(vec_id, qv, nrm)`` rows (pre-quantized
+    int64 vectors — the ``_qvec`` convention):
+
+    1. Read the standing centroids and codebook PINNED to the last
+       version committed before this epoch's txid
+       (``version_before_txid``) — crash-replays see identical
+       artifacts even if a maintenance retrain lands mid-stream.
+    2. Two-level IVF assignment of the batch (map-side against the
+       broadcast ~√K coarse grid, then the per-cell fine argmax —
+       ``_two_level_assign``; nothing scales with index size).
+    3. PQ-encode each vector against the broadcast codebook row
+       (``_pq_code_for`` — an expression-level argmin fold, zero
+       shuffle), keeping the assignment quality signal
+       ``sim_e6 = floor((cosine+1)·1e6)``.
+    4. Append ``(vec_id, centroid_id, codes, sim_e6, epoch)`` to the
+       index, PARTITIONED BY CELL BUCKET (``pmod(centroid_id,
+       index_buckets)``) so each inverted list's rows co-locate — a
+       probe reads only its cells' buckets, never the whole index —
+       plus one per-epoch ledger row (n_arrived, vec-id checksum,
+       cells touched, code checksum), all under the SAME epoch txid:
+       a crash-replayed epoch is a no-op on index AND ledger at once.
+
+    Scale shape per epoch: Θ(batch·√K) assignment flops + Θ(batch)
+    encode + one append of Θ(batch) rows across ≤ index_buckets
+    partitions.  Nothing reads or rewrites standing index rows — the
+    gate's cost is independent of how many billions of vectors the
+    index already holds (compaction is the separate, scheduled
+    maintenance path — ``compact_partitions``, proven in
+    ``stream_neardup_index_compaction_audit``).
+    """
+    from ..io.acid_table import append_partitions, read_table, version_before_txid
+    from ..operators.similarity import (
+        _PQ_SUBS,
+        _cb_row_from_entries,
+        _pq_code_for,
+        _two_level_assign,
+    )
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        txid = f"epoch-{epoch_id}"
+        cents_v = version_before_txid(cents_root, txid)
+        cb_v = version_before_txid(cb_root, txid)
+        cents = (
+            read_table(spark, cents_root, version=cents_v)
+            .select(
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+                F.col("cqv").cast("array<bigint>").alias("cqv"),
+                F.col("cnrm").cast("long").alias("cnrm"),
+                F.col("stride").cast("long").alias("stride"),
+                F.col("cstride").cast("long").alias("cstride"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cb_row = _cb_row_from_entries(
+            read_table(spark, cb_root, version=cb_v).select(
+                F.col("s").cast("int").alias("s"),
+                F.col("c").cast("int").alias("c"),
+                F.col("cs").cast("array<bigint>").alias("cs"),
+            )
+        )
+        batch = df.select("vec_id", "qv", "nrm")
+        asg = _two_level_assign(batch, cents).select(
+            "vec_id",
+            "centroid_id",
+            F.floor((F.col("c_sim") + 1) * 1e6).cast("bigint").alias("sim_e6"),
+            "qv",
+        )
+        enc = (
+            asg.crossJoin(F.broadcast(cb_row))
+            .select(
+                "vec_id",
+                "centroid_id",
+                "sim_e6",
+                F.array(
+                    *[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]
+                ).alias("codes"),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn(
+                "cell_bucket", F.pmod("centroid_id", F.lit(index_buckets))
+            )
+            .localCheckpoint()
+        )
+        stats = enc.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("vec_id"), F.lit(0)).alias("ids"),
+            F.countDistinct("centroid_id").alias("cells"),
+            F.coalesce(
+                F.sum(
+                    F.aggregate(
+                        F.zip_with(
+                            "codes",
+                            F.sequence(F.lit(1), F.lit(_PQ_SUBS)),
+                            lambda c, w: c * w,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                F.lit(0),
+            ).alias("csum"),
+        ).collect()[0]
+        append_partitions(enc, index_root, ["cell_bucket"], txid)
+        ledger = spark.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(stats["n"]),
+                    int(stats["ids"]),
+                    int(stats["cells"]),
+                    int(stats["csum"]),
+                )
+            ],
+            "epoch int, n_arrived long, arrived_id_sum long, "
+            "n_cells_touched long, code_checksum long",
+        )
+        append_partitions(ledger, stats_root, ["epoch"], txid)
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

@@ -585,8 +585,8 @@ def _await_gate(q) -> None:
         )
 
 
-def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3):
-    """Deterministic epoch split (``doc_id % n_epochs``) of ``df`` as a
+def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3, key: str = "doc_id"):
+    """Deterministic epoch split (``{key} % n_epochs``) of ``df`` as a
     file-source stream under ``tmp``: one file per epoch, arrival order
     forced BOTH ways the file source may sort pending files (name asc,
     mtime asc), one micro-batch per file."""
@@ -599,7 +599,7 @@ def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3):
     now = _time.time()
     for e in range(n_epochs):
         part_dir = os.path.join(tmp, f"part{e}")
-        df.filter(F.pmod("doc_id", F.lit(n_epochs)) == e).coalesce(1).write.parquet(part_dir)
+        df.filter(F.pmod(key, F.lit(n_epochs)) == e).coalesce(1).write.parquet(part_dir)
         src_file = next(
             os.path.join(part_dir, f)
             for f in os.listdir(part_dir)

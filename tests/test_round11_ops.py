@@ -274,3 +274,122 @@ def test_curation_gate_verdicts_and_replay_noop(spark, tmp_path):
     for n, ver in v_before.items():
         assert current_manifest(roots[n])["version"] == ver, n
     assert read_table(spark, roots["verdicts"]).count() == 5
+
+
+def test_ann_index_gate_matches_batch_and_replay_noop(spark, tmp_path):
+    """T8j: the streaming ANN-index gate must (a) produce exactly the
+    cell assignment + PQ codes the batch plan computes from the same
+    standing artifacts (streaming == batch), (b) lay the index out by
+    cell bucket (``centroid_id % index_buckets``), and (c) stay
+    exactly-once across a full stream replay — index and ledger
+    versions unchanged."""
+    import os as _os
+    import time as _time
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.operators.similarity import (
+        _PQ_SUBS,
+        _cb_row_from_entries,
+        _dot,
+        _ivf_cents,
+        _pq_code_for,
+        _pq_seed_row,
+        _pq_train_entries,
+        _two_level_assign,
+    )
+    from data_engineer_coder_spark.streaming.core import write_stream_ann_index_gate
+
+    def mk(vid):
+        return [((vid * 31 + d * 7) % 100) * 100000 for d in range(64)]
+
+    def df_of(ids):
+        d = spark.createDataFrame(
+            [(i, mk(i)) for i in ids], "vec_id long, qv array<bigint>"
+        )
+        return d.withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+
+    boot = df_of(range(20))  # >= _PQ_K so the 8x16 codebook grid is full
+    strm = df_of(range(100, 140))
+    roots = {
+        n: str(tmp_path / n) for n in ("cents", "codebook", "index", "stats")
+    }
+    cents = _ivf_cents(boot).withColumn("b", F.pmod("centroid_id", F.lit(4)))
+    replace_partitions(cents, roots["cents"], ["b"], "quantizer-build")
+    cb_entries = _pq_train_entries(
+        boot.select("vec_id", "qv"), _pq_seed_row(boot.select("vec_id", "qv"))
+    ).localCheckpoint()
+    replace_partitions(cb_entries, roots["codebook"], ["s"], "quantizer-build")
+
+    # two ordered epochs: even vec_ids then odd
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, pred in enumerate((F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)):
+        part = str(tmp_path / f"p{i}")
+        strm.filter(pred).coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_ann_index_gate(
+            sdf, roots["cents"], roots["codebook"],
+            roots["index"], roots["stats"],
+        )
+        q.awaitTermination(300)
+
+    _run()
+    idx = {
+        int(r["vec_id"]): r
+        for r in read_table(spark, roots["index"]).collect()
+    }
+    assert sorted(idx) == list(range(100, 140))
+
+    # batch twin from the SAME standing artifacts
+    cfrm = _ivf_cents(boot).localCheckpoint(eager=False)
+    asg = _two_level_assign(strm, cfrm)
+    cb_row = _cb_row_from_entries(cb_entries)
+    want = {
+        int(r["vec_id"]): r
+        for r in asg.crossJoin(F.broadcast(cb_row))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.floor((F.col("c_sim") + 1) * 1e6).cast("bigint").alias("sim_e6"),
+            F.array(
+                *[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]
+            ).alias("codes"),
+        )
+        .collect()
+    }
+    for vid, got in idx.items():
+        assert int(got["centroid_id"]) == int(want[vid]["centroid_id"]), vid
+        assert list(got["codes"]) == list(want[vid]["codes"]), vid
+        assert int(got["sim_e6"]) == int(want[vid]["sim_e6"]), vid
+        # the physical layout key: inverted lists co-locate by bucket
+        assert int(got["cell_bucket"]) == int(got["centroid_id"]) % 16, vid
+        # epochs were even-then-odd
+        assert int(got["epoch"]) == vid % 2, vid
+
+    ledger = {
+        int(r["epoch"]): int(r["n_arrived"])
+        for r in read_table(spark, roots["stats"]).collect()
+    }
+    assert ledger == {0: 20, 1: 20}
+
+    v_before = {n: current_manifest(roots[n])["version"] for n in roots}
+    _run()  # fresh checkpoint → full replay of both epochs
+    for n, ver in v_before.items():
+        assert current_manifest(roots[n])["version"] == ver, n
+    assert read_table(spark, roots["index"]).count() == 40
