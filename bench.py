@@ -175,8 +175,9 @@ HEADLINE = [
     "pq_codebook_drift_audit",
     # round 11: streaming ANN index maintenance (bootstrap-trained
     # standing quantizer, arriving vectors assigned/encoded/appended
-    # under epoch txids)
+    # under epoch txids) + its serving side (bucket-pruned ADC probe)
     "stream_ann_index_ingest",
+    "ann_index_bucket_probe",
 ]
 
 

@@ -212,3 +212,262 @@ def stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _bucket_probe_oracle() -> str:
+    from ..operators.similarity import (
+        _IVF_NPROBE,
+        _PQ_SUBDIM,
+        _SQL_DOT,
+        _SQL_NORM,
+        _SQL_PQ_L2,
+        _SQL_QVEC,
+        _sql_ivf_cents,
+        _sql_ivf_params,
+        _sql_pq_encode,
+        _sql_pq_train_cb,
+        _sql_two_level,
+    )
+
+    pcos = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='c.cqv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE)))"
+    )
+    psl = f"p.pqv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
+    sql = f"""
+WITH nall AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+n AS (SELECT * FROM nall WHERE vec_id % 10 = 0),
+strm AS (SELECT * FROM nall WHERE vec_id % 10 <> 0),
+{_sql_ivf_params('n')},
+{_sql_ivf_cents('n')},
+{_sql_two_level('cents', 'asg', 'strm')},
+{_sql_pq_train_cb('n')},
+{_sql_pq_encode('strm', 'scodes')},
+probes AS (
+  SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm FROM strm WHERE vec_id < 25
+),
+pcell AS (
+  SELECT probe_id, centroid_id FROM (
+    SELECT p.probe_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id ORDER BY {pcos} DESC, c.centroid_id
+           ) AS crn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE crn <= {_IVF_NPROBE}
+),
+pb AS (
+  SELECT probe_id,
+         CAST(COUNT(DISTINCT centroid_id % 16) AS BIGINT) AS n_buckets_read
+  FROM pcell GROUP BY 1
+),
+dtab AS (
+  SELECT p.probe_id, cb.s, cb.c,
+         {_SQL_PQ_L2.format(a=psl, b='cb.cs')} AS d
+  FROM probes p CROSS JOIN cb
+),
+adc AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist
+  FROM pcell pc
+  JOIN asg a ON a.centroid_id = pc.centroid_id AND a.vec_id <> pc.probe_id
+  JOIN scodes sc ON sc.vec_id = a.vec_id
+  JOIN dtab t ON t.probe_id = pc.probe_id AND t.s = sc.s AND t.c = sc.c
+  GROUP BY 1, 2
+)
+SELECT r.probe_id, r.neighbor_id, r.rn, r.adc_dist, pb.n_buckets_read
+FROM (
+  SELECT probe_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY adc_dist, neighbor_id
+         ) AS rn
+  FROM adc
+) r
+JOIN pb ON pb.probe_id = r.probe_id
+WHERE r.rn <= 3
+"""
+    for cte in ("nall", "n", "strm", "cents", "cb", "probes"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
+@register(
+    "ann_index_bucket_probe",
+    oracle=_bucket_probe_oracle(),
+    tags=("similarity", "ann", "acid", "llm"),
+    doc=(
+        "The SERVING side of the streamed ANN index: probes rank the "
+        "standing centroids, and the candidate read touches ONLY the "
+        "cell buckets of their nprobe lists — manifest-level partition "
+        "pruning on the bucketed index, then ADC scoring from the "
+        "STORED codes.  Returns per-probe top-3 + the per-probe bucket "
+        "fan-out; oracle replays ranking, pruning arithmetic, and "
+        "every ADC distance."
+    ),
+)
+def ann_index_bucket_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..io.acid_table import current_manifest, read_table, replace_partitions
+    from ..operators.similarity import (
+        _IVF_NPROBE,
+        _PQ_SUBS,
+        _cb_row_from_entries,
+        _cosine,
+        _dot,
+        _ivf_cents,
+        _pq_code_for,
+        _pq_l2,
+        _pq_seed_row,
+        _pq_sub,
+        _pq_train_entries,
+        _qvec,
+        _two_level_assign,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+    is_boot = F.pmod("vec_id", F.lit(10)) == 0
+    boot = n.filter(is_boot)
+    strm = n.filter(~is_boot)
+    cents = _ivf_cents(boot).localCheckpoint(eager=False)
+    cb_row = _cb_row_from_entries(
+        _pq_train_entries(
+            boot.select("vec_id", "qv"), _pq_seed_row(boot.select("vec_id", "qv"))
+        )
+    ).localCheckpoint(eager=False)
+
+    tmp = tempfile.mkdtemp(prefix="annprobe_")
+    try:
+        index_root = os.path.join(tmp, "index")
+        # one bulk build of the bucketed index (the gate's per-epoch
+        # work as a single txn — the stream path is proven separately
+        # by stream_ann_index_ingest)
+        asg = _two_level_assign(strm, cents)
+        enc = (
+            asg.crossJoin(F.broadcast(cb_row))
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.array(
+                    *[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]
+                ).alias("codes"),
+            )
+            .withColumn("cell_bucket", F.pmod("centroid_id", F.lit(16)))
+        )
+        replace_partitions(enc, index_root, ["cell_bucket"], "bulk-load")
+
+        probes = strm.filter(F.col("vec_id") < 25).localCheckpoint(eager=False)
+        w_cent = Window.partitionBy("probe_id").orderBy(
+            F.desc("c_sim"), F.asc("centroid_id")
+        )
+        probe_cells = (
+            cents.drop("stride", "cstride")
+            .crossJoin(F.broadcast(probes))
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                "centroid_id",
+                _cosine(
+                    _dot(F.col("qv"), F.col("cqv")), F.col("nrm"), F.col("cnrm")
+                ).alias("c_sim"),
+            )
+            .withColumn("crn", F.row_number().over(w_cent))
+            .filter(F.col("crn") <= _IVF_NPROBE)
+            .select("probe_id", "centroid_id")
+            .localCheckpoint()
+        )
+        # THE SERVING READ: prune the index to the probed cells' buckets
+        # at the MANIFEST — unprobed buckets are never listed or scanned.
+        allowed = {
+            str(r["b"])
+            for r in probe_cells.select(
+                F.pmod("centroid_id", F.lit(16)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        idx = read_table(
+            spark,
+            index_root,
+            partition_filter=lambda kv: kv["cell_bucket"] in allowed,
+        ).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("codes").cast("array<bigint>").alias("codes"),
+        )
+        # single-probe pruning audit: a serving read for ONE probe must
+        # touch at most nprobe buckets, strictly fewer than the table
+        # holds (when the table holds more)
+        one = probe_cells.orderBy("probe_id").limit(_IVF_NPROBE)
+        one_buckets = {
+            str(r["b"])
+            for r in one.select(F.pmod("centroid_id", F.lit(16)).alias("b")).collect()
+        }
+        all_parts = list(current_manifest(index_root)["partitions"])
+        one_parts = [
+            p for p in all_parts
+            if dict(s.split("=", 1) for s in p.split("/"))["cell_bucket"]
+            in one_buckets
+        ]
+        if len(one_parts) > _IVF_NPROBE or (
+            len(all_parts) > _IVF_NPROBE and len(one_parts) >= len(all_parts)
+        ):
+            raise RuntimeError(
+                f"bucket pruning ineffective: one probe touches "
+                f"{len(one_parts)} of {len(all_parts)} partitions"
+            )
+        # per-probe ADC distance tables (flat 128-entry lookup array)
+        dtab = probes.crossJoin(F.broadcast(cb_row)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+                    lambda s: F.transform(
+                        F.get(F.col("cb"), s),
+                        lambda cs: _pq_l2(_pq_sub(s), cs),
+                    ),
+                )
+            ).alias("dtab"),
+        )
+        adc_expr = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + F.get(F.col("dtab"), s * 16 + F.get(F.col("codes"), s).cast("int")),
+        )
+        scored = (
+            F.broadcast(probe_cells)
+            .join(idx, "centroid_id")
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .join(F.broadcast(dtab), "probe_id")
+            .select(
+                "probe_id",
+                F.col("vec_id").alias("neighbor_id"),
+                adc_expr.alias("adc_dist"),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.asc("adc_dist"), F.asc("neighbor_id")
+        )
+        nb = probe_cells.groupBy("probe_id").agg(
+            F.countDistinct(F.pmod("centroid_id", F.lit(16))).alias(
+                "n_buckets_read"
+            )
+        )
+        out = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .join(F.broadcast(nb), "probe_id")
+            .select("probe_id", "neighbor_id", "rn", "adc_dist", "n_buckets_read")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
