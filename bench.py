@@ -178,6 +178,7 @@ HEADLINE = [
     # under epoch txids) + its serving side (bucket-pruned ADC probe)
     "stream_ann_index_ingest",
     "ann_index_bucket_probe",
+    "ann_index_retrain_swap_audit",
 ]
 
 

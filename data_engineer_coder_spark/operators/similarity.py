@@ -2052,17 +2052,20 @@ _SQL_PQ_L2 = (
 )
 
 
-def _sql_pq_train_cb(train: str = "n") -> str:
+def _sql_pq_train_cb(train: str = "n", pfx: str = "") -> str:
     """PQ codebook-training CTE chain over CTE ``{train}`` (vec_id,
     qv): hash-ranked seeds (cb0) -> round-0 assignment (codes0) -> one
     Lloyd round per subspace (tr: exact bigint slice sums, one double
     divide, ROUND — the _recenter convention, bit-identical to the
-    Spark fold) -> trained codebook ``cb`` (a codeword with no members
-    keeps its seed slice).  Parameterized (round 11) so the streaming
-    ANN-index gate can train on its bootstrap slice while the batch PQ
-    queries keep training on the full corpus."""
-    sl = f"n.qv[(cb0.s * {_PQ_SUBDIM} + 1):((cb0.s + 1) * {_PQ_SUBDIM})]"
-    return f"""picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
+    Spark fold) -> trained codebook ``{pfx}cb`` (a codeword with no
+    members keeps its seed slice).  Parameterized (round 11) so the
+    streaming ANN-index gate can train on its bootstrap slice while the
+    batch PQ queries keep training on the full corpus; ``pfx`` prefixes
+    every CTE name so two codebooks (e.g. the retrain-swap audit's old
+    and new) can coexist in one query."""
+    p = pfx
+    sl = f"n.qv[({p}cb0.s * {_PQ_SUBDIM} + 1):(({p}cb0.s + 1) * {_PQ_SUBDIM})]"
+    return f"""{p}picked AS (  -- hash-ranked codeword seeds (top-{_PQ_K} by mix hash)
   SELECT vec_id, qv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
   FROM (
     SELECT vec_id, qv,
@@ -2070,51 +2073,51 @@ def _sql_pq_train_cb(train: str = "n") -> str:
     FROM {train}
   ) WHERE hr <= {_PQ_K}
 ),
-cb0 AS (  -- seed codebook: (subspace s, code c, 8-dim centroid slice)
+{p}cb0 AS (  -- seed codebook: (subspace s, code c, 8-dim centroid slice)
   SELECT g.s, c,
          qv[(g.s * {_PQ_SUBDIM} + 1):((g.s + 1) * {_PQ_SUBDIM})] AS cs
-  FROM picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
+  FROM {p}picked, generate_series(0, {_PQ_SUBS - 1}) AS g(s)
 ),
-codes0 AS (  -- round-0 assignment: per (vec, subspace) the nearest seed
+{p}codes0 AS (  -- round-0 assignment: per (vec, subspace) the nearest seed
   SELECT vec_id, s, c FROM (
-    SELECT n.vec_id, cb0.s, cb0.c,
+    SELECT n.vec_id, {p}cb0.s, {p}cb0.c,
            ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id, cb0.s
-             ORDER BY {_SQL_PQ_L2.format(a=sl, b='cb0.cs')}, cb0.c
+             PARTITION BY n.vec_id, {p}cb0.s
+             ORDER BY {_SQL_PQ_L2.format(a=sl, b=f'{p}cb0.cs')}, {p}cb0.c
            ) AS rn
-    FROM {train} AS n CROSS JOIN cb0
+    FROM {train} AS n CROSS JOIN {p}cb0
   ) WHERE rn = 1
 ),
-tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
+{p}tr AS (  -- Lloyd round: per-(s, c) integer mean of member slices
   SELECT s, c, list(m ORDER BY d) AS cs FROM (
     SELECT c0.s, c0.c, g.d AS d,
            CAST(ROUND(CAST(SUM(n.qv[c0.s * {_PQ_SUBDIM} + g.d]) AS DOUBLE)
                       / COUNT(*)) AS BIGINT) AS m
-    FROM codes0 c0
+    FROM {p}codes0 c0
     JOIN {train} AS n ON n.vec_id = c0.vec_id,
          generate_series(1, {_PQ_SUBDIM}) AS g(d)
     GROUP BY c0.s, c0.c, g.d
   ) GROUP BY s, c
 ),
-cb AS (  -- trained codebook; empty codewords keep their seed slice
-  SELECT cb0.s, cb0.c, COALESCE(tr.cs, cb0.cs) AS cs
-  FROM cb0 LEFT JOIN tr ON tr.s = cb0.s AND tr.c = cb0.c
+{p}cb AS (  -- trained codebook; empty codewords keep their seed slice
+  SELECT {p}cb0.s, {p}cb0.c, COALESCE({p}tr.cs, {p}cb0.cs) AS cs
+  FROM {p}cb0 LEFT JOIN {p}tr ON {p}tr.s = {p}cb0.s AND {p}tr.c = {p}cb0.c
 )"""
 
 
-def _sql_pq_encode(src: str = "n", out: str = "codes") -> str:
+def _sql_pq_encode(src: str = "n", out: str = "codes", cb: str = "cb") -> str:
     """``{out}`` CTE: encode every row of CTE ``{src}`` (vec_id, qv)
-    against the trained codebook CTE ``cb`` — per (vec, subspace) the
+    against the trained codebook CTE ``{cb}`` — per (vec, subspace) the
     L2-nearest codeword, ties to the lower code."""
-    slc = f"n.qv[(cb.s * {_PQ_SUBDIM} + 1):((cb.s + 1) * {_PQ_SUBDIM})]"
+    slc = f"n.qv[({cb}.s * {_PQ_SUBDIM} + 1):(({cb}.s + 1) * {_PQ_SUBDIM})]"
     return f"""{out} AS (  -- encoding vs the TRAINED codebook
   SELECT vec_id, s, c FROM (
-    SELECT n.vec_id, cb.s, cb.c,
+    SELECT n.vec_id, {cb}.s, {cb}.c,
            ROW_NUMBER() OVER (
-             PARTITION BY n.vec_id, cb.s
-             ORDER BY {_SQL_PQ_L2.format(a=slc, b='cb.cs')}, cb.c
+             PARTITION BY n.vec_id, {cb}.s
+             ORDER BY {_SQL_PQ_L2.format(a=slc, b=f'{cb}.cs')}, {cb}.c
            ) AS rn
-    FROM {src} AS n CROSS JOIN cb
+    FROM {src} AS n CROSS JOIN {cb}
   ) WHERE rn = 1
 )"""
 

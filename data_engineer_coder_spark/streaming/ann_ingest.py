@@ -471,3 +471,195 @@ def ann_index_bucket_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _retrain_swap_oracle() -> str:
+    from ..operators.similarity import (
+        _PQ_SUBDIM,
+        _SQL_QVEC,
+        _sql_pq_encode,
+        _sql_pq_train_cb,
+    )
+
+    def err_cte(name, codes, cb):
+        sl = f"n.qv[({codes}.s * {_PQ_SUBDIM} + 1):(({codes}.s + 1) * {_PQ_SUBDIM})]"
+        l2 = (
+            f"CAST(list_sum(list_transform(list_zip({sl}, {cb}.cs),"
+            " z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+        )
+        return f"""{name} AS (
+  SELECT {codes}.s, COUNT(*) AS nv, CAST(SUM({l2}) AS BIGINT) AS err
+  FROM {codes}
+  JOIN strm n ON n.vec_id = {codes}.vec_id
+  JOIN {cb} ON {cb}.s = {codes}.s AND {cb}.c = {codes}.c
+  GROUP BY {codes}.s
+)"""
+
+    sql = f"""
+WITH nall AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (SELECT * FROM nall WHERE vec_id % 10 = 0),
+strm AS (SELECT * FROM nall WHERE vec_id % 10 <> 0),
+{_sql_pq_train_cb('n', 'old_')},
+{_sql_pq_encode('strm', 'ocodes', 'old_cb')},
+{_sql_pq_train_cb('strm', 'new_')},
+{_sql_pq_encode('strm', 'ncodes', 'new_cb')},
+{err_cte('erro', 'ocodes', 'old_cb')},
+{err_cte('errn', 'ncodes', 'new_cb')}
+SELECT CAST(o.s AS INT) AS s,
+       o.nv AS n_vecs,
+       o.err AS err_old,
+       e.err AS err_new,
+       e.err <= o.err AS improved
+FROM erro o JOIN errn e ON e.s = o.s
+"""
+    for cte in ("nall", "n", "strm", "old_cb", "new_cb"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
+@register(
+    "ann_index_retrain_swap_audit",
+    oracle=_retrain_swap_oracle(),
+    tags=("similarity", "ann", "acid", "llm"),
+    doc=(
+        "The maintenance ACTION the drift audit triggers: retrain the "
+        "PQ codebook on the index's own content, RE-ENCODE the whole "
+        "index, and swap codes + codebook under ONE maintenance txid "
+        "(time-travel keeps the old index; a replayed swap is a "
+        "no-op).  Returns the per-subspace exact integer quantization "
+        "error before/after; oracle replays both trainings, both "
+        "encodings, and both error sums."
+    ),
+)
+def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import current_manifest, read_table, replace_partitions
+    from ..operators.similarity import (
+        _PQ_SUBS,
+        _cb_row_from_entries,
+        _pq_code_for,
+        _pq_l2,
+        _pq_sub,
+        _pq_seed_row,
+        _pq_train_entries,
+        _qvec,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    is_boot = F.pmod("vec_id", F.lit(10)) == 0
+    boot = emb.filter(is_boot)
+    strm = emb.filter(~is_boot).localCheckpoint(eager=False)
+
+    def train_row(src):
+        return _cb_row_from_entries(
+            _pq_train_entries(src, _pq_seed_row(src))
+        ).localCheckpoint(eager=False)
+
+    def encode(src, cb_row):
+        return src.crossJoin(F.broadcast(cb_row)).select(
+            "vec_id",
+            F.array(
+                *[_pq_code_for(F.lit(s)) for s in range(_PQ_SUBS)]
+            ).alias("codes"),
+        ).withColumn("b", F.pmod("vec_id", F.lit(8)))
+
+    def cks(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.aggregate(
+                        F.zip_with(
+                            "codes",
+                            F.sequence(F.lit(1), F.lit(_PQ_SUBS)),
+                            lambda c, w: c * w,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                F.lit(0),
+            ).alias("cs"),
+        ).collect()[0]
+        return int(r["n"]), int(r["cs"])
+
+    cb_old = train_row(boot)  # the ingest-era bootstrap codebook
+    tmp = tempfile.mkdtemp(prefix="annswap_")
+    try:
+        index_root = os.path.join(tmp, "index")
+        cb_root = os.path.join(tmp, "codebook")
+        enc_old = encode(strm, cb_old).localCheckpoint()
+        replace_partitions(enc_old, index_root, ["b"], "bulk-load")
+        replace_partitions(
+            _pq_train_entries(boot, _pq_seed_row(boot)), cb_root, ["s"],
+            "bulk-load",
+        )
+        v_old = current_manifest(index_root)["version"]
+
+        # THE MAINTENANCE TXN: retrain on the index's own content,
+        # re-encode everything, swap codes AND codebook under one txid.
+        cb_new_entries = _pq_train_entries(strm, _pq_seed_row(strm)).localCheckpoint()
+        cb_new = _cb_row_from_entries(cb_new_entries).localCheckpoint(eager=False)
+        enc_new = encode(strm, cb_new).localCheckpoint()
+        replace_partitions(enc_new, index_root, ["b"], "retrain-swap")
+        replace_partitions(cb_new_entries, cb_root, ["s"], "retrain-swap")
+        v_new = current_manifest(index_root)["version"]
+
+        # time-travel guard: the pre-swap version still serves the OLD
+        # codes; the head serves the NEW ones (count + weighted checksum)
+        def tbl(version):
+            return read_table(spark, index_root, version=version).select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("codes").cast("array<bigint>").alias("codes"),
+            )
+
+        if cks(tbl(v_old)) != cks(enc_old):
+            raise RuntimeError("time-travel read of the pre-swap index drifted")
+        if cks(tbl(v_new)) != cks(enc_new):
+            raise RuntimeError("post-swap index does not match the re-encode")
+        # exactly-once: a replayed swap is a version-for-version no-op
+        replace_partitions(enc_new, index_root, ["b"], "retrain-swap")
+        if current_manifest(index_root)["version"] != v_new:
+            raise RuntimeError("replayed maintenance txid advanced the table")
+
+        # per-subspace exact quantization error, old vs new — FROM THE
+        # TABLE VERSIONS, so the audit certifies what the table holds
+        def errs(codes_df, cb_row, err_name):
+            ex = (
+                codes_df.join(strm, "vec_id")
+                .crossJoin(F.broadcast(cb_row))
+                .select(F.posexplode("codes").alias("s", "c"), "qv", "cb")
+                .select(
+                    "s",
+                    _pq_l2(
+                        _pq_sub(F.col("s")),
+                        F.get(F.get(F.col("cb"), F.col("s")), F.col("c").cast("int")),
+                    ).alias("d"),
+                )
+            )
+            return ex.groupBy("s").agg(
+                F.count("*").alias("n_vecs"), F.sum("d").alias(err_name)
+            )
+
+        out = (
+            errs(tbl(v_old), cb_old, "err_old")
+            .join(errs(tbl(v_new), cb_new, "err_new").drop("n_vecs"), "s")
+            .select(
+                F.col("s").cast("int").alias("s"),
+                "n_vecs",
+                "err_old",
+                "err_new",
+                (F.col("err_new") <= F.col("err_old")).alias("improved"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
