@@ -316,6 +316,7 @@ def ann_index_bucket_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.acid_table import current_manifest, read_table, replace_partitions
     from ..operators.similarity import (
         _IVF_NPROBE,
+        _PQ_K,
         _PQ_SUBS,
         _cb_row_from_entries,
         _cosine,
@@ -440,7 +441,7 @@ def ann_index_bucket_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
             F.lit(0).cast("bigint"),
             lambda acc, s: acc
-            + F.get(F.col("dtab"), s * 16 + F.get(F.col("codes"), s).cast("int")),
+            + F.get(F.col("dtab"), s * _PQ_K + F.get(F.col("codes"), s).cast("int")),
         )
         scored = (
             F.broadcast(probe_cells)
