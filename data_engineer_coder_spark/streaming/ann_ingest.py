@@ -629,6 +629,36 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace_partitions(enc_new, index_root, ["b"], "retrain-swap")
         if current_manifest(index_root)["version"] != v_new:
             raise RuntimeError("replayed maintenance txid advanced the table")
+        # the codebook table must swap IN STEP with the index: its head
+        # serves exactly the retrained entries, and the pre-swap version
+        # still serves the bootstrap-era codebook (slice checksums)
+        def cb_cks(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("s").cast("bigint") * 16 + F.col("c"))
+                    * F.aggregate(
+                        F.col("cs").cast("array<bigint>"),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("w"),
+            ).collect()[0]
+            return int(r["n"]), int(r["w"] or 0)
+
+        def cb_tbl(version):
+            return read_table(spark, cb_root, version=version).select(
+                F.col("s").cast("int").alias("s"),
+                F.col("c").cast("int").alias("c"),
+                F.col("cs").cast("array<bigint>").alias("cs"),
+            )
+
+        if cb_cks(cb_tbl(None)) != cb_cks(cb_new_entries):
+            raise RuntimeError("codebook head drifted from the retrained entries")
+        if cb_cks(cb_tbl(1)) != cb_cks(
+            _pq_train_entries(boot, _pq_seed_row(boot))
+        ):
+            raise RuntimeError("pre-swap codebook version drifted")
 
         # per-subspace exact quantization error, old vs new — FROM THE
         # TABLE VERSIONS, so the audit certifies what the table holds
