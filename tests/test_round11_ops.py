@@ -393,3 +393,114 @@ def test_ann_index_gate_matches_batch_and_replay_noop(spark, tmp_path):
     for n, ver in v_before.items():
         assert current_manifest(roots[n])["version"] == ver, n
     assert read_table(spark, roots["index"]).count() == 40
+
+
+def test_curation_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
+    """The multi-table epoch claim under an ACTUAL mid-epoch crash: kill
+    the gate AFTER the docs-table commit but BEFORE quarantine/index/
+    verdicts/ledger, then restart with a fresh checkpoint.  The replayed
+    epoch must no-op the already-committed docs append (same txid) and
+    complete the missing tables — converging to exactly the state an
+    uncrashed run produces, with no duplicated rows anywhere."""
+    import os as _os
+    import time as _time
+
+    import data_engineer_coder_spark.io.acid_table as at
+    from data_engineer_coder_spark.io.acid_table import (
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.operators.textops import _DECON_N, ngram_array
+    from data_engineer_coder_spark.streaming import core as score
+
+    eval_text = "the secret benchmark answer is forty two exactly no more"
+    dup = "a perfectly ordinary training document about spark and parquet files"
+    uniq = "another unrelated document mentioning manifests commits and snapshots"
+    contaminated = f"prefix words here then {eval_text} trailing tail"
+    e0 = [(10, dup), (12, contaminated), (14, uniq)]
+    e1 = [(21, dup)]  # near-dup of indexed 10 → rejected in epoch 1
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate((e0, e1)):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    schema = spark.read.parquet(src).schema
+
+    roots = {
+        n: str(tmp_path / n)
+        for n in ("eval", "sigs", "docs", "quarantine", "verdicts", "stats")
+    }
+    ev = (
+        spark.createDataFrame([(eval_text,)], "text string")
+        .select(F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g"))
+        .distinct()
+        .withColumn("b", F.lit(0))
+    )
+    replace_partitions(ev, roots["eval"], ["b"], "eval-build")
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = score.write_stream_curation_gate(
+            sdf, roots["eval"], roots["sigs"], roots["docs"],
+            roots["quarantine"], roots["verdicts"], roots["stats"],
+        )
+        q.awaitTermination(300)
+
+    # crash injection: the SECOND standing-table append of epoch 0 (the
+    # quarantine commit — docs are already durable by then) blows up
+    real = at.append_partitions
+    calls = {"n": 0}
+
+    def flaky(df, root, cols, txid, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-epoch")
+        return real(df, root, cols, txid, *a, **k)
+
+    monkeypatch.setattr(at, "append_partitions", flaky)
+    try:
+        _run()
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:  # StreamingQueryException wraps the injection
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(at, "append_partitions", real)
+
+    # torn state: docs committed for epoch 0, everything else missing
+    assert sorted(r["doc_id"] for r in read_table(spark, roots["docs"]).collect()) == [10, 14]
+    for n in ("quarantine", "verdicts", "stats"):
+        try:
+            cnt = read_table(spark, roots[n]).count()
+        except ValueError:
+            cnt = 0
+        assert cnt == 0, n
+
+    _run()  # fresh checkpoint → full replay; epoch-0 docs append no-ops
+
+    assert sorted(r["doc_id"] for r in read_table(spark, roots["docs"]).collect()) == [10, 14]
+    assert [r["doc_id"] for r in read_table(spark, roots["quarantine"]).collect()] == [12]
+    v = {
+        (int(r["doc_id"]), int(r["epoch"])): r["verdict"]
+        for r in read_table(spark, roots["verdicts"]).collect()
+    }
+    assert v == {
+        (10, 0): "accepted",
+        (12, 0): "quarantined_contaminated",
+        (14, 0): "accepted",
+        (21, 1): "rejected_neardup_index",
+    }
+    ledger = {
+        int(r["epoch"]): (r["n_arrived"], r["n_rejected_index"],
+                          r["n_rejected_batch"], r["n_quarantined"],
+                          r["n_accepted"])
+        for r in read_table(spark, roots["stats"]).collect()
+    }
+    assert ledger == {0: (3, 0, 0, 1, 2), 1: (1, 1, 0, 0, 0)}
