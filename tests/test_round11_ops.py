@@ -504,3 +504,103 @@ def test_curation_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
         for r in read_table(spark, roots["stats"]).collect()
     }
     assert ledger == {0: (3, 0, 0, 1, 2), 1: (1, 1, 0, 0, 0)}
+
+
+def test_ann_index_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
+    """T8j under a torn epoch: crash AFTER the index append but BEFORE
+    the ledger commit, restart from a fresh checkpoint, and assert the
+    replay no-ops the durable index append and completes the ledger —
+    no duplicated index rows, ledger consistent with the index."""
+    import os as _os
+    import time as _time
+
+    import data_engineer_coder_spark.io.acid_table as at
+    from data_engineer_coder_spark.io.acid_table import (
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.operators.similarity import (
+        _dot,
+        _ivf_cents,
+        _pq_seed_row,
+        _pq_train_entries,
+    )
+    from data_engineer_coder_spark.streaming import core as score
+
+    def mk(vid):
+        return [((vid * 31 + d * 7) % 100) * 100000 for d in range(64)]
+
+    def df_of(ids):
+        d = spark.createDataFrame(
+            [(i, mk(i)) for i in ids], "vec_id long, qv array<bigint>"
+        )
+        return d.withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
+
+    boot = df_of(range(20))
+    strm = df_of(range(100, 120))
+    roots = {
+        n: str(tmp_path / n) for n in ("cents", "codebook", "index", "stats")
+    }
+    replace_partitions(
+        _ivf_cents(boot).withColumn("b", F.pmod("centroid_id", F.lit(4))),
+        roots["cents"], ["b"], "quantizer-build",
+    )
+    replace_partitions(
+        _pq_train_entries(
+            boot.select("vec_id", "qv"), _pq_seed_row(boot.select("vec_id", "qv"))
+        ),
+        roots["codebook"], ["s"], "quantizer-build",
+    )
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    part = str(tmp_path / "p0")
+    strm.coalesce(1).write.parquet(part)
+    f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+    _os.rename(_os.path.join(part, f), _os.path.join(src, "e0.parquet"))
+    _os.utime(_os.path.join(src, "e0.parquet"), (_time.time(), _time.time()))
+    schema = spark.read.parquet(src).schema
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = score.write_stream_ann_index_gate(
+            sdf, roots["cents"], roots["codebook"],
+            roots["index"], roots["stats"],
+        )
+        q.awaitTermination(300)
+
+    real = at.append_partitions
+    calls = {"n": 0}
+
+    def flaky(df, root, cols, txid, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # index is durable, the ledger commit dies
+            raise RuntimeError("injected crash mid-epoch")
+        return real(df, root, cols, txid, *a, **k)
+
+    monkeypatch.setattr(at, "append_partitions", flaky)
+    try:
+        _run()
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(at, "append_partitions", real)
+
+    assert read_table(spark, roots["index"]).count() == 20  # durable
+    try:
+        n_ledger = read_table(spark, roots["stats"]).count()
+    except ValueError:
+        n_ledger = 0
+    assert n_ledger == 0  # torn
+
+    _run()  # replay: index append no-ops, ledger completes
+
+    idx = read_table(spark, roots["index"]).collect()
+    assert len(idx) == 20
+    assert sorted(int(r["vec_id"]) for r in idx) == list(range(100, 120))
+    ledger = read_table(spark, roots["stats"]).collect()
+    assert len(ledger) == 1 and int(ledger[0]["n_arrived"]) == 20
+    assert int(ledger[0]["arrived_id_sum"]) == sum(range(100, 120))
