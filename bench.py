@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_ann_index_ingest",
     "ann_index_bucket_probe",
     "ann_index_retrain_swap_audit",
+    "mmr_diversified_topk",
 ]
 
 

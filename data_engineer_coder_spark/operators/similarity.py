@@ -3118,3 +3118,194 @@ def ivf_index_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("drift_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# L3j (round 11): MMR diversified retrieval — maximal marginal relevance
+# (Carbonell & Goldstein, SIGIR '98).  Pure top-k returns near-duplicate
+# neighbors; RAG/curation retrieval wants RELEVANT-BUT-DIVERSE context,
+# so each greedy step picks argmax 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s)
+# over the relevance pool.  Scale shape: the pool is top-20 per probe
+# (broadcast-probe scan, linear in corpus — the cosine_topk plan), and
+# the greedy loop runs on pool×pool pairwise sims (20×20 per probe —
+# probe-local, never corpus-sized).  The 5 greedy steps are a FIXED
+# unrolled iteration in both engines (the bpe_learn_iterative /
+# ivf_kmeans pattern), and every score is the same double op-sequence
+# (0.7·a − 0.3·b over bit-identical cosines) → exact oracle parity.
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_PROBES = 10
+
+
+def _sql_mmr() -> str:
+    cosq = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
+    )
+    cosp = (
+        f"CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)"
+        " / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
+    )
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev = f"sel{k - 1}"
+        steps.append(f"""s{k} AS MATERIALIZED (
+  SELECT probe_id, vec_id, mmr FROM (
+    SELECT t.probe_id, t.vec_id, 0.7 * t.qsim - 0.3 * t.ms AS mmr,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.probe_id
+             ORDER BY 0.7 * t.qsim - 0.3 * t.ms DESC, t.vec_id
+           ) AS rn
+    FROM (
+      SELECT c.probe_id, c.vec_id, c.qsim, MAX(p.sim) AS ms
+      FROM cand c
+      JOIN cp p ON p.probe_id = c.probe_id AND p.da = c.vec_id
+      JOIN {prev} s ON s.probe_id = p.probe_id AND s.vec_id = p.db
+      LEFT JOIN {prev} x ON x.probe_id = c.probe_id AND x.vec_id = c.vec_id
+      WHERE x.vec_id IS NULL
+      GROUP BY c.probe_id, c.vec_id, c.qsim
+    ) t
+  ) WHERE rn = 1
+),
+sel{k} AS (SELECT probe_id, vec_id FROM {prev}
+           UNION ALL SELECT probe_id, vec_id FROM s{k})""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT probe_id, vec_id AS neighbor_id, {k} AS step, mmr AS mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS (SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm FROM q),
+probes AS (
+  SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm FROM n
+  WHERE vec_id < {_MMR_PROBES}
+),
+cand AS MATERIALIZED (
+  SELECT probe_id, vec_id, qv, nrm, qsim FROM (
+    SELECT p.probe_id, n.vec_id, n.qv, n.nrm, {cosq} AS qsim,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.probe_id ORDER BY {cosq} DESC, n.vec_id
+           ) AS rn
+    FROM probes p JOIN n ON n.vec_id <> p.probe_id
+  ) WHERE rn <= {_MMR_POOL}
+),
+cp AS MATERIALIZED (
+  SELECT a.probe_id, a.vec_id AS da, b.vec_id AS db, {cosp} AS sim
+  FROM cand a
+  JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT probe_id, vec_id, 0.7 * qsim - 0.3 * 0.0 AS mmr FROM (
+    SELECT probe_id, vec_id, qsim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qsim DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT probe_id, vec_id FROM s1),
+{",".join(steps)}
+{unions}
+"""
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_sql_mmr(),
+    tags=("similarity", "llm", "topk", "iterative"),
+    doc=(
+        "L3: MMR diversified retrieval — top-20 relevance pool per "
+        "probe, then 5 unrolled greedy steps of "
+        "argmax 0.7·sim(q,d) − 0.3·max sim(d,selected); pool-local "
+        "pairwise work, never corpus-sized.  Fully oracle-replayed."
+    ),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = n.filter(F.col("vec_id") < _MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    w_pool = Window.partitionBy("probe_id").orderBy(
+        F.desc("qsim"), F.asc("vec_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "qv",
+            "nrm",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    cp = (
+        a.join(
+            b,
+            (F.col("a.probe_id") == F.col("b.probe_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.probe_id").alias("probe_id"),
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("db"),
+            _cosine(
+                _dot(F.col("a.qv"), F.col("b.qv")),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ).alias("psim"),
+        )
+        .localCheckpoint()
+    )
+    w_pick = Window.partitionBy("probe_id").orderBy(F.desc("mmr"), F.asc("vec_id"))
+    step1 = (
+        cand.withColumn("mmr", F.lit(0.7) * F.col("qsim") - F.lit(0.3) * F.lit(0.0))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("probe_id").orderBy(F.desc("qsim"), F.asc("vec_id"))
+        ))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "vec_id", F.lit(1).alias("step"), "mmr")
+    )
+    selected = step1.localCheckpoint()
+    for k in range(2, _MMR_K + 1):
+        sel_ids = selected.select("probe_id", "vec_id")
+        scored = (
+            cand.join(sel_ids, ["probe_id", "vec_id"], "left_anti")
+            .select("probe_id", "vec_id", "qsim")
+            .join(cp, ["probe_id", "vec_id"])
+            .join(
+                sel_ids.select("probe_id", F.col("vec_id").alias("db")),
+                ["probe_id", "db"],
+            )
+            .groupBy("probe_id", "vec_id", "qsim")
+            .agg(F.max("psim").alias("ms"))
+            .withColumn(
+                "mmr", F.lit(0.7) * F.col("qsim") - F.lit(0.3) * F.col("ms")
+            )
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", "vec_id", F.lit(k).alias("step"), "mmr")
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "step",
+        F.col("mmr").alias("mmr_score"),
+    )
