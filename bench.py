@@ -180,6 +180,7 @@ HEADLINE = [
     "ann_index_bucket_probe",
     "ann_index_retrain_swap_audit",
     "mmr_diversified_topk",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -3309,3 +3309,172 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         F.col("mmr").alias("mmr_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# L32 (round 11): hybrid lexical+vector retrieval with reciprocal rank
+# fusion (Cormack, Clarke & Buettcher, SIGIR '09).  Production RAG
+# retrieval is rarely one leg: a lexical (inverted-index) ranking and a
+# vector (embedding) ranking each see documents the other misses, and
+# RRF — score = Σ_legs 1/(60 + rank) over each leg's shortlist — fuses
+# them without score calibration.  Scale shape: the lexical leg is an
+# inverted-index join (probe tokens × posting lists — never all-pairs),
+# the vector leg is the broadcast-probe scan, and the fusion joins two
+# 20-row shortlists per probe.  Ranks are integers and the RRF doubles
+# are the same op-sequence in both engines → exact oracle parity.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 20
+_RRF_PROBES = 10
+
+
+def _sql_rrf() -> str:
+    cosq = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
+),
+n AS MATERIALIZED (
+  SELECT e.id, e.qv, {_SQL_NORM.format(a='e.qv')} AS nrm,
+         string_split(d.text, ' ') AS ws
+  FROM e JOIN documents d ON d.doc_id = e.id
+),
+probes AS MATERIALIZED (
+  SELECT id AS pid, qv AS pqv, nrm AS pnrm, ws AS pws FROM n
+  WHERE id < {_RRF_PROBES}
+),
+vrank AS (
+  SELECT pid, id, vr FROM (
+    SELECT p.pid, n.id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.pid ORDER BY {cosq} DESC, n.id
+           ) AS vr
+    FROM probes p JOIN n ON n.id <> p.pid
+  ) WHERE vr <= {_RRF_POOL}
+),
+ptok AS (SELECT DISTINCT pid, unnest(pws) AS tok FROM probes),
+ctok AS (SELECT DISTINCT id, unnest(ws) AS tok FROM n),
+ov AS (
+  SELECT p.pid, c.id, COUNT(*) AS novl
+  FROM ptok p JOIN ctok c ON c.tok = p.tok AND c.id <> p.pid
+  GROUP BY p.pid, c.id
+),
+lrank AS (
+  SELECT pid, id, lr FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (
+             PARTITION BY pid ORDER BY novl DESC, id
+           ) AS lr
+    FROM ov
+  ) WHERE lr <= {_RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(v.pid, l.pid) AS pid,
+         COALESCE(v.id, l.id) AS id,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + v.vr), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lr), CAST(0.0 AS DOUBLE))
+           AS rrf
+  FROM vrank v
+  FULL OUTER JOIN lrank l ON l.pid = v.pid AND l.id = v.id
+)
+SELECT pid AS probe_id, id AS doc_id, rn, rrf AS rrf_score
+FROM (
+  SELECT pid, id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf DESC, id) AS rn
+  FROM fused
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_sql_rrf(),
+    tags=("similarity", "text", "llm", "topk"),
+    doc=(
+        "L32: hybrid retrieval — lexical token-overlap ranking "
+        "(inverted-index join) fused with the cosine ranking via "
+        "reciprocal rank fusion (1/(60+rank) over each leg's top-20); "
+        "per-probe top-5.  Fully oracle-replayed."
+    ),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), _qvec("embedding").alias("qv")
+    )
+    n = (
+        emb.join(docs, emb["id"] == docs["doc_id"])
+        .select(
+            "id",
+            "qv",
+            _dot(F.col("qv"), F.col("qv")).alias("nrm"),
+            F.split("text", " ").alias("ws"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probes = n.filter(F.col("id") < _RRF_PROBES).select(
+        F.col("id").alias("pid"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+        F.col("ws").alias("pws"),
+    )
+    w_v = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("id"))
+    vrank = (
+        F.broadcast(probes.drop("pws"))
+        .join(n.drop("ws"), F.col("id") != F.col("pid"))
+        .select(
+            "pid",
+            "id",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+        .withColumn("vr", F.row_number().over(w_v))
+        .filter(F.col("vr") <= _RRF_POOL)
+        .select("pid", "id", "vr")
+    )
+    ptok = (
+        probes.select("pid", F.explode("pws").alias("tok")).distinct()
+    )
+    ctok = n.select("id", F.explode("ws").alias("tok")).distinct()
+    ov = (
+        F.broadcast(ptok)
+        .join(ctok, (ctok["tok"] == ptok["tok"]) & (ctok["id"] != ptok["pid"]))
+        .groupBy("pid", "id")
+        .agg(F.count("*").alias("novl"))
+    )
+    w_l = Window.partitionBy("pid").orderBy(F.desc("novl"), F.asc("id"))
+    lrank = (
+        ov.withColumn("lr", F.row_number().over(w_l))
+        .filter(F.col("lr") <= _RRF_POOL)
+        .select("pid", "id", "lr")
+    )
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    fused = (
+        vrank.join(lrank, ["pid", "id"], "full")
+        .select(
+            "pid",
+            "id",
+            (
+                F.coalesce(one / (F.lit(_RRF_K) + F.col("vr")), zero)
+                + F.coalesce(one / (F.lit(_RRF_K) + F.col("lr")), zero)
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("id").alias("doc_id"),
+            "rn",
+            F.col("rrf").alias("rrf_score"),
+        )
+    )
