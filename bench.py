@@ -181,6 +181,8 @@ HEADLINE = [
     "ann_index_retrain_swap_audit",
     "mmr_diversified_topk",
     "hybrid_rrf_retrieval",
+    "bm25_topk",
+    "doc_chunk_windows",
 ]
 
 

@@ -3012,3 +3012,209 @@ def containment_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("exact_e4") - est_e4).alias("abs_err_e4"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L33 (round 11): RAG chunking — overlapping token windows.  Retrieval
+# corpora are indexed at CHUNK granularity, not document granularity:
+# fixed-size windows (32 tokens) with overlap (stride 24) so no answer
+# span is split across a boundary without a covering chunk.  Chunk
+# count per doc is 1 + ⌈max(len−32, 0)/24⌉ — full coverage, final
+# chunk may run short, never an empty chunk.  Pure per-row expression
+# work (explode over a computed sequence): map-side, no shuffle until
+# the consumer groups chunks — at 100 TB this is exactly the shape a
+# chunk-index build wants.  The chunk text itself is fingerprinted
+# (md5 — the engine-portable hash) so the oracle certifies the exact
+# chunk CONTENT, not just the arithmetic.
+# --------------------------------------------------------------------------
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+x AS (
+  SELECT doc_id, ws, LEN(ws) AS n,
+         CAST(1 + CEIL(GREATEST(LEN(ws) - {_CHUNK_LEN}, 0) / {_CHUNK_STRIDE}.0)
+              AS BIGINT) AS nc
+  FROM d
+)
+SELECT doc_id,
+       CAST(u.k AS INT) AS chunk_idx,
+       CAST(1 + u.k * {_CHUNK_STRIDE} AS INT) AS start_tok,
+       CAST(LEAST({_CHUNK_LEN}, n - (1 + u.k * {_CHUNK_STRIDE}) + 1) AS INT)
+         AS chunk_tokens,
+       md5(array_to_string(
+             list_slice(ws, 1 + u.k * {_CHUNK_STRIDE},
+                        LEAST(1 + u.k * {_CHUNK_STRIDE} + {_CHUNK_LEN - 1}, n)),
+             ' ')) AS chunk_md5
+FROM x, unnest(range(0, nc)) AS u(k)
+""",
+    tags=("text", "llm", "rag"),
+    doc=(
+        "L33: RAG chunking — 32-token windows at stride 24 (8-token "
+        "overlap), 1+⌈max(len−32,0)/24⌉ chunks per doc, md5-fingerprinted "
+        "chunk text; map-side expression work only."
+    ),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    c, s = _CHUNK_LEN, _CHUNK_STRIDE
+    x = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+        (
+            F.lit(1)
+            + F.ceil(F.greatest(F.size("ws") - c, F.lit(0)) / float(s))
+        ).cast("int").alias("nc"),
+    )
+    out = x.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("k"),
+    )
+    start = 1 + F.col("k") * s
+    return out.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(c), F.col("n") - start + 1).cast("int").alias("chunk_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr(f"slice(ws, 1 + k * {s}, least({c}, n - (1 + k * {s}) + 1))"),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# L34 (round 11): BM25 ranked retrieval (Robertson-Spärck Jones /
+# Okapi, k1=1.2 b=0.75) — the production lexical ranking function, vs
+# the raw tf-idf of `tfidf_topk` and the overlap count the RRF fusion
+# uses.  Scale shape: one tf pass + one df pass over exploded tokens
+# (map-side combines), then probe tokens × posting lists (the inverted
+# index join — work ∝ matched postings, never all-pairs).  Numeric
+# design: the full per-term double chain (idf × saturation, identical
+# op-sequence both engines over the proven LN parity) is quantized
+# FLOOR(·1e9) BEFORE the per-document sum, so the score is an exact
+# order-independent integer — the bigram_logprob_score convention.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, LEN(ws) AS len FROM d),
+tok AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+  GROUP BY doc_id, tok
+),
+dfreq AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen
+  FROM dl
+),
+qt AS (SELECT DISTINCT doc_id AS pid, tok FROM tok WHERE doc_id < 10),
+m AS (
+  SELECT q.pid, t.doc_id AS id,
+         CAST(FLOOR(
+           LN((CAST(s.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / s.avglen))))
+           * 1e9
+         ) AS BIGINT) AS e9
+  FROM qt q
+  JOIN tok t ON t.tok = q.tok AND t.doc_id <> q.pid
+  JOIN dfreq f ON f.tok = q.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+sc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS bm25_e9 FROM m GROUP BY pid, id)
+SELECT pid AS probe_id, id AS doc_id, rn, bm25_e9
+FROM (
+  SELECT pid, id, bm25_e9,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY bm25_e9 DESC, id) AS rn
+  FROM sc
+)
+WHERE rn <= 5
+""",
+    tags=("text", "llm", "topk", "rag"),
+    doc=(
+        "L34: BM25 top-5 per probe (k1=1.2, b=0.75) — inverted-index "
+        "postings join, per-term scores quantized to e9 integers before "
+        "the order-independent document sum."
+    ),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("len")).localCheckpoint(eager=False)
+    tok = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum("len").cast("double") / F.count("*").cast("double")
+        ).alias("avglen"),
+    )
+    qt = (
+        tok.filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("pid"), "tok")
+        .distinct()
+    )
+    idf = F.log(
+        ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfp = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / F.col("avglen")))
+    )
+    m = (
+        F.broadcast(qt)
+        .join(tok, ["tok"])
+        .filter(F.col("doc_id") != F.col("pid"))
+        .join(dfreq, ["tok"])
+        .join(dl.withColumnRenamed("doc_id", "_d"), F.col("_d") == F.col("doc_id"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "pid",
+            F.col("doc_id").alias("id"),
+            F.floor(idf * tfp * F.lit(1e9)).cast("bigint").alias("e9"),
+        )
+    )
+    sc = m.groupBy("pid", "id").agg(F.sum("e9").cast("bigint").alias("bm25_e9"))
+    w = Window.partitionBy("pid").orderBy(F.desc("bm25_e9"), F.asc("id"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("id").alias("doc_id"),
+            "rn",
+            "bm25_e9",
+        )
+    )
