@@ -183,6 +183,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "bm25_topk",
     "doc_chunk_windows",
+    "hybrid_recall_check",
+    "mmr_diversity_check",
 ]
 
 

@@ -3139,7 +3139,7 @@ _MMR_K = 5
 _MMR_PROBES = 10
 
 
-def _sql_mmr() -> str:
+def _sql_mmr_core() -> str:
     cosq = (
         f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
         " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
@@ -3171,10 +3171,6 @@ def _sql_mmr() -> str:
 ),
 sel{k} AS (SELECT probe_id, vec_id FROM {prev}
            UNION ALL SELECT probe_id, vec_id FROM s{k})""")
-    unions = "\nUNION ALL ".join(
-        f"SELECT probe_id, vec_id AS neighbor_id, {k} AS step, mmr AS mmr_score FROM s{k}"
-        for k in range(1, _MMR_K + 1)
-    )
     return f"""
 WITH q AS (
   SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
@@ -3206,9 +3202,15 @@ s1 AS MATERIALIZED (
   ) WHERE rn = 1
 ),
 sel1 AS (SELECT probe_id, vec_id FROM s1),
-{",".join(steps)}
-{unions}
-"""
+{",".join(steps)}"""
+
+
+def _sql_mmr() -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT probe_id, vec_id AS neighbor_id, {k} AS step, mmr AS mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"{_sql_mmr_core()}\n{unions}\n"
 
 
 @register(
@@ -3329,7 +3331,7 @@ _RRF_POOL = 20
 _RRF_PROBES = 10
 
 
-def _sql_rrf() -> str:
+def _sql_rrf_core() -> str:
     cosq = (
         f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
         " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
@@ -3380,7 +3382,11 @@ fused AS (
            AS rrf
   FROM vrank v
   FULL OUTER JOIN lrank l ON l.pid = v.pid AND l.id = v.id
-)
+)"""
+
+
+def _sql_rrf() -> str:
+    return f"""{_sql_rrf_core()}
 SELECT pid AS probe_id, id AS doc_id, rn, rrf AS rrf_score
 FROM (
   SELECT pid, id, rrf,
@@ -3476,5 +3482,214 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"),
             "rn",
             F.col("rrf").alias("rrf_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L32b/L31b (round 11): the retrieval family's QUALITY GATES — the same
+# convention every approximate op here carries (minhash_lsh_recall_check,
+# pq_ann_recall_check): the fused/diversified ranking is measured
+# against its exact ground truth inside the oracle-checked query, so a
+# regression in either leg fails the driver's hash gate, not just a
+# benchmark eyeball.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hybrid_recall_check",
+    oracle=_sql_rrf_core() + """,
+rtop AS (
+  SELECT pid, id FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf DESC, id) AS rn
+    FROM fused
+  ) WHERE rn <= 5
+),
+truth AS (SELECT pid, id FROM vrank WHERE vr <= 5),
+hits AS (
+  SELECT r.pid, r.id,
+         CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM rtop r LEFT JOIN truth t ON t.pid = r.pid AND t.id = r.id
+)
+SELECT CAST(SUM(hit) AS BIGINT) AS n_hits,
+       COUNT(*) AS n_slots,
+       CAST((10000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS BIGINT) AS recall_e4
+FROM hits
+""",
+    tags=("similarity", "text", "llm", "quality-gate"),
+    doc=(
+        "L32 quality gate: vector-ground-truth retention of the "
+        "hybrid-RRF top-5 (overlap with the exact cosine top-5, "
+        "recall_e4).  The lexical leg deliberately reshapes the "
+        "ranking — ~0.42 retention on these fixtures — and the hash "
+        "gate PINS that measured trade so either leg drifting fails "
+        "the driver, the honesty convention of the df-state gates."
+    ),
+)
+def hybrid_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rrf = hybrid_rrf_retrieval(spark, sf_dir).select(
+        F.col("probe_id").alias("pid"), F.col("doc_id").alias("id")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), _qvec("embedding").alias("qv")
+    )
+    n = emb.select("id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = n.filter(F.col("id") < _RRF_PROBES).select(
+        F.col("id").alias("pid"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("id"))
+    truth = (
+        F.broadcast(probes)
+        .join(n, F.col("id") != F.col("pid"))
+        .select(
+            "pid",
+            "id",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+        .withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") <= 5)
+        .select("pid", "id", F.lit(1).alias("hit"))
+    )
+    hits = rrf.join(truth, ["pid", "id"], "left").select(
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    return hits.agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.count("*").alias("n_slots"),
+        F.expr("CAST((10000 * CAST(SUM(hit) AS BIGINT)) div COUNT(*) AS BIGINT)").alias(
+            "recall_e4"
+        ),
+    )
+
+
+@register(
+    "mmr_diversity_check",
+    oracle=_sql_mmr_core() + """,
+plain AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qsim DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+redm AS (
+  SELECT a.probe_id,
+         CAST(SUM(CAST(FLOOR(p.sim * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+           AS mmr_red_e6
+  FROM sel5 a
+  JOIN sel5 b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
+  JOIN cp p ON p.probe_id = a.probe_id AND p.da = a.vec_id AND p.db = b.vec_id
+  GROUP BY a.probe_id
+),
+redp AS (
+  SELECT a.probe_id,
+         CAST(SUM(CAST(FLOOR(p.sim * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+           AS plain_red_e6
+  FROM plain a
+  JOIN plain b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
+  JOIN cp p ON p.probe_id = a.probe_id AND p.da = a.vec_id AND p.db = b.vec_id
+  GROUP BY a.probe_id
+)
+SELECT m.probe_id, p.plain_red_e6, m.mmr_red_e6,
+       p.plain_red_e6 - m.mmr_red_e6 AS diversity_gain_e6
+FROM redm m JOIN redp p ON p.probe_id = m.probe_id
+""",
+    tags=("similarity", "llm", "quality-gate"),
+    doc=(
+        "L31 quality gate: mean pairwise within-result similarity "
+        "(redundancy, e6 integers) of the MMR top-5 vs the plain "
+        "cosine top-5 per probe — the diversification's measured "
+        "redundancy drop, hash-checked."
+    ),
+)
+def mmr_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = n.filter(F.col("vec_id") < _MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    w_pool = Window.partitionBy("probe_id").orderBy(F.desc("qsim"), F.asc("vec_id"))
+    cand = (
+        F.broadcast(probes)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "qv",
+            "nrm",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+
+    def red(sel, name):
+        a = sel.select("probe_id", F.col("vec_id").alias("va"))
+        b = sel.select("probe_id", F.col("vec_id").alias("vb"))
+        ca = cand.select(
+            "probe_id", F.col("vec_id").alias("va"),
+            F.col("qv").alias("qa"), F.col("nrm").alias("na"),
+        )
+        cb = cand.select(
+            "probe_id", F.col("vec_id").alias("vb"),
+            F.col("qv").alias("qb"), F.col("nrm").alias("nb"),
+        )
+        pairs = (
+            a.join(b, "probe_id")
+            .filter(F.col("va") != F.col("vb"))
+            .join(ca, ["probe_id", "va"])
+            .join(cb, ["probe_id", "vb"])
+            .select(
+                "probe_id",
+                F.floor(
+                    _cosine(
+                        _dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+                    )
+                    * 1000000
+                ).cast("bigint").alias("e6"),
+            )
+        )
+        return pairs.groupBy("probe_id").agg(
+            F.expr("CAST(SUM(e6) div COUNT(*) AS BIGINT)").alias(name)
+        )
+
+    plain = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("qsim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id")
+    )
+    mmr = mmr_diversified_topk(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return (
+        red(mmr, "mmr_red_e6")
+        .join(red(plain, "plain_red_e6"), "probe_id")
+        .select(
+            "probe_id",
+            "plain_red_e6",
+            "mmr_red_e6",
+            (F.col("plain_red_e6") - F.col("mmr_red_e6")).alias(
+                "diversity_gain_e6"
+            ),
         )
     )
