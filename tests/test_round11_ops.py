@@ -604,3 +604,98 @@ def test_ann_index_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
     ledger = read_table(spark, roots["stats"]).collect()
     assert len(ledger) == 1 and int(ledger[0]["n_arrived"]) == 20
     assert int(ledger[0]["arrived_id_sum"]) == sum(range(100, 120))
+
+
+def test_mmr_diversifies_and_keeps_relevance(spark, sf_dir):
+    """MMR property pins on the fixture: (a) the selection's total
+    redundancy (mean pairwise within-result sim) is strictly below the
+    plain top-5's when summed across probes — the diversification does
+    something; (b) every pick comes from the probe's top-20 relevance
+    pool (MMR trades rank, never leaves the pool); (c) step 1 equals
+    the plain argmax (pure relevance before any redundancy term)."""
+    from data_engineer_coder_spark.operators.similarity import (
+        mmr_diversified_topk,
+        mmr_diversity_check,
+    )
+
+    div = mmr_diversity_check(spark, sf_dir).collect()
+    assert sum(r["diversity_gain_e6"] for r in div) > 0
+    picks = mmr_diversified_topk(spark, sf_dir).collect()
+    by_probe = {}
+    for r in picks:
+        by_probe.setdefault(r["probe_id"], {})[r["step"]] = r["neighbor_id"]
+    assert all(len(v) == 5 for v in by_probe.values())
+
+    from pyspark.sql import Window
+
+    from data_engineer_coder_spark.io.tables import table as _table
+    from data_engineer_coder_spark.operators.similarity import (
+        _MMR_POOL,
+        _MMR_PROBES,
+        _cosine,
+        _dot,
+        _qvec,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    )
+    n = emb.select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = n.filter(F.col("vec_id") < _MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qsim"), F.asc("vec_id"))
+    pool = {
+        (r["probe_id"], r["vec_id"]): r["rn"]
+        for r in F.broadcast(probes)
+        .join(n, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .collect()
+    }
+    for pid, steps in by_probe.items():
+        for nb in steps.values():
+            assert (pid, nb) in pool, (pid, nb)
+        # step 1 is the pure-relevance argmax (pool rank 1)
+        assert pool[(pid, steps[1])] == 1, pid
+
+
+def test_bm25_prefers_rare_term_matches(spark):
+    """BM25 semantics on a controlled corpus: a candidate matching the
+    query's RARE term must outrank one matching only the common term
+    (idf dominates), and term-frequency saturation keeps a tf=50 spam
+    doc from beating a doc that matches one more distinct rare term."""
+    import duckdb
+
+    from data_engineer_coder_spark.registry import all_queries, oracle_sql
+
+    rows = [
+        (0, "zebra quartz common common"),            # the probe (doc_id < 10)
+        (11, "zebra common"),                          # rare match
+        (12, "common common"),                         # common-only match
+        (13, "zebra quartz"),                          # two rare matches
+        (14, " ".join(["common"] * 50)),               # tf spam, common only
+        (15, "unrelated words entirely different"),
+        (16, "another filler document here now"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    out = con.execute(oracle_sql()["bm25_topk"]).fetchdf()
+    r = {
+        int(x.doc_id): int(x.rn)
+        for x in out[out.probe_id == 0].itertuples()
+    }
+    assert r[13] < r[11] < r[12], r   # two rares > one rare > common-only
+    assert r[13] < r[14] and r[11] < r[14], r  # saturation beats tf spam
