@@ -185,6 +185,7 @@ HEADLINE = [
     "doc_chunk_windows",
     "hybrid_recall_check",
     "mmr_diversity_check",
+    "rag_context_pack",
 ]
 
 

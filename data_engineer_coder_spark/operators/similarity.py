@@ -3397,18 +3397,10 @@ WHERE rn <= 5
 """
 
 
-@register(
-    "hybrid_rrf_retrieval",
-    oracle=_sql_rrf(),
-    tags=("similarity", "text", "llm", "topk"),
-    doc=(
-        "L32: hybrid retrieval — lexical token-overlap ranking "
-        "(inverted-index join) fused with the cosine ranking via "
-        "reciprocal rank fusion (1/(60+rank) over each leg's top-20); "
-        "per-probe top-5.  Fully oracle-replayed."
-    ),
-)
-def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused hybrid ranking (pid, id, rrf) — the Spark twin of
+    ``_sql_rrf_core``'s ``fused`` CTE, shared by the retrieval query,
+    the recall gate, and the context packer."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), _qvec("embedding").alias("qv")
@@ -3462,7 +3454,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1.0)
     zero = F.lit(0.0)
-    fused = (
+    return (
         vrank.join(lrank, ["pid", "id"], "full")
         .select(
             "pid",
@@ -3473,6 +3465,21 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_sql_rrf(),
+    tags=("similarity", "text", "llm", "topk"),
+    doc=(
+        "L32: hybrid retrieval — lexical token-overlap ranking "
+        "(inverted-index join) fused with the cosine ranking via "
+        "reciprocal rank fusion (1/(60+rank) over each leg's top-20); "
+        "per-probe top-5.  Fully oracle-replayed."
+    ),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = _rrf_fused(spark, sf_dir)
     w = Window.partitionBy("pid").orderBy(F.desc("rrf"), F.asc("id"))
     return (
         fused.withColumn("rn", F.row_number().over(w))
@@ -3691,5 +3698,75 @@ def mmr_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("plain_red_e6") - F.col("mmr_red_e6")).alias(
                 "diversity_gain_e6"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# L32c (round 11): RAG context packing — the step between retrieval and
+# the prompt: fused-ranked documents are admitted IN RANK ORDER while
+# the running token total fits the context budget (prefix semantics —
+# the first overflow ends the context, preserving rank monotonicity).
+# One window running-sum over each probe's 20-row shortlist; nothing
+# corpus-sized happens after retrieval.
+# --------------------------------------------------------------------------
+
+_CTX_BUDGET = 256
+
+
+@register(
+    "rag_context_pack",
+    oracle=_sql_rrf_core() + f""",
+ranked AS (
+  SELECT pid, id, rrf,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf DESC, id) AS rn
+  FROM fused
+),
+withlen AS (
+  SELECT r.pid, r.id, r.rn, l.len,
+         SUM(l.len) OVER (
+           PARTITION BY r.pid ORDER BY r.rn
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM ranked r
+  JOIN (SELECT doc_id, LEN(string_split(text, ' ')) AS len FROM documents) l
+    ON l.doc_id = r.id
+)
+SELECT pid AS probe_id, id AS doc_id, CAST(rn AS INT) AS rank,
+       CAST(len AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM withlen
+WHERE cum_tokens <= {_CTX_BUDGET}
+""",
+    tags=("similarity", "text", "llm", "rag"),
+    doc=(
+        "L32c: RAG context assembly — hybrid-RRF-ranked docs admitted "
+        "in rank order while the running token total fits the "
+        f"{_CTX_BUDGET}-token budget (prefix semantics); one window "
+        "running-sum per probe shortlist."
+    ),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = _rrf_fused(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lens = docs.select(
+        F.col("doc_id").alias("id"), F.size(F.split("text", " ")).alias("len")
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("rrf"), F.asc("id"))
+    wc = (
+        Window.partitionBy("pid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .join(lens, "id")
+        .withColumn("cum_tokens", F.sum("len").over(wc))
+        .filter(F.col("cum_tokens") <= _CTX_BUDGET)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("id").alias("doc_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("len").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
