@@ -186,6 +186,7 @@ HEADLINE = [
     "hybrid_recall_check",
     "mmr_diversity_check",
     "rag_context_pack",
+    "acid_change_data_feed",
 ]
 
 

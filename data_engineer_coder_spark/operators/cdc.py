@@ -174,3 +174,144 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ts_str("valid_to"), F.lit("current")).alias("valid_to_s"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: CHANGE DATA FEED between two committed table versions — the
+# read side of CDC (Delta CDF / Iceberg changelog equivalent).  MERGE
+# (above) APPLIES a change set; a downstream consumer needs the inverse:
+# "what changed between version N and N+1" as row-level insert/delete/
+# update records, WITHOUT diffing the whole table.  The scale key is
+# manifest-level pruning: two versions' manifests are compared
+# DRIVER-SIDE (KBs of JSON), and only partitions whose file lists
+# differ are read at either version — diff cost ∝ changed partitions,
+# not table size.  The change set here touches 2 of 5 priority
+# partitions, and the harness asserts the untouched 3 never enter the
+# diff read.
+# --------------------------------------------------------------------------
+
+
+def _cdf_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT o_orderkey AS key, o_orderpriority AS prio, o_custkey AS val
+  FROM orders
+),
+touched AS (SELECT * FROM src WHERE prio IN ('1-URGENT', '2-HIGH')),
+del AS (SELECT key FROM touched WHERE key % 97 = 0),
+upd AS (
+  SELECT key FROM touched WHERE key % 31 = 0 AND key % 97 <> 0
+),
+ins AS (
+  SELECT key + 10000000 AS key, prio, val + 5000000 AS val
+  FROM touched WHERE key % 113 = 0
+)
+SELECT t.key AS o_orderkey, 'delete' AS change_type,
+       t.val AS val_before, CAST(NULL AS BIGINT) AS val_after
+FROM touched t JOIN del d ON d.key = t.key
+UNION ALL
+SELECT t.key, 'update', t.val, t.val + 1000000
+FROM touched t JOIN upd u ON u.key = t.key
+UNION ALL
+SELECT key, 'insert', CAST(NULL AS BIGINT), val FROM ins
+"""
+
+
+@register(
+    "acid_change_data_feed",
+    oracle=_cdf_oracle(),
+    tags=("acid", "cdc", "lakehouse"),
+    doc=(
+        "Row-level change feed between two committed ACID versions "
+        "(insert/delete/update with before/after values), computed by "
+        "diffing ONLY the partitions whose manifest file lists differ "
+        "— 2 of 5 here, harness-asserted — then a per-key full outer "
+        "join of the two pinned reads.  Oracle replays the change-set "
+        "construction and the diff from the source table."
+    ),
+)
+def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import manifest_at, read_table, replace_partitions
+
+    src = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("val"),
+    )
+    touched_prios = ("1-URGENT", "2-HIGH")
+    tmp = tempfile.mkdtemp(prefix="cdf_")
+    try:
+        root = os.path.join(tmp, "orders_acid")
+        replace_partitions(src, root, ["prio"], "load")
+        v1 = manifest_at(root)["version"]
+
+        t = src.filter(F.col("prio").isin(*touched_prios))
+        survivors = t.filter(F.col("key") % 97 != 0).withColumn(
+            "val",
+            F.when(F.col("key") % 31 == 0, F.col("val") + 1000000).otherwise(
+                F.col("val")
+            ),
+        )
+        inserts = t.filter(F.col("key") % 113 == 0).select(
+            (F.col("key") + 10000000).alias("key"),
+            "prio",
+            (F.col("val") + 5000000).alias("val"),
+        )
+        replace_partitions(
+            survivors.unionByName(inserts), root, ["prio"], "apply-changes"
+        )
+        v2 = manifest_at(root)["version"]
+
+        # MANIFEST DIFF (driver-side, KBs): partitions whose file lists
+        # changed between the versions — the only ones the feed reads.
+        m1, m2 = manifest_at(root, v1), manifest_at(root, v2)
+        all_parts = set(m1["partitions"]) | set(m2["partitions"])
+        changed = sorted(
+            p for p in all_parts
+            if m1["partitions"].get(p) != m2["partitions"].get(p)
+        )
+        changed_prios = {
+            dict(s.split("=", 1) for s in p.split("/"))["prio"]
+            for p in changed
+        }
+        want = {p.replace(" ", "%20") for p in touched_prios} | set(touched_prios)
+        if not changed_prios or not changed_prios.issubset(want):
+            raise RuntimeError(
+                f"manifest diff selected wrong partitions: {changed_prios}"
+            )
+
+        def pinned(version):
+            return read_table(
+                spark,
+                root,
+                partition_filter=lambda kv: kv["prio"] in changed_prios,
+                version=version,
+            ).select(F.col("key").cast("long").alias("key"),
+                     F.col("val").cast("long").alias("val"))
+
+        before = pinned(v1).withColumnRenamed("val", "val_before")
+        after = pinned(v2).withColumnRenamed("val", "val_after")
+        feed = (
+            before.join(after, "key", "full")
+            .withColumn(
+                "change_type",
+                F.when(F.col("val_after").isNull(), F.lit("delete"))
+                .when(F.col("val_before").isNull(), F.lit("insert"))
+                .when(F.col("val_before") != F.col("val_after"), F.lit("update")),
+            )
+            .filter(F.col("change_type").isNotNull())
+            .select(
+                F.col("key").alias("o_orderkey"),
+                "change_type",
+                "val_before",
+                "val_after",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return feed
