@@ -278,8 +278,7 @@ def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dict(s.split("=", 1) for s in p.split("/"))["prio"]
             for p in changed
         }
-        want = {p.replace(" ", "%20") for p in touched_prios} | set(touched_prios)
-        if not changed_prios or not changed_prios.issubset(want):
+        if not changed_prios or not changed_prios.issubset(set(touched_prios)):
             raise RuntimeError(
                 f"manifest diff selected wrong partitions: {changed_prios}"
             )
