@@ -187,6 +187,7 @@ HEADLINE = [
     "mmr_diversity_check",
     "rag_context_pack",
     "acid_change_data_feed",
+    "bm25_rm3_expansion",
 ]
 
 

@@ -3110,9 +3110,28 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "bm25_topk",
-    oracle="""
+def _sql_bm25_term_e9(w: str = "1.0") -> str:
+    """The quantized per-term BM25 score expression over aliases
+    ``t`` (tok row: tf), ``f`` (dfreq row: df), ``l`` (dl row: len),
+    ``s`` (stats row: n, avglen), optionally weighted by ``{w}``
+    (multiplied INSIDE the FLOOR, so weighted scores stay exact
+    order-independent integers)."""
+    return f"""CAST(FLOOR(
+           {w}
+           * LN((CAST(s.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(t.tf AS DOUBLE) * 2.2)
+              / (CAST(t.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / s.avglen))))
+           * 1e9
+         ) AS BIGINT)"""
+
+
+def _sql_bm25_core() -> str:
+    """Corpus-statistics + base-query-scoring CTE chain shared by
+    ``bm25_topk`` and the RM3 expansion query: d/dl/tok/dfreq/stats,
+    the probes' distinct-token queries ``qt``, and the base per-doc
+    scores ``sc`` (pid, id, bm25_e9)."""
+    return f"""
 WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 dl AS MATERIALIZED (SELECT doc_id, LEN(ws) AS len FROM d),
 tok AS MATERIALIZED (
@@ -3121,28 +3140,26 @@ tok AS MATERIALIZED (
   GROUP BY doc_id, tok
 ),
 dfreq AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
-stats AS (
+stats AS MATERIALIZED (
   SELECT COUNT(*) AS n,
          CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen
   FROM dl
 ),
-qt AS (SELECT DISTINCT doc_id AS pid, tok FROM tok WHERE doc_id < 10),
+qt AS MATERIALIZED (SELECT DISTINCT doc_id AS pid, tok FROM tok WHERE doc_id < 10),
 m AS (
-  SELECT q.pid, t.doc_id AS id,
-         CAST(FLOOR(
-           LN((CAST(s.n - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
-           * ((CAST(t.tf AS DOUBLE) * 2.2)
-              / (CAST(t.tf AS DOUBLE)
-                 + 1.2 * (0.25 + 0.75 * (CAST(l.len AS DOUBLE) / s.avglen))))
-           * 1e9
-         ) AS BIGINT) AS e9
+  SELECT q.pid, t.doc_id AS id, {_sql_bm25_term_e9()} AS e9
   FROM qt q
   JOIN tok t ON t.tok = q.tok AND t.doc_id <> q.pid
   JOIN dfreq f ON f.tok = q.tok
   JOIN dl l ON l.doc_id = t.doc_id
   CROSS JOIN stats s
 ),
-sc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS bm25_e9 FROM m GROUP BY pid, id)
+sc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS bm25_e9 FROM m GROUP BY pid, id)"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_sql_bm25_core() + """
 SELECT pid AS probe_id, id AS doc_id, rn, bm25_e9
 FROM (
   SELECT pid, id, bm25_e9,
@@ -3159,8 +3176,25 @@ WHERE rn <= 5
     ),
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    fr = _bm25_frames(spark, sf_dir)
+    sc = _bm25_scores(fr, fr["qt"].withColumn("w", F.lit(1.0)), "bm25_e9")
+    w = Window.partitionBy("pid").orderBy(F.desc("bm25_e9"), F.asc("id"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("id").alias("doc_id"),
+            "rn",
+            "bm25_e9",
+        )
+    )
 
+
+def _bm25_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared corpus statistics for the BM25 family: per-doc lengths,
+    (doc, token) term frequencies, document frequencies, the corpus
+    (n, avglen) scalars, and the probes' distinct-token queries."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
@@ -3183,6 +3217,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("pid"), "tok")
         .distinct()
     )
+    return {"dl": dl, "tok": tok, "dfreq": dfreq, "stats": stats, "qt": qt}
+
+
+def _bm25_scores(fr: dict, q: DataFrame, name: str) -> DataFrame:
+    """Per-(probe, doc) BM25 score for the weighted query ``q``
+    (pid, tok, w): each term's idf×saturation double is scaled by its
+    query weight INSIDE the e9 quantization, then the per-doc sum runs
+    on exact integers (order-independent)."""
     idf = F.log(
         ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
@@ -3194,27 +3236,126 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / F.col("avglen")))
     )
     m = (
-        F.broadcast(qt)
-        .join(tok, ["tok"])
+        F.broadcast(q)
+        .join(fr["tok"], ["tok"])
         .filter(F.col("doc_id") != F.col("pid"))
-        .join(dfreq, ["tok"])
-        .join(dl.withColumnRenamed("doc_id", "_d"), F.col("_d") == F.col("doc_id"))
-        .crossJoin(F.broadcast(stats))
+        .join(fr["dfreq"], ["tok"])
+        .join(
+            fr["dl"].withColumnRenamed("doc_id", "_d"),
+            F.col("_d") == F.col("doc_id"),
+        )
+        .crossJoin(F.broadcast(fr["stats"]))
         .select(
             "pid",
             F.col("doc_id").alias("id"),
-            F.floor(idf * tfp * F.lit(1e9)).cast("bigint").alias("e9"),
+            F.floor(F.col("w") * idf * tfp * F.lit(1e9)).cast("bigint").alias("e9"),
         )
     )
-    sc = m.groupBy("pid", "id").agg(F.sum("e9").cast("bigint").alias("bm25_e9"))
-    w = Window.partitionBy("pid").orderBy(F.desc("bm25_e9"), F.asc("id"))
+    return m.groupBy("pid", "id").agg(F.sum("e9").cast("bigint").alias(name))
+
+
+# --------------------------------------------------------------------------
+# L34b (round 11): pseudo-relevance feedback (RM3-style query
+# expansion, Abdul-Jaleel et al. TREC '04): the base BM25 ranking's
+# top-3 docs per probe nominate their 5 heaviest terms (summed tf,
+# excluding terms the query already has), which join the query at half
+# weight; the expanded weighted query is re-scored with the SAME
+# shared-statistics BM25 chain.  Scale shape: the feedback term
+# selection touches only 3 docs/probe; both scoring passes are the
+# inverted-index postings join.  Weights 1.0 and 0.5 are exactly
+# representable, so the weighted e9 quantization stays bit-identical
+# across engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bm25_rm3_expansion",
+    oracle=_sql_bm25_core() + """,
+fb AS (
+  SELECT pid, id FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY bm25_e9 DESC, id) AS rn
+    FROM sc
+  ) WHERE rn <= 3
+),
+expt AS (
+  SELECT pid, tok FROM (
+    SELECT fb.pid, t.tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY fb.pid ORDER BY SUM(t.tf) DESC, t.tok
+           ) AS rn
+    FROM fb
+    JOIN tok t ON t.doc_id = fb.id
+    LEFT JOIN qt q ON q.pid = fb.pid AND q.tok = t.tok
+    WHERE q.tok IS NULL
+    GROUP BY fb.pid, t.tok
+  ) WHERE rn <= 5
+),
+q2 AS (
+  SELECT pid, tok, CAST(1.0 AS DOUBLE) AS w FROM qt
+  UNION ALL
+  SELECT pid, tok, CAST(0.5 AS DOUBLE) FROM expt
+),
+m2 AS (
+  SELECT q.pid, t.doc_id AS id, """ + _sql_bm25_term_e9("q.w") + """ AS e9
+  FROM q2 q
+  JOIN tok t ON t.tok = q.tok AND t.doc_id <> q.pid
+  JOIN dfreq f ON f.tok = q.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+sc2 AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS rm3_e9 FROM m2 GROUP BY pid, id)
+SELECT pid AS probe_id, id AS doc_id, rn, rm3_e9
+FROM (
+  SELECT pid, id, rm3_e9,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rm3_e9 DESC, id) AS rn
+  FROM sc2
+)
+WHERE rn <= 5
+""",
+    tags=("text", "llm", "topk", "rag"),
+    doc=(
+        "L34b: RM3 pseudo-relevance feedback — the base BM25 top-3 "
+        "docs nominate 5 expansion terms (summed tf, query terms "
+        "excluded) at half weight; the expanded weighted query is "
+        "re-scored through the shared BM25 chain.  Fully "
+        "oracle-replayed incl. the weighted e9 quantization."
+    ),
+)
+def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _bm25_frames(spark, sf_dir)
+    qt = fr["qt"]
+    base = _bm25_scores(fr, qt.withColumn("w", F.lit(1.0)), "bm25_e9")
+    w_fb = Window.partitionBy("pid").orderBy(F.desc("bm25_e9"), F.asc("id"))
+    fb = (
+        base.withColumn("rn", F.row_number().over(w_fb))
+        .filter(F.col("rn") <= 3)
+        .select("pid", "id")
+    )
+    w_t = Window.partitionBy("pid").orderBy(F.desc("wsum"), F.asc("tok"))
+    expt = (
+        fb.join(
+            fr["tok"].withColumnRenamed("doc_id", "id"), "id"
+        )
+        .groupBy("pid", "tok")
+        .agg(F.sum("tf").alias("wsum"))
+        .join(qt, ["pid", "tok"], "left_anti")
+        .withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= 5)
+        .select("pid", "tok")
+    )
+    q2 = qt.withColumn("w", F.lit(1.0)).unionByName(
+        expt.withColumn("w", F.lit(0.5))
+    )
+    sc2 = _bm25_scores(fr, q2, "rm3_e9")
+    w = Window.partitionBy("pid").orderBy(F.desc("rm3_e9"), F.asc("id"))
     return (
-        sc.withColumn("rn", F.row_number().over(w))
+        sc2.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select(
             F.col("pid").alias("probe_id"),
             F.col("id").alias("doc_id"),
             "rn",
-            "bm25_e9",
+            "rm3_e9",
         )
     )
