@@ -278,7 +278,11 @@ def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dict(s.split("=", 1) for s in p.split("/"))["prio"]
             for p in changed
         }
-        if not changed_prios or not changed_prios.issubset(set(touched_prios)):
+        # Strict equality, not subset: a touched partition left with zero
+        # surviving rows would be absent from the second replace set, keep
+        # its v1 files, and silently drop its deletes — equality makes that
+        # direction loud too (ADVICE r11).
+        if changed_prios != set(touched_prios):
             raise RuntimeError(
                 f"manifest diff selected wrong partitions: {changed_prios}"
             )

@@ -74,32 +74,15 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-10 cohort — gate file-pruning + trained-PQ family — pruned:
-    # re-proven green in CORRECTNESS_r10, 50/50.)
-    # round 11 (ADVICE r10): every oracle that capped n-gram/token
-    # positions at 128 (`range(1, 129)`) now derives the position range
-    # from LEN(ws) — identical results at current fixtures (max doc 100
-    # words), but the oracle TEXT changed, so re-prove each.
-    "ngram_decontaminate",
-    "repeated_token_runs",
-    "doc_dup_ngram_coverage",
-    "containment_decontaminate",
-    "containment_sketch_audit",
-    "pretraining_corpus_build",
-    "stream_decontaminate_ingest",
-    # round 11: the gate's driver-side key collects are now capped with
-    # an unpruned-scan fallback, and the exact df matview's bucket
-    # layout is table metadata — decisions are unchanged by design, but
-    # the implementation changed, so re-prove the family.
-    "stream_neardup_ingest",
-    "stream_neardup_ingest_capped",
-    "stream_neardup_ingest_cms",
-    # round 11: the trained PQ codebook became a standing ACID artifact
-    # (train-once, read-back) — values are bit-identical by design, but
-    # the plan changed, so re-prove the family.
-    "pq_ann_topk",
-    "pq_ann_rerank_topk",
-    "pq_ann_recall_check",
+    # (round-11 cohort — LEN-range oracles, gate collect caps, standing
+    # PQ codebook — pruned: all re-proven green in CORRECTNESS_r11.)
+    # round 12: the maintenance re-encode is now STAGED per cell bucket
+    # (per-bucket txids + one atomic codebook/code swap) — end state is
+    # bit-identical by design, but the txn path changed, so re-prove.
+    "ann_index_retrain_swap_audit",
+    # round 12: acid_change_data_feed's partition guard tightened from
+    # issubset to strict equality (ADVICE r11) — re-prove post-change.
+    "acid_change_data_feed",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -62,7 +62,7 @@ def _vecs(spark, sf_dir):
     return emb.withColumn("nrm", _dot(F.col("qv"), F.col("qv")))
 
 
-def _bulk_load(spark, n, cents, cb_row, index_root, stats_root, txid):
+def _bulk_load(spark, n, cents, cb_row, index_root, txid):
     """Batch twin of the gate's per-epoch work: load ``n`` as standing
     index rows under one txid (same layout, no stream overhead)."""
     asg = _two_level_assign(n, cents).select(
@@ -153,7 +153,7 @@ def main() -> None:
                 F.pmod("vec_id", F.lit(10)) != 0
             )
             _bulk_load(spark, standing, cents, cb_row,
-                       roots["index"], roots["stats"], "bulk-load")
+                       roots["index"], "bulk-load")
             n_rows = sum(
                 f["rows"] for files in
                 current_manifest(roots["index"]).get("dir_files", {}).values()

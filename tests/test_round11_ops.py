@@ -676,7 +676,7 @@ def test_bm25_prefers_rare_term_matches(spark):
     doc from beating a doc that matches one more distinct rare term."""
     import duckdb
 
-    from data_engineer_coder_spark.registry import all_queries, oracle_sql
+    from data_engineer_coder_spark.registry import oracle_sql
 
     rows = [
         (0, "zebra quartz common common"),            # the probe (doc_id < 10)
