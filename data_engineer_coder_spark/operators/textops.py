@@ -12,7 +12,7 @@ both engines); the fingerprint is pure int64 modular arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.tables import table
@@ -3220,11 +3220,12 @@ def _bm25_frames(spark: SparkSession, sf_dir: str) -> dict:
     return {"dl": dl, "tok": tok, "dfreq": dfreq, "stats": stats, "qt": qt}
 
 
-def _bm25_scores(fr: dict, q: DataFrame, name: str) -> DataFrame:
-    """Per-(probe, doc) BM25 score for the weighted query ``q``
-    (pid, tok, w): each term's idf×saturation double is scaled by its
-    query weight INSIDE the e9 quantization, then the per-doc sum runs
-    on exact integers (order-independent)."""
+def bm25_term_e9_col() -> Column:
+    """The quantized per-term BM25 score column over in-scope columns
+    ``w, tf, df, len, n, avglen`` — ONE op-sequence shared by the
+    in-plan recompute (``_bm25_scores``) and the served-from-standing-
+    index path (``streaming/bm25_ingest``), so the two are bit-identical
+    by construction (the Spark twin of ``_sql_bm25_term_e9``)."""
     idf = F.log(
         ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
@@ -3235,6 +3236,14 @@ def _bm25_scores(fr: dict, q: DataFrame, name: str) -> DataFrame:
         + F.lit(1.2)
         * (F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / F.col("avglen")))
     )
+    return F.floor(F.col("w") * idf * tfp * F.lit(1e9)).cast("bigint")
+
+
+def _bm25_scores(fr: dict, q: DataFrame, name: str) -> DataFrame:
+    """Per-(probe, doc) BM25 score for the weighted query ``q``
+    (pid, tok, w): each term's idf×saturation double is scaled by its
+    query weight INSIDE the e9 quantization, then the per-doc sum runs
+    on exact integers (order-independent)."""
     m = (
         F.broadcast(q)
         .join(fr["tok"], ["tok"])
@@ -3248,7 +3257,7 @@ def _bm25_scores(fr: dict, q: DataFrame, name: str) -> DataFrame:
         .select(
             "pid",
             F.col("doc_id").alias("id"),
-            F.floor(F.col("w") * idf * tfp * F.lit(1e9)).cast("bigint").alias("e9"),
+            bm25_term_e9_col().alias("e9"),
         )
     )
     return m.groupBy("pid", "id").agg(F.sum("e9").cast("bigint").alias(name))

@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.streaming.windows",
     "data_engineer_coder_spark.streaming.curation",
     "data_engineer_coder_spark.streaming.ann_ingest",
+    "data_engineer_coder_spark.streaming.bm25_ingest",
     "data_engineer_coder_spark.streaming.stateful",
     "data_engineer_coder_spark.streaming.joins",
 )

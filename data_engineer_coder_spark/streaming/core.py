@@ -1374,3 +1374,126 @@ def write_stream_ann_index_gate(
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
     )
+
+
+_BM25_TOK_BUCKETS = 16
+_BM25_FWD_BUCKETS = 16
+
+
+def bm25_index_batch_frames(df: DataFrame) -> dict:
+    """The per-batch index rows the BM25 gate commits, as frames:
+    ``postings`` (doc_id, tok, tf, len, tok_bucket) — the inverted
+    index, doc length DENORMALIZED onto each posting so a probe never
+    joins a doc-side table — and ``forward`` (doc_id, tok, tf,
+    doc_bucket) — the forward index the RM3 feedback read uses.  Both
+    derive from one tokenize+group pass over the batch.
+
+    The token bucket is the engine-independent md5 bucket
+    (``_helpers.md5_bucket % 16``) so the DuckDB oracles can replay the
+    physical layout, not just the logical rows.
+    """
+    from ..operators._helpers import md5_bucket
+
+    d = df.select("doc_id", F.split("text", " ").alias("ws"))
+    dl = d.select("doc_id", F.size("ws").alias("len"))
+    tok = (
+        d.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = tok.join(dl, "doc_id").withColumn(
+        "tok_bucket", F.pmod(md5_bucket("tok"), F.lit(_BM25_TOK_BUCKETS))
+    )
+    forward = tok.withColumn(
+        "doc_bucket", F.pmod("doc_id", F.lit(_BM25_FWD_BUCKETS))
+    )
+    return {"postings": postings, "forward": forward, "dl": dl}
+
+
+def write_stream_bm25_index_gate(
+    sdf: DataFrame,
+    postings_root: str,
+    forward_root: str,
+    stats_root: str,
+    checkpoint: str | None = None,
+):
+    """T8k (round 12): STREAMING LEXICAL (BM25) INDEX MAINTENANCE — the
+    ingest face of the retrieval family (VERDICT r11 #1).  The batch
+    queries ``bm25_topk``/``bm25_rm3_expansion`` rebuild tokenization,
+    tf, df, doc lengths and avglen from the raw corpus on every query;
+    this gate maintains those as STANDING ACID artifacts so serving
+    cost is probe-local:
+
+    Per micro-batch of ``(doc_id, text)`` rows:
+
+    1. One tokenize+group pass (``bm25_index_batch_frames``) yields the
+       batch's postings and forward rows — Θ(batch tokens), map-side
+       combine, independent of index size.
+    2. Append postings PARTITIONED BY TOKEN BUCKET (md5(tok) % 16):
+       every posting for a token lives in that token's bucket, so a
+       query reads only its terms' buckets.  Doc length rides on the
+       posting row (denormalized) — candidate scoring never joins a
+       doc-length table.
+    3. Append the same rows to the FORWARD index partitioned by doc
+       bucket (doc_id % 16) — the RM3 feedback step reads the top
+       docs' terms from ≤ k doc buckets instead of scanning postings.
+    4. Append one ledger row — (epoch, n_docs, len_sum, doc-id
+       checksum, n_postings, tf_sum) — to the stats table.  N and
+       avglen are never stored as mutable scalars: serving derives
+       them by summing the (tiny) ledger, so a crash-replayed epoch
+       cannot double-count them.
+
+    All three appends share ONE epoch txid: a replayed epoch is a
+    no-op on postings, forward, and ledger at once.  Scale shape per
+    epoch: Θ(batch tokens) work, appends across ≤ 16+16 partitions;
+    nothing reads or rewrites standing rows — gate cost is independent
+    of corpus size (the continuous-regime property the ANN gate
+    measures).  Global stats (df, avglen) DRIFT as the corpus grows is
+    inherent to incremental lexical indexes; BM25 reads them at query
+    time from the ledger + the probed buckets, so a served score is
+    always consistent with the index AS OF the read version.
+    """
+    from ..io.acid_table import append_partitions
+
+    def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        txid = f"epoch-{epoch_id}"
+        fr = bm25_index_batch_frames(df)
+        postings = fr["postings"].withColumn(
+            "epoch", F.lit(int(epoch_id))
+        ).localCheckpoint()
+        stats = postings.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("tf_sum"),
+            F.count("*").alias("n_postings"),
+        ).collect()[0]
+        dstat = fr["dl"].agg(
+            F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
+        ).collect()[0]
+        append_partitions(
+            postings, postings_root, ["tok_bucket"], txid
+        )
+        append_partitions(
+            fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+            forward_root, ["doc_bucket"], txid
+        )
+        ledger = spark.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    int(stats["n_docs"]),
+                    int(dstat["len_sum"]),
+                    int(dstat["id_sum"]),
+                    int(stats["n_postings"]),
+                    int(stats["tf_sum"]),
+                )
+            ],
+            "epoch int, n_docs long, len_sum long, doc_id_sum long, "
+            "n_postings long, tf_sum long",
+        )
+        append_partitions(ledger, stats_root, ["epoch"], txid)
+
+    return write_foreach_batch(
+        sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
+    )

@@ -1,0 +1,201 @@
+"""Round-12 operators: the standing BM25 lexical index (ingest gate +
+served retrieval), ANN-served retrieval pools, staged ANN retrain, and
+the CDF-driven incremental rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# standing BM25 index: gate semantics
+# --------------------------------------------------------------------------
+
+
+def _two_epoch_src(spark, tmp_path, epochs):
+    """Write the given row lists as ordered single-file stream epochs."""
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    now = _time.time()
+    for i, rows in enumerate(epochs):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.parquet(part)
+        f = next(x for x in _os.listdir(part) if x.endswith(".parquet"))
+        dst = _os.path.join(src, f"e{i}.parquet")
+        _os.rename(_os.path.join(part, f), dst)
+        _os.utime(dst, (now + 30 * i, now + 30 * i))
+    return src, spark.read.parquet(src).schema
+
+
+def test_bm25_gate_matches_batch_and_replay_noop(spark, tmp_path):
+    """T8k: the streaming BM25 gate must (a) commit exactly the
+    (doc, tok, tf, len) postings one batch tokenize pass computes,
+    (b) lay postings out by md5 token bucket and the forward index by
+    doc bucket, (c) keep a ledger the tables reconcile with, and
+    (d) stay exactly-once across a full stream replay."""
+    import hashlib
+
+    from data_engineer_coder_spark.io.acid_table import (
+        current_manifest,
+        read_table,
+    )
+    from data_engineer_coder_spark.streaming.core import (
+        write_stream_bm25_index_gate,
+    )
+
+    e0 = [(10, "spark spark parquet"), (12, "manifest commit")]
+    e1 = [(21, "parquet snapshot snapshot snapshot")]
+    src, schema = _two_epoch_src(spark, tmp_path, (e0, e1))
+    roots = {n: str(tmp_path / n) for n in ("postings", "forward", "stats")}
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_bm25_index_gate(
+            sdf, roots["postings"], roots["forward"], roots["stats"]
+        )
+        q.awaitTermination(300)
+
+    _run()
+    post = {
+        (int(r["doc_id"]), r["tok"]): r
+        for r in read_table(spark, roots["postings"]).collect()
+    }
+    want = {
+        (10, "spark"): (2, 3), (10, "parquet"): (1, 3),
+        (12, "manifest"): (1, 2), (12, "commit"): (1, 2),
+        (21, "parquet"): (1, 4), (21, "snapshot"): (3, 4),
+    }
+    assert {k: (int(r["tf"]), int(r["len"])) for k, r in post.items()} == want
+    for (doc, tok), r in post.items():
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % 16
+        assert int(r["tok_bucket"]) == b, tok
+        assert int(r["epoch"]) == (0 if doc < 20 else 1)
+    fwd = {
+        (int(r["doc_id"]), r["tok"]): (int(r["tf"]), int(r["doc_bucket"]))
+        for r in read_table(spark, roots["forward"]).collect()
+    }
+    assert fwd == {k: (v[0], k[0] % 16) for k, v in want.items()}
+    ledger = {
+        int(r["epoch"]): (
+            int(r["n_docs"]), int(r["len_sum"]), int(r["doc_id_sum"]),
+            int(r["n_postings"]), int(r["tf_sum"]),
+        )
+        for r in read_table(spark, roots["stats"]).collect()
+    }
+    assert ledger == {0: (2, 5, 22, 4, 5), 1: (1, 4, 21, 2, 4)}
+
+    v_before = {n: current_manifest(roots[n])["version"] for n in roots}
+    _run()  # fresh checkpoint → full replay of both epochs
+    for n, ver in v_before.items():
+        assert current_manifest(roots[n])["version"] == ver, n
+    assert read_table(spark, roots["postings"]).count() == 6
+
+
+def test_bm25_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
+    """T8k under a torn epoch: crash AFTER the postings append but
+    BEFORE the forward/ledger commits, restart with a fresh checkpoint
+    — the replayed epoch no-ops the durable postings append (same
+    txid) and completes the missing tables."""
+    import data_engineer_coder_spark.io.acid_table as at
+    from data_engineer_coder_spark.io.acid_table import read_table
+    from data_engineer_coder_spark.streaming.core import (
+        write_stream_bm25_index_gate,
+    )
+
+    e0 = [(10, "alpha beta beta"), (12, "gamma alpha")]
+    src, schema = _two_epoch_src(spark, tmp_path, (e0,))
+    roots = {n: str(tmp_path / n) for n in ("postings", "forward", "stats")}
+
+    def _run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = write_stream_bm25_index_gate(
+            sdf, roots["postings"], roots["forward"], roots["stats"]
+        )
+        q.awaitTermination(300)
+
+    real = at.append_partitions
+    calls = {"n": 0}
+
+    def flaky(df, root, cols, txid, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the forward-index commit of epoch 0
+            raise RuntimeError("injected crash mid-epoch")
+        return real(df, root, cols, txid, *a, **k)
+
+    monkeypatch.setattr(at, "append_partitions", flaky)
+    try:
+        _run()
+        raise AssertionError("injected crash did not surface")
+    except Exception as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(at, "append_partitions", real)
+
+    # torn state: postings durable, forward/ledger missing
+    assert read_table(spark, roots["postings"]).count() == 4
+    for n in ("forward", "stats"):
+        try:
+            cnt = read_table(spark, roots[n]).count()
+        except ValueError:
+            cnt = 0
+        assert cnt == 0, n
+
+    _run()  # replay: postings append no-ops, forward/ledger complete
+    assert read_table(spark, roots["postings"]).count() == 4
+    assert read_table(spark, roots["forward"]).count() == 4
+    ledger = read_table(spark, roots["stats"]).collect()
+    assert len(ledger) == 1
+    assert (int(ledger[0]["n_docs"]), int(ledger[0]["tf_sum"])) == (2, 5)
+
+
+def test_bm25_served_ranking_matches_inplan_on_controlled_corpus(
+    spark, tmp_path
+):
+    """End-to-end served-vs-in-plan parity on a controlled corpus: the
+    served query (standing bucketed postings + ledger stats) must
+    return exactly the in-plan ``bm25_topk`` ranking — the harness's
+    bit-parity assert and the bucket-pruning audit both run inside."""
+    from data_engineer_coder_spark.operators.textops import bm25_topk
+    from data_engineer_coder_spark.streaming.bm25_ingest import (
+        bm25_topk_served,
+    )
+
+    rows = [
+        (0, "zebra quartz common common"),
+        (11, "zebra common"),
+        (12, "common common"),
+        (13, "zebra quartz"),
+        (14, " ".join(["common"] * 50)),
+        (15, "unrelated words entirely different"),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf + "/documents.parquet"
+    )
+    served = {
+        (int(r["probe_id"]), int(r["rn"])): (int(r["doc_id"]), int(r["bm25_e9"]))
+        for r in bm25_topk_served(spark, sf).collect()
+    }
+    inplan = {
+        (int(r["probe_id"]), int(r["rn"])): (int(r["doc_id"]), int(r["bm25_e9"]))
+        for r in bm25_topk(spark, sf).collect()
+    }
+    # doc 15 shares no query token → 4 scored candidates, not 5
+    assert served == inplan and len(served) == 4
+    # BM25 semantics survive the serving path: two rare terms beat one,
+    # saturation keeps the tf-spam doc below any rare match
+    ranks = {doc: rn for (p, rn), (doc, _) in served.items() if p == 0}
+    assert ranks[13] < ranks[11] < ranks[12]
