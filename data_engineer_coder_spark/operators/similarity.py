@@ -3139,11 +3139,11 @@ _MMR_K = 5
 _MMR_PROBES = 10
 
 
-def _sql_mmr_core() -> str:
-    cosq = (
-        f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
-        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
-    )
+def _sql_mmr_steps() -> str:
+    """The greedy-step CTE chain (cp, s1, sel1, …, sel5) over an
+    in-scope ``cand`` CTE (probe_id, vec_id, qv, nrm, qsim) — shared by
+    the exact-pool MMR oracle and the ANN-served-pool variant
+    (``retrieval_served``), so the two greedy loops can never drift."""
     cosp = (
         f"CAST({_SQL_DOT.format(a='a.qv', b='b.qv')} AS DOUBLE)"
         " / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE)))"
@@ -3171,6 +3171,27 @@ def _sql_mmr_core() -> str:
 ),
 sel{k} AS (SELECT probe_id, vec_id FROM {prev}
            UNION ALL SELECT probe_id, vec_id FROM s{k})""")
+    return f"""cp AS MATERIALIZED (
+  SELECT a.probe_id, a.vec_id AS da, b.vec_id AS db, {cosp} AS sim
+  FROM cand a
+  JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT probe_id, vec_id, 0.7 * qsim - 0.3 * 0.0 AS mmr FROM (
+    SELECT probe_id, vec_id, qsim,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qsim DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT probe_id, vec_id FROM s1),
+{",".join(steps)}"""
+
+
+def _sql_mmr_core() -> str:
+    cosq = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='n.qv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(n.nrm AS DOUBLE)))"
+    )
     return f"""
 WITH q AS (
   SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings
@@ -3189,20 +3210,7 @@ cand AS MATERIALIZED (
     FROM probes p JOIN n ON n.vec_id <> p.probe_id
   ) WHERE rn <= {_MMR_POOL}
 ),
-cp AS MATERIALIZED (
-  SELECT a.probe_id, a.vec_id AS da, b.vec_id AS db, {cosp} AS sim
-  FROM cand a
-  JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
-),
-s1 AS MATERIALIZED (
-  SELECT probe_id, vec_id, 0.7 * qsim - 0.3 * 0.0 AS mmr FROM (
-    SELECT probe_id, vec_id, qsim,
-           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qsim DESC, vec_id) AS rn
-    FROM cand
-  ) WHERE rn = 1
-),
-sel1 AS (SELECT probe_id, vec_id FROM s1),
-{",".join(steps)}"""
+{_sql_mmr_steps()}"""
 
 
 def _sql_mmr() -> str:
@@ -3254,6 +3262,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .localCheckpoint()
     )
+    return _mmr_greedy(cand)
+
+
+def _mmr_greedy(cand: DataFrame) -> DataFrame:
+    """The 5 unrolled greedy MMR steps over a relevance pool ``cand``
+    (probe_id, vec_id, qv, nrm, qsim) — the Spark twin of
+    :func:`_sql_mmr_steps`, shared by the exact-pool query and the
+    ANN-served-pool variant (``retrieval_served``)."""
     a, b = cand.alias("a"), cand.alias("b")
     cp = (
         a.join(

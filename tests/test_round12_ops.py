@@ -199,3 +199,44 @@ def test_bm25_served_ranking_matches_inplan_on_controlled_corpus(
     # saturation keeps the tf-spam doc below any rare match
     ranks = {doc: rn for (p, rn), (doc, _) in served.items() if p == 0}
     assert ranks[13] < ranks[11] < ranks[12]
+
+
+# --------------------------------------------------------------------------
+# ANN-served retrieval pools
+# --------------------------------------------------------------------------
+
+
+def test_mmr_served_shape_and_greedy_invariants(spark, sf_dir):
+    """The ANN-served MMR must keep the greedy contract: 5 distinct
+    selections per probe, steps numbered 1..5.  (mmr scores are NOT
+    monotone across steps: a negative pairwise cosine turns the
+    −0.3·max-sim penalty into a bonus, legitimately.)"""
+    from data_engineer_coder_spark.operators.retrieval_served import (
+        mmr_diversified_topk_served,
+    )
+
+    rows = mmr_diversified_topk_served(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(int(r["probe_id"]), []).append(
+            (int(r["step"]), int(r["neighbor_id"]))
+        )
+    assert len(by_probe) == 10
+    for pid, sel in by_probe.items():
+        sel.sort()
+        assert [s for s, _ in sel] == [1, 2, 3, 4, 5], pid
+        assert len({n for _, n in sel}) == 5, pid
+
+
+def test_hybrid_served_recall_floor(spark, sf_dir):
+    """The served hybrid must retain a healthy share of the exact-scan
+    hybrid top-5 (nprobe=4 cells): the driver hash pins the exact
+    value; this test pins a coarse floor so a collapse (e.g. empty
+    vector leg) fails loudly even without the oracle."""
+    from data_engineer_coder_spark.operators.retrieval_served import (
+        hybrid_served_recall_check,
+    )
+
+    r = hybrid_served_recall_check(spark, sf_dir).collect()[0]
+    assert int(r["n_slots"]) == 50
+    assert int(r["recall_e4"]) >= 5000, r
