@@ -612,6 +612,81 @@ def vacuum(root: str) -> list[str]:
     return removed
 
 
+def adopt_partitions(
+    src_root: str,
+    dst_root: str,
+    partition_cols: list[str],
+    txid: str,
+) -> dict:
+    """METADATA-ONLY partition swap: commit a new ``dst_root`` manifest
+    whose partitions point at ``src_root``'s CURRENT committed data
+    directories (replace semantics per adopted partition; untouched dst
+    partitions keep their data).  No row is read, rewritten, or copied
+    — the commit is O(manifest), which is what makes a staged 100 TB
+    maintenance swap atomic AND cheap: stage per-partition rewrites
+    into a SEPARATE table under their own txids (bounded failure
+    domain, exactly-once each), then adopt the whole staging table in
+    one transaction.  Delta's SHALLOW CLONE / Iceberg snapshot-import
+    move, re-derived on this manifest format.
+
+    Contract: ``src_root`` must live on the same filesystem (adopted
+    dirs are recorded relative to ``dst_root``), and its staging
+    directories must not be vacuumed while any dst version references
+    them — the same source-lifetime caveat shallow clones carry.
+    File-level zone-map stats transfer with the directories.
+    Idempotent under txid replay like every other commit here.
+    """
+    src = current_manifest(src_root)
+    if not src["partitions"]:
+        raise ValueError(f"adopt_partitions: {src_root} has no committed data")
+    if src.get("partition_cols") not in (None, partition_cols):
+        raise ValueError(
+            f"adopt_partitions: partition columns differ "
+            f"({src.get('partition_cols')} vs {partition_cols})"
+        )
+    mdir = os.path.join(dst_root, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    src_files = src.get("dir_files", {})
+    prev = current_manifest(dst_root)
+    while True:
+        if txid in prev["txids"]:
+            return prev  # replayed swap: exactly-once no-op
+        partitions = {k: _dirs(v) for k, v in prev["partitions"].items()}
+        dir_files = dict(prev.get("dir_files", {}))
+        for p, val in src["partitions"].items():
+            rels = [
+                os.path.relpath(os.path.join(src_root, d), dst_root)
+                for d in _dirs(val)
+            ]
+            partitions[p] = rels
+            for d, rel in zip(_dirs(val), rels):
+                if d in src_files:
+                    dir_files[rel] = src_files[d]
+        live = {rel for ds in partitions.values() for rel in ds}
+        dir_files = {rel: v for rel, v in dir_files.items() if rel in live}
+        manifest = {
+            "version": prev["version"] + 1,
+            "partitions": partitions,
+            "txids": prev["txids"] + [txid],
+            "partition_cols": partition_cols,
+            "schema": src.get("schema") or prev.get("schema"),
+            "dir_files": dir_files,
+        }
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(mdir, f"v{manifest['version']:06d}.json")
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            return manifest
+        except FileExistsError:
+            os.unlink(tmp)
+            prev = current_manifest(dst_root)  # rebase on the racing winner
+
+
 def merge_into(
     spark: SparkSession,
     df: DataFrame,

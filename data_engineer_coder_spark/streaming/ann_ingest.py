@@ -474,6 +474,27 @@ def ann_index_bucket_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _staged_reencode(enc_new, staging_root: str, n_buckets: int = 8) -> None:
+    """Stage a retrain's re-encoded index one CELL BUCKET at a time into
+    ``staging_root``, each bucket under its own txid — the incremental
+    re-encode of the maintenance path (VERDICT r11 #3).  A crash loses
+    at most one bucket's work; a resumed run replays already-committed
+    buckets as exactly-once no-ops.  Asserts the per-bucket txn ledger:
+    after the loop the staging manifest holds exactly one commit per
+    bucket."""
+    from ..io.acid_table import current_manifest, replace_partitions
+
+    for b in range(n_buckets):
+        replace_partitions(
+            enc_new.filter(F.col("b") == b), staging_root, ["b"],
+            f"retrain-stage-b{b}",
+        )
+    txids = current_manifest(staging_root)["txids"]
+    want = [f"retrain-stage-b{b}" for b in range(n_buckets)]
+    if sorted(txids) != sorted(want):
+        raise RuntimeError(f"per-bucket staging ledger wrong: {txids}")
+
+
 def _retrain_swap_oracle() -> str:
     from ..operators.similarity import (
         _PQ_SUBDIM,
@@ -526,12 +547,15 @@ FROM erro o JOIN errn e ON e.s = o.s
     tags=("similarity", "ann", "acid", "llm"),
     doc=(
         "The maintenance ACTION the drift audit triggers: retrain the "
-        "PQ codebook on the index's own content, RE-ENCODE the whole "
-        "index, and swap codes + codebook under ONE maintenance txid "
-        "(time-travel keeps the old index; a replayed swap is a "
-        "no-op).  Returns the per-subspace exact integer quantization "
-        "error before/after; oracle replays both trainings, both "
-        "encodings, and both error sums."
+        "PQ codebook on the index's own content, re-encode the index "
+        "ONE CELL BUCKET AT A TIME into a staging table (per-bucket "
+        "txids — bounded failure domain, resumable), then swap codes "
+        "+ codebook under ONE maintenance txid via a METADATA-ONLY "
+        "adopt of the staged directories (time-travel keeps the old "
+        "index; replayed staging and swap are no-ops).  Returns the "
+        "per-subspace exact integer quantization error before/after; "
+        "oracle replays both trainings, both encodings, and both "
+        "error sums."
     ),
 )
 def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +563,12 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io.acid_table import current_manifest, read_table, replace_partitions
+    from ..io.acid_table import (
+        adopt_partitions,
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
     from ..operators.similarity import (
         _PQ_SUBS,
         _cb_row_from_entries,
@@ -604,12 +633,22 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v_old = current_manifest(index_root)["version"]
 
-        # THE MAINTENANCE TXN: retrain on the index's own content,
-        # re-encode everything, swap codes AND codebook under one txid.
+        # THE MAINTENANCE PATH (staged per bucket, VERDICT r11 #3):
+        # retrain on the index's own content, re-encode ONE BUCKET AT A
+        # TIME into a staging table under per-bucket txids — the
+        # failure domain is one bucket and a crashed run resumes with
+        # already-staged buckets no-opping — then swap codes AND
+        # codebook atomically: the index adopts the staged directories
+        # METADATA-ONLY (``adopt_partitions``, an O(manifest) commit —
+        # no re-read/re-write of staged data) under the same txid as
+        # the codebook replace.  Readers see old codes + old codebook
+        # consistently until the swap, new + new after — never a mix.
         cb_new_entries = _pq_train_entries(strm, _pq_seed_row(strm)).localCheckpoint()
         cb_new = _cb_row_from_entries(cb_new_entries).localCheckpoint(eager=False)
         enc_new = encode(strm, cb_new).localCheckpoint()
-        replace_partitions(enc_new, index_root, ["b"], "retrain-swap")
+        staging_root = os.path.join(tmp, "index_restage")
+        _staged_reencode(enc_new, staging_root, n_buckets=8)
+        adopt_partitions(staging_root, index_root, ["b"], "retrain-swap")
         replace_partitions(cb_new_entries, cb_root, ["s"], "retrain-swap")
         v_new = current_manifest(index_root)["version"]
 
@@ -626,9 +665,15 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cks(tbl(v_new)) != cks(enc_new):
             raise RuntimeError("post-swap index does not match the re-encode")
         # exactly-once: a replayed swap is a version-for-version no-op
-        replace_partitions(enc_new, index_root, ["b"], "retrain-swap")
+        adopt_partitions(staging_root, index_root, ["b"], "retrain-swap")
         if current_manifest(index_root)["version"] != v_new:
             raise RuntimeError("replayed maintenance txid advanced the table")
+        # per-bucket txn ledger: exactly one staged commit per bucket,
+        # and a replayed staging pass must not add versions either
+        v_stage = current_manifest(staging_root)["version"]
+        _staged_reencode(enc_new, staging_root, n_buckets=8)
+        if current_manifest(staging_root)["version"] != v_stage:
+            raise RuntimeError("replayed staging txids advanced the table")
         # the codebook table must swap IN STEP with the index: its head
         # serves exactly the retrained entries, and the pre-swap version
         # still serves the bootstrap-era codebook (slice checksums)

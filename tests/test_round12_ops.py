@@ -240,3 +240,85 @@ def test_hybrid_served_recall_floor(spark, sf_dir):
     r = hybrid_served_recall_check(spark, sf_dir).collect()[0]
     assert int(r["n_slots"]) == 50
     assert int(r["recall_e4"]) >= 5000, r
+
+
+# --------------------------------------------------------------------------
+# staged ANN retrain: per-bucket staging + metadata-only swap
+# --------------------------------------------------------------------------
+
+
+def test_staged_reencode_crash_mid_buckets_converges(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #3's crash drill: kill the staged re-encode after two
+    of four bucket commits, verify the live index is UNTOUCHED (old
+    codes still served), then resume — already-staged buckets no-op,
+    the rest complete, the metadata-only adopt lands the swap, and the
+    pre-swap version still time-travels to the old codes."""
+    import data_engineer_coder_spark.io.acid_table as at
+    from data_engineer_coder_spark.io.acid_table import (
+        adopt_partitions,
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.streaming.ann_ingest import _staged_reencode
+
+    def enc(offset):
+        return spark.createDataFrame(
+            [(i, [i + offset, i * 2 + offset], i % 4) for i in range(16)],
+            "vec_id long, codes array<bigint>, b int",
+        )
+
+    index_root = str(tmp_path / "index")
+    staging_root = str(tmp_path / "staging")
+    enc_old, enc_new = enc(0), enc(100)
+    replace_partitions(enc_old, index_root, ["b"], "bulk-load")
+    v_old = current_manifest(index_root)["version"]
+
+    real = at.replace_partitions
+    calls = {"n": 0}
+
+    def flaky(df, root, cols, txid, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:  # third bucket commit of the staging pass
+            raise RuntimeError("injected crash mid-re-encode")
+        return real(df, root, cols, txid, *a, **k)
+
+    # _staged_reencode resolves replace_partitions through the acid
+    # module at call time, so the injection reaches it
+    monkeypatch.setattr(at, "replace_partitions", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _staged_reencode(enc_new, staging_root, n_buckets=4)
+    monkeypatch.setattr(at, "replace_partitions", real)
+
+    # torn state: two buckets staged, live index untouched
+    staged = current_manifest(staging_root)
+    assert len(staged["txids"]) == 2
+    assert current_manifest(index_root)["version"] == v_old
+    assert {
+        int(r["codes"][0]) - int(r["vec_id"])
+        for r in read_table(spark, index_root).collect()
+    } == {0}
+
+    # resume: staged buckets replay as no-ops, the rest complete
+    _staged_reencode(enc_new, staging_root, n_buckets=4)
+    txids = current_manifest(staging_root)["txids"]
+    assert sorted(txids) == [f"retrain-stage-b{b}" for b in range(4)]
+
+    adopt_partitions(staging_root, index_root, ["b"], "retrain-swap")
+    v_new = current_manifest(index_root)["version"]
+    got = {
+        int(r["vec_id"]): int(r["codes"][0])
+        for r in read_table(spark, index_root).collect()
+    }
+    assert got == {i: i + 100 for i in range(16)}
+    # metadata-only: the adopt commit references the staging dirs, and
+    # replaying it (or the staging pass) advances nothing
+    adopt_partitions(staging_root, index_root, ["b"], "retrain-swap")
+    _staged_reencode(enc_new, staging_root, n_buckets=4)
+    assert current_manifest(index_root)["version"] == v_new
+    # time travel: the pre-swap version still serves the old codes
+    old = {
+        int(r["vec_id"]): int(r["codes"][0])
+        for r in read_table(spark, index_root, version=v_old).collect()
+    }
+    assert old == {i: i for i in range(16)}
