@@ -318,3 +318,245 @@ def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return feed
+
+
+# --------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #6): CLOSE THE CDC LOOP — a standing rollup
+# matview maintained FROM the change data feed.  acid_change_data_feed
+# proves the feed exists; this query is its consumer: the matview is
+# built once from the initial snapshot, then after the change
+# transaction it is updated by aggregating ONLY the feed's rows into
+# per-group deltas and rewriting only the touched partitions — cost
+# ∝ changed rows + touched groups, never a base-table rescan.  The
+# harness asserts the incrementally-maintained matview equals a full
+# recompute from the post-change snapshot, and that untouched matview
+# partitions kept their data directories verbatim.
+# --------------------------------------------------------------------------
+
+
+def _cdf_rollup_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT o_orderkey AS key, o_orderpriority AS prio, o_custkey AS val
+  FROM orders
+),
+touched AS (SELECT * FROM src WHERE prio IN ('1-URGENT', '2-HIGH')),
+survivors AS (
+  SELECT key, prio,
+         CASE WHEN key % 31 = 0 THEN val + 1000000 ELSE val END AS val
+  FROM touched WHERE key % 97 <> 0
+),
+ins AS (
+  SELECT key + 10000000 AS key, prio, val + 5000000 AS val
+  FROM touched WHERE key % 113 = 0
+),
+final AS (
+  SELECT * FROM src WHERE prio NOT IN ('1-URGENT', '2-HIGH')
+  UNION ALL SELECT * FROM survivors
+  UNION ALL SELECT * FROM ins
+),
+init AS (
+  SELECT prio, COUNT(*) AS n0, CAST(SUM(val) AS BIGINT) AS v0
+  FROM src GROUP BY prio
+),
+fin AS (
+  SELECT prio, COUNT(*) AS n1, CAST(SUM(val) AS BIGINT) AS v1
+  FROM final GROUP BY prio
+)
+SELECT f.prio AS o_orderpriority,
+       f.n1 AS n_orders,
+       f.v1 AS val_sum,
+       CAST(f.n1 - i.n0 AS BIGINT) AS d_rows,
+       CAST(f.v1 - i.v0 AS BIGINT) AS d_val
+FROM fin f JOIN init i ON i.prio = f.prio
+"""
+
+
+@register(
+    "cdf_incremental_rollup",
+    oracle=_cdf_rollup_oracle(),
+    tags=("acid", "cdc", "lakehouse", "matview"),
+    doc=(
+        "CDC loop closed: a per-priority rollup matview is built from "
+        "the initial ACID snapshot, the change transaction lands, and "
+        "the matview is updated FROM THE CHANGE DATA FEED alone — "
+        "per-group deltas aggregated from feed rows, only touched "
+        "matview partitions rewritten (untouched dirs asserted "
+        "verbatim), incremental result asserted equal to a full "
+        "recompute.  Oracle replays the change set and both rollups."
+    ),
+)
+def cdf_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import manifest_at, read_table, replace_partitions
+
+    src = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").alias("val"),
+    )
+    touched_prios = ("1-URGENT", "2-HIGH")
+    tmp = tempfile.mkdtemp(prefix="cdfmv_")
+    try:
+        root = os.path.join(tmp, "orders_acid")
+        mv_root = os.path.join(tmp, "rollup_mv")
+        replace_partitions(src, root, ["prio"], "load")
+        v1 = manifest_at(root)["version"]
+        # the standing matview, built ONCE from the initial snapshot
+        mv1 = src.groupBy("prio").agg(
+            F.count("*").alias("n_orders"), F.sum("val").alias("val_sum")
+        )
+        replace_partitions(mv1, mv_root, ["prio"], "matview-build")
+        mv_v1 = manifest_at(mv_root)["version"]
+
+        t = src.filter(F.col("prio").isin(*touched_prios))
+        survivors = t.filter(F.col("key") % 97 != 0).withColumn(
+            "val",
+            F.when(F.col("key") % 31 == 0, F.col("val") + 1000000).otherwise(
+                F.col("val")
+            ),
+        )
+        inserts = t.filter(F.col("key") % 113 == 0).select(
+            (F.col("key") + 10000000).alias("key"),
+            "prio",
+            (F.col("val") + 5000000).alias("val"),
+        )
+        replace_partitions(
+            survivors.unionByName(inserts), root, ["prio"], "apply-changes"
+        )
+        v2 = manifest_at(root)["version"]
+
+        # THE FEED (the acid_change_data_feed shape, prio carried):
+        # manifest diff → changed partitions → pinned per-key diff.
+        m1, m2 = manifest_at(root, v1), manifest_at(root, v2)
+        all_parts = set(m1["partitions"]) | set(m2["partitions"])
+        changed_prios = {
+            dict(s.split("=", 1) for s in p.split("/"))["prio"]
+            for p in all_parts
+            if m1["partitions"].get(p) != m2["partitions"].get(p)
+        }
+        if changed_prios != set(touched_prios):
+            raise RuntimeError(
+                f"manifest diff selected wrong partitions: {changed_prios}"
+            )
+
+        def pinned(version):
+            return read_table(
+                spark,
+                root,
+                partition_filter=lambda kv: kv["prio"] in changed_prios,
+                version=version,
+            ).select(
+                F.col("key").cast("long").alias("key"),
+                F.col("prio").cast("string").alias("prio"),
+                F.col("val").cast("long").alias("val"),
+            )
+
+        before = pinned(v1).withColumnsRenamed(
+            {"val": "val_before", "prio": "prio_b"}
+        )
+        after = pinned(v2).withColumnsRenamed(
+            {"val": "val_after", "prio": "prio_a"}
+        )
+        feed = (
+            before.join(after, "key", "full")
+            .select(
+                F.coalesce("prio_a", "prio_b").alias("prio"),
+                "val_before",
+                "val_after",
+            )
+            .filter(
+                F.col("val_after").isNull()
+                | F.col("val_before").isNull()
+                | (F.col("val_before") != F.col("val_after"))
+            )
+        )
+        # THE INCREMENT: per-group deltas from feed rows alone
+        deltas = feed.groupBy("prio").agg(
+            F.sum(
+                F.when(F.col("val_before").isNull(), 1)
+                .when(F.col("val_after").isNull(), -1)
+                .otherwise(0)
+            ).alias("d_rows"),
+            F.sum(
+                F.coalesce("val_after", F.lit(0))
+                - F.coalesce("val_before", F.lit(0))
+            ).alias("d_val"),
+        ).localCheckpoint()
+        mv_touched = (
+            read_table(
+                spark,
+                mv_root,
+                partition_filter=lambda kv: kv["prio"] in changed_prios,
+            )
+            .select(
+                F.col("prio").cast("string").alias("prio"),
+                F.col("n_orders").cast("long").alias("n_orders"),
+                F.col("val_sum").cast("long").alias("val_sum"),
+            )
+            .join(deltas, "prio", "left")
+            .select(
+                "prio",
+                (F.col("n_orders") + F.coalesce("d_rows", F.lit(0))).alias(
+                    "n_orders"
+                ),
+                (F.col("val_sum") + F.coalesce("d_val", F.lit(0))).alias(
+                    "val_sum"
+                ),
+            )
+        )
+        replace_partitions(mv_touched, mv_root, ["prio"], "cdf-apply")
+
+        # GUARDS: untouched matview partitions kept their directories
+        # verbatim, and the incremental state equals a full recompute.
+        mv_m1 = manifest_at(mv_root, mv_v1)["partitions"]
+        mv_m2 = manifest_at(mv_root)["partitions"]
+        for p in mv_m1:
+            prio = dict(s.split("=", 1) for s in p.split("/"))["prio"]
+            if prio not in changed_prios and mv_m1[p] != mv_m2.get(p):
+                raise RuntimeError(f"untouched matview partition rewritten: {p}")
+        mv_now = read_table(spark, mv_root).select(
+            F.col("prio").cast("string").alias("prio"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("val_sum").cast("long").alias("val_sum"),
+        )
+        full = (
+            read_table(spark, root, version=v2)
+            .select(
+                F.col("prio").cast("string").alias("prio"),
+                F.col("val").cast("long").alias("val"),
+            )
+            .groupBy("prio")
+            .agg(F.count("*").alias("n_orders"), F.sum("val").alias("val_sum"))
+        )
+        got = {r["prio"]: (int(r["n_orders"]), int(r["val_sum"])) for r in mv_now.collect()}
+        want = {r["prio"]: (int(r["n_orders"]), int(r["val_sum"])) for r in full.collect()}
+        if got != want:
+            raise RuntimeError(
+                f"incremental matview diverged from full recompute: "
+                f"{got} != {want}"
+            )
+        init = {
+            r["prio"]: (int(r["n_orders"]), int(r["val_sum"]))
+            for r in read_table(spark, mv_root, version=mv_v1)
+            .select(
+                F.col("prio").cast("string").alias("prio"),
+                F.col("n_orders").cast("long").alias("n_orders"),
+                F.col("val_sum").cast("long").alias("val_sum"),
+            )
+            .collect()
+        }
+        out = spark.createDataFrame(
+            [
+                (p, n, v, n - init[p][0], v - init[p][1])
+                for p, (n, v) in sorted(got.items())
+            ],
+            "o_orderpriority string, n_orders long, val_sum long, "
+            "d_rows long, d_val long",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
