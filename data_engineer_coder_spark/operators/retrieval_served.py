@@ -544,3 +544,336 @@ def hybrid_served_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_e4"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #5): the RAG flagship composed END-TO-END OVER
+# CHUNKS in one lazy plan: chunk → standing chunk-postings index →
+# hybrid retrieve (lexical leg from the index, vector leg over
+# chunk-inherited embeddings) → MMR diversify (the shared greedy) →
+# budgeted context pack.  rag_context_pack ranks whole docs; real RAG
+# retrieves chunks — and because every chunk inherits its parent doc's
+# embedding, MMR's redundancy penalty (same-doc chunk pairs have
+# cosine 1.0) is precisely the "don't pack three windows of the same
+# doc" rule a production packer needs.  Fully oracle-replayed:
+# chunking, the inverted-index overlap leg, the cosine leg, RRF, all 5
+# greedy steps, and the prefix pack.
+# --------------------------------------------------------------------------
+
+_RAGC_LEN = 32       # chunk window (the doc_chunk_windows geometry)
+_RAGC_STRIDE = 24
+_RAGC_POOL = 10      # fused chunks entering the MMR pool per probe
+_RAGC_BUDGET = 96    # context budget in tokens (3 full windows)
+_RAGC_KEY = 1000     # chunk key = doc_id * _RAGC_KEY + chunk_idx
+
+
+def _sql_rag_chunk_pipeline() -> str:
+    cosq = _sql_cos("p.pqv", "v.qv", "p.pnrm", "v.nrm")
+    return f"""
+WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+x AS (
+  SELECT doc_id, ws, LEN(ws) AS n,
+         CAST(1 + CEIL(GREATEST(LEN(ws) - {_RAGC_LEN}, 0) / {_RAGC_STRIDE}.0)
+              AS BIGINT) AS nc
+  FROM d
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(u.k AS INT) AS chunk_idx,
+         doc_id * {_RAGC_KEY} + u.k AS ck,
+         list_slice(ws, 1 + u.k * {_RAGC_STRIDE},
+                    LEAST(1 + u.k * {_RAGC_STRIDE} + {_RAGC_LEN - 1}, n)) AS cws
+  FROM x, unnest(range(0, nc)) AS u(k)
+),
+clen AS (SELECT ck, doc_id, chunk_idx, LEN(cws) AS len FROM chunks),
+emb AS (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (SELECT vec_id, {_SQL_QVEC.format(e='embedding')} AS qv FROM embeddings)
+),
+cvec AS MATERIALIZED (
+  SELECT c.ck, c.doc_id, e.qv, e.nrm
+  FROM clen c JOIN emb e ON e.vec_id = c.doc_id
+),
+probes AS MATERIALIZED (
+  SELECT d.doc_id AS pid, e.qv AS pqv, e.nrm AS pnrm, d.ws AS pws
+  FROM d JOIN emb e ON e.vec_id = d.doc_id
+  WHERE d.doc_id < 10
+),
+ptok AS (SELECT DISTINCT pid, unnest(pws) AS tok FROM probes),
+cktok AS (SELECT DISTINCT ck, doc_id, unnest(cws) AS tok FROM chunks),
+ov AS (
+  SELECT p.pid, c.ck, COUNT(*) AS novl
+  FROM ptok p JOIN cktok c ON c.tok = p.tok AND c.doc_id <> p.pid
+  GROUP BY p.pid, c.ck
+),
+lrank AS (
+  SELECT pid, ck, lr FROM (
+    SELECT pid, ck,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY novl DESC, ck) AS lr
+    FROM ov
+  ) WHERE lr <= {_RRF_POOL}
+),
+vrank AS (
+  SELECT pid, ck, vr FROM (
+    SELECT p.pid, v.ck,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.pid ORDER BY {cosq} DESC, v.ck
+           ) AS vr
+    FROM probes p JOIN cvec v ON v.doc_id <> p.pid
+  ) WHERE vr <= {_RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(v.pid, l.pid) AS pid,
+         COALESCE(v.ck, l.ck) AS ck,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + v.vr), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lr), CAST(0.0 AS DOUBLE))
+           AS rrf
+  FROM vrank v
+  FULL OUTER JOIN lrank l ON l.pid = v.pid AND l.ck = v.ck
+),
+cand AS MATERIALIZED (
+  SELECT probe_id, vec_id, qv, nrm, qsim FROM (
+    SELECT f.pid AS probe_id, f.ck AS vec_id, v.qv, v.nrm, f.rrf AS qsim,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.pid ORDER BY f.rrf DESC, f.ck
+           ) AS rn
+    FROM fused f JOIN cvec v ON v.ck = f.ck
+  ) WHERE rn <= {_RAGC_POOL}
+),
+{_sql_mmr_steps()},
+sel AS (
+  {" UNION ALL ".join(f"SELECT probe_id, vec_id, {k} AS step FROM s{k}" for k in range(1, _MMR_K + 1))}
+),
+packed AS (
+  SELECT s.probe_id, s.vec_id, s.step, c.len,
+         SUM(c.len) OVER (
+           PARTITION BY s.probe_id ORDER BY s.step
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM sel s JOIN clen c ON c.ck = s.vec_id
+)
+SELECT probe_id,
+       CAST(vec_id // {_RAGC_KEY} AS BIGINT) AS doc_id,
+       CAST(vec_id % {_RAGC_KEY} AS INT) AS chunk_idx,
+       CAST(step AS INT) AS step,
+       CAST(len AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM packed
+WHERE cum_tokens <= {_RAGC_BUDGET}
+"""
+
+
+@register(
+    "rag_chunk_pipeline",
+    oracle=_sql_rag_chunk_pipeline(),
+    tags=("similarity", "text", "llm", "rag", "topk", "iterative"),
+    doc=(
+        "L33/L32/L3 composed: documents chunked into 32-token windows "
+        "(stride 24), a STANDING token-bucketed chunk-postings index "
+        "serves the lexical overlap leg (pruned read), chunk-inherited "
+        "embeddings serve the cosine leg, RRF fuses, the shared MMR "
+        "greedy diversifies the top-10 pool (same-doc chunks repel at "
+        "cosine 1.0), and the 96-token prefix pack assembles the "
+        "context.  One lazy plan; fully oracle-replayed; funnel "
+        "conservation harness-asserted."
+    ),
+)
+def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import read_table, replace_partitions
+    from ..streaming.bm25_ingest import _TOK_BUCKETS
+    from ..streaming.core import bm25_index_batch_frames
+    from ._helpers import md5_bucket
+
+    c, s = _RAGC_LEN, _RAGC_STRIDE
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    x = docs.select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n"),
+        (
+            F.lit(1) + F.ceil(F.greatest(F.size("ws") - c, F.lit(0)) / float(s))
+        ).cast("int").alias("nc"),
+    )
+    chunks = x.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (F.col("doc_id") * _RAGC_KEY + F.col("k")).alias("ck"),
+        F.expr(f"slice(ws, 1 + k * {s}, least({c}, n - (1 + k * {s}) + 1))").alias(
+            "cws"
+        ),
+    ).localCheckpoint(eager=False)
+    clen = chunks.select("ck", "doc_id", "chunk_idx", F.size("cws").alias("len"))
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _qvec("embedding").alias("qv")
+    ).select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    cvec = clen.select("ck", "doc_id").join(
+        emb, clen["doc_id"] == emb["vec_id"]
+    ).select("ck", "doc_id", "qv", "nrm")
+    probes = (
+        docs.filter(F.col("doc_id") < 10)
+        .join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            F.col("doc_id").alias("pid"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+            F.col("ws").alias("pws"),
+        )
+        .localCheckpoint()
+    )
+    tmp = tempfile.mkdtemp(prefix="ragchunk_")
+    try:
+        # STANDING CHUNK-POSTINGS INDEX (token-bucketed, one bulk txn)
+        post_root = os.path.join(tmp, "chunk_postings")
+        fr = bm25_index_batch_frames(
+            chunks.select(
+                F.col("ck").alias("doc_id"), F.array_join("cws", " ").alias("text")
+            )
+        )
+        replace_partitions(fr["postings"], post_root, ["tok_bucket"], "bulk-load")
+        n_chunks = chunks.count()
+        # LEXICAL LEG from the standing index, pruned to probe-term buckets
+        ptok = (
+            probes.select("pid", F.explode("pws").alias("tok"))
+            .distinct()
+            .localCheckpoint()
+        )
+        allowed = {
+            str(r["b"])
+            for r in ptok.select(
+                F.pmod(md5_bucket("tok"), F.lit(_TOK_BUCKETS)).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        post = read_table(
+            spark,
+            post_root,
+            partition_filter=lambda kv: kv["tok_bucket"] in allowed,
+        ).select(
+            F.col("doc_id").cast("long").alias("ck"),
+            F.col("tok").cast("string").alias("tok"),
+        )
+        ov = (
+            F.broadcast(ptok)
+            .join(post, "tok")
+            .filter(F.floor(F.col("ck") / _RAGC_KEY) != F.col("pid"))
+            .groupBy("pid", "ck")
+            .agg(F.count("*").alias("novl"))
+        )
+        lrank = (
+            ov.withColumn(
+                "lr",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy(F.desc("novl"), F.asc("ck"))
+                ),
+            )
+            .filter(F.col("lr") <= _RRF_POOL)
+            .select("pid", "ck", "lr")
+        )
+        # VECTOR LEG over chunk-inherited embeddings
+        vrank = (
+            F.broadcast(probes.drop("pws"))
+            .join(cvec, cvec["doc_id"] != F.col("pid"))
+            .select(
+                "pid",
+                "ck",
+                _cosine(
+                    _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+                ).alias("cos"),
+            )
+            .withColumn(
+                "vr",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("ck"))
+                ),
+            )
+            .filter(F.col("vr") <= _RRF_POOL)
+            .select("pid", "ck", "vr")
+        )
+        one, zero = F.lit(1.0), F.lit(0.0)
+        fused = (
+            vrank.join(lrank, ["pid", "ck"], "full")
+            .select(
+                "pid",
+                "ck",
+                (
+                    F.coalesce(one / (F.lit(_RRF_K) + F.col("vr")), zero)
+                    + F.coalesce(one / (F.lit(_RRF_K) + F.col("lr")), zero)
+                ).alias("rrf"),
+            )
+        )
+        cand = (
+            fused.join(cvec.select("ck", "qv", "nrm"), "ck")
+            .select(
+                F.col("pid").alias("probe_id"),
+                F.col("ck").alias("vec_id"),
+                "qv",
+                "nrm",
+                F.col("rrf").alias("qsim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("probe_id").orderBy(
+                        F.desc("qsim"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= _RAGC_POOL)
+            .drop("rn")
+            .localCheckpoint()
+        )
+        sel = _mmr_greedy(cand).select(
+            "probe_id", F.col("neighbor_id").alias("vec_id"), "step"
+        ).localCheckpoint()
+        # FUNNEL CONSERVATION (the pretraining_corpus_build convention):
+        # every stage's membership nests, counts are exact, and no
+        # probe-doc chunk leaks through.
+        n_probes = probes.count()
+        if n_chunks != int(
+            x.agg(F.coalesce(F.sum("nc"), F.lit(0)).alias("s")).collect()[0]["s"]
+        ):
+            raise RuntimeError("chunking funnel lost or invented chunks")
+        if sel.count() != n_probes * _MMR_K:
+            raise RuntimeError("MMR selected a wrong per-probe count")
+        if sel.join(cand, ["probe_id", "vec_id"], "left_anti").count():
+            raise RuntimeError("MMR selected a chunk outside its pool")
+        if sel.filter(
+            F.floor(F.col("vec_id") / _RAGC_KEY) == F.col("probe_id")
+        ).count():
+            raise RuntimeError("a probe's own chunk leaked into its context")
+        wc = (
+            Window.partitionBy("probe_id")
+            .orderBy("step")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            sel.join(clen.select("ck", "len"), sel["vec_id"] == clen["ck"])
+            .withColumn("cum_tokens", F.sum("len").over(wc))
+            .filter(F.col("cum_tokens") <= _RAGC_BUDGET)
+            .select(
+                "probe_id",
+                F.floor(F.col("vec_id") / _RAGC_KEY).cast("bigint").alias("doc_id"),
+                F.pmod("vec_id", F.lit(_RAGC_KEY)).cast("int").alias("chunk_idx"),
+                F.col("step").cast("int").alias("step"),
+                F.col("len").cast("bigint").alias("n_tokens"),
+                F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            )
+            .localCheckpoint()
+        )
+        if out.count() < n_probes:
+            raise RuntimeError("packing produced an empty context for a probe")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -322,3 +322,39 @@ def test_staged_reencode_crash_mid_buckets_converges(spark, tmp_path, monkeypatc
         for r in read_table(spark, index_root, version=v_old).collect()
     }
     assert old == {i: i for i in range(16)}
+
+
+# --------------------------------------------------------------------------
+# RAG chunk pipeline
+# --------------------------------------------------------------------------
+
+
+def test_rag_chunk_pipeline_packs_diverse_docs_within_budget(spark, sf_dir):
+    """The composed pipeline's two core guarantees: the packed context
+    respects the token budget with exact prefix semantics, and the MMR
+    stage's same-doc repulsion (inherited embeddings → cosine 1.0)
+    keeps any one document from contributing two chunks to a probe's
+    context."""
+    from data_engineer_coder_spark.operators.retrieval_served import (
+        _RAGC_BUDGET,
+        rag_chunk_pipeline,
+    )
+
+    rows = rag_chunk_pipeline(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(int(r["probe_id"]), []).append(r)
+    assert len(by_probe) == 10
+    for pid, ctx in by_probe.items():
+        ctx.sort(key=lambda r: int(r["step"]))
+        # prefix semantics: steps contiguous from 1, cumsum exact
+        assert [int(r["step"]) for r in ctx] == list(range(1, len(ctx) + 1)), pid
+        run = 0
+        for r in ctx:
+            run += int(r["n_tokens"])
+            assert int(r["cum_tokens"]) == run, pid
+        assert run <= _RAGC_BUDGET, pid
+        # diversification: no doc contributes two chunks to one context
+        docs = [int(r["doc_id"]) for r in ctx]
+        assert len(docs) == len(set(docs)), (pid, docs)
+        assert pid not in docs, pid
