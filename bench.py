@@ -188,6 +188,18 @@ HEADLINE = [
     "rag_context_pack",
     "acid_change_data_feed",
     "bm25_rm3_expansion",
+    # round 12: the standing lexical index (streamed ingest + the served
+    # BM25/RM3 that read it), the ANN-served retrieval pools + recall
+    # gate, the staged-retrain audit's chunk-pipeline sibling, and the
+    # CDF-consuming incremental matview
+    "stream_bm25_index_ingest",
+    "bm25_topk_served",
+    "bm25_rm3_expansion_served",
+    "mmr_diversified_topk_served",
+    "hybrid_rrf_retrieval_served",
+    "hybrid_served_recall_check",
+    "rag_chunk_pipeline",
+    "cdf_incremental_rollup",
 ]
 
 

@@ -390,6 +390,9 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        from ..streaming.bm25_ingest import _term_range_filter
+
+        lex_toks = sorted(r["tok"] for r in ptok.select("tok").distinct().collect())
         lex_allowed = {
             str(r["b"])
             for r in ptok.select(
@@ -402,7 +405,8 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             post_roots["postings"],
             partition_filter=lambda kv: kv["tok_bucket"] in lex_allowed,
-        ).select(
+            stats_filter=_term_range_filter(lex_toks),
+        ).filter(F.col("tok").isin(lex_toks)).select(
             F.col("doc_id").cast("long").alias("id"),
             F.col("tok").cast("string").alias("tok"),
         )
@@ -735,12 +739,23 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # STANDING CHUNK-POSTINGS INDEX (token-bucketed, one bulk txn)
         post_root = os.path.join(tmp, "chunk_postings")
+        from ._helpers import shuffle_parts
+
         fr = bm25_index_batch_frames(
             chunks.select(
                 F.col("ck").alias("doc_id"), F.array_join("cws", " ").alias("text")
             )
         )
-        replace_partitions(fr["postings"], post_root, ["tok_bucket"], "bulk-load")
+        # token-range-sorted files → per-file zone maps prune the serve
+        # read (the _build_standing_index layout convention)
+        replace_partitions(
+            fr["postings"]
+            .repartitionByRange(shuffle_parts(fr["postings"]), "tok")
+            .sortWithinPartitions("tok"),
+            post_root,
+            ["tok_bucket"],
+            "bulk-load",
+        )
         n_chunks = chunks.count()
         # LEXICAL LEG from the standing index, pruned to probe-term buckets
         ptok = (
@@ -748,6 +763,9 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        from ..streaming.bm25_ingest import _term_range_filter
+
+        lex_toks = sorted(r["tok"] for r in ptok.select("tok").distinct().collect())
         allowed = {
             str(r["b"])
             for r in ptok.select(
@@ -760,7 +778,8 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             post_root,
             partition_filter=lambda kv: kv["tok_bucket"] in allowed,
-        ).select(
+            stats_filter=_term_range_filter(lex_toks),
+        ).filter(F.col("tok").isin(lex_toks)).select(
             F.col("doc_id").cast("long").alias("ck"),
             F.col("tok").cast("string").alias("tok"),
         )

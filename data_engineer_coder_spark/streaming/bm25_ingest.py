@@ -196,12 +196,25 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     from ..io.acid_table import replace_partitions
     from .core import bm25_index_batch_frames
 
+    from ..operators._helpers import shuffle_parts
+
     roots = {
         nm: os.path.join(tmp, nm) for nm in ("postings", "forward", "stats")
     }
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     fr = bm25_index_batch_frames(docs)
-    postings = fr["postings"].withColumn("epoch", F.lit(-1)).localCheckpoint()
+    # Range-partition by token and sort within tasks before the write:
+    # each staged file then covers a NARROW token range, so the commit's
+    # parquet-footer zone maps (min/max tok per file) let a serve read
+    # skip every file holding none of its query terms — the file-level
+    # pruning tier under the bucket-level manifest pruning.
+    postings = (
+        fr["postings"]
+        .withColumn("epoch", F.lit(-1))
+        .repartitionByRange(shuffle_parts(fr["postings"]), "tok")
+        .sortWithinPartitions("tok")
+        .localCheckpoint()
+    )
     replace_partitions(postings, roots["postings"], ["tok_bucket"], "bulk-load")
     replace_partitions(
         fr["forward"].withColumn("epoch", F.lit(-1)),
@@ -235,6 +248,22 @@ def _probe_qt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _term_range_filter(toks: list[str]):
+    """Zone-map predicate over the postings' per-file footer stats:
+    keep a file iff ANY query term falls inside its [min_tok, max_tok]
+    range (conservative on missing stats).  ``toks`` must be sorted."""
+    import bisect
+
+    def f(stats: dict) -> bool:
+        rng = stats.get("tok")
+        if not rng or rng[0] is None or rng[1] is None:
+            return True  # no stats → must read (conservative)
+        i = bisect.bisect_left(toks, rng[0])
+        return i < len(toks) and toks[i] <= rng[1]
+
+    return f
+
+
 def _served_scores(
     spark: SparkSession, roots: dict, q: DataFrame, name: str
 ) -> DataFrame:
@@ -243,23 +272,28 @@ def _served_scores(
     the manifest to the query terms' token buckets, df counted inside
     those buckets, N/avglen summed from the ledger.  Same op-sequence
     as the in-plan ``_bm25_scores`` (``bm25_term_e9_col``)."""
+    import hashlib
+
     from ..io.acid_table import read_table
     from ..operators.textops import bm25_term_e9_col
 
     qtoks = q.select("tok").distinct().localCheckpoint()
+    # The query's terms, driver-side: a serving query is tens of terms
+    # (here ≤ the probes' distinct tokens, a few hundred strings — KBs).
+    # They drive THREE pruning tiers on the standing postings: bucket
+    # (manifest), file (footer zone maps on the sorted tok ranges), and
+    # row group (the pushed isin filter).
+    toks = sorted(r["tok"] for r in qtoks.collect())
     allowed = {
-        str(r["b"])
-        for r in qtoks.select(
-            F.pmod(md5_bucket("tok"), F.lit(_TOK_BUCKETS)).alias("b")
-        )
-        .distinct()
-        .collect()
+        str(int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % _TOK_BUCKETS)
+        for t in toks
     }
     idx = read_table(
         spark,
         roots["postings"],
         partition_filter=lambda kv: kv["tok_bucket"] in allowed,
-    ).select(
+        stats_filter=_term_range_filter(toks),
+    ).filter(F.col("tok").isin(toks)).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("tok").cast("string").alias("tok"),
         F.col("tf").cast("long").alias("tf"),
