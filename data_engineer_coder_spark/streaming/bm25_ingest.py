@@ -208,12 +208,14 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     # parquet-footer zone maps (min/max tok per file) let a serve read
     # skip every file holding none of its query terms — the file-level
     # pruning tier under the bucket-level manifest pruning.
+    # No cache on the sorted postings: the frame is consumed exactly
+    # once by the write, and checkpointing ~Θ(corpus tokens) rows OOMed
+    # the ov-sf100 build (measured) for zero reuse.
     postings = (
         fr["postings"]
         .withColumn("epoch", F.lit(-1))
         .repartitionByRange(shuffle_parts(fr["postings"]), "tok")
         .sortWithinPartitions("tok")
-        .localCheckpoint()
     )
     replace_partitions(postings, roots["postings"], ["tok_bucket"], "bulk-load")
     replace_partitions(
