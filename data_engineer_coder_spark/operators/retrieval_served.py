@@ -184,9 +184,11 @@ def _ann_candidate_pool(
         if dict(s.split("=", 1) for s in p.split("/"))["cell_bucket"]
         in one_buckets
     ]
-    if len(one_parts) > _IVF_NPROBE or (
-        len(all_parts) > _IVF_NPROBE and len(one_parts) >= len(all_parts)
-    ):
+    # Reachable tripwires: the per-probe cell fan-out grew past nprobe
+    # (a crn-filter regression), or the index degenerated to a single
+    # partition so bucket pruning is vacuous (a bucket-count
+    # regression) — either breaks the ≤ nprobe-buckets serving claim.
+    if len(one_parts) > _IVF_NPROBE or len(all_parts) <= 1:
         raise RuntimeError(
             f"cell-bucket pruning ineffective: one probe touches "
             f"{len(one_parts)} of {len(all_parts)} partitions"
@@ -331,12 +333,7 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io.acid_table import read_table
-    from ..streaming.bm25_ingest import (
-        _TOK_BUCKETS,
-        _build_standing_index,
-    )
-    from ._helpers import md5_bucket
+    from ..streaming.bm25_ingest import _build_standing_index
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = table(spark, sf_dir, "embeddings").select(
@@ -390,23 +387,12 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        from ..streaming.bm25_ingest import _term_range_filter
+        from ..streaming.bm25_ingest import read_pruned_postings
 
         lex_toks = sorted(r["tok"] for r in ptok.select("tok").distinct().collect())
-        lex_allowed = {
-            str(r["b"])
-            for r in ptok.select(
-                F.pmod(md5_bucket("tok"), F.lit(_TOK_BUCKETS)).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-        post = read_table(
-            spark,
-            post_roots["postings"],
-            partition_filter=lambda kv: kv["tok_bucket"] in lex_allowed,
-            stats_filter=_term_range_filter(lex_toks),
-        ).filter(F.col("tok").isin(lex_toks)).select(
+        post = read_pruned_postings(
+            spark, post_roots["postings"], lex_toks
+        ).select(
             F.col("doc_id").cast("long").alias("id"),
             F.col("tok").cast("string").alias("tok"),
         )
@@ -688,9 +674,7 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..io.acid_table import read_table, replace_partitions
-    from ..streaming.bm25_ingest import _TOK_BUCKETS
     from ..streaming.core import bm25_index_batch_frames
-    from ._helpers import md5_bucket
 
     c, s = _RAGC_LEN, _RAGC_STRIDE
     docs = table(spark, sf_dir, "documents").select(
@@ -763,23 +747,10 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        from ..streaming.bm25_ingest import _term_range_filter
+        from ..streaming.bm25_ingest import read_pruned_postings
 
         lex_toks = sorted(r["tok"] for r in ptok.select("tok").distinct().collect())
-        allowed = {
-            str(r["b"])
-            for r in ptok.select(
-                F.pmod(md5_bucket("tok"), F.lit(_TOK_BUCKETS)).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-        post = read_table(
-            spark,
-            post_root,
-            partition_filter=lambda kv: kv["tok_bucket"] in allowed,
-            stats_filter=_term_range_filter(lex_toks),
-        ).filter(F.col("tok").isin(lex_toks)).select(
+        post = read_pruned_postings(spark, post_root, lex_toks).select(
             F.col("doc_id").cast("long").alias("ck"),
             F.col("tok").cast("string").alias("tok"),
         )
@@ -891,7 +862,9 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        if out.count() < n_probes:
+        # every chunk (≤ 32 tokens) fits the 96-token budget, so step 1
+        # always packs — EVERY probe must appear in the packed output
+        if out.select("probe_id").distinct().count() != n_probes:
             raise RuntimeError("packing produced an empty context for a probe")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -640,9 +640,17 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already-staged buckets no-opping — then swap codes AND
         # codebook atomically: the index adopts the staged directories
         # METADATA-ONLY (``adopt_partitions``, an O(manifest) commit —
-        # no re-read/re-write of staged data) under the same txid as
-        # the codebook replace.  Readers see old codes + old codebook
-        # consistently until the swap, new + new after — never a mix.
+        # no re-read/re-write of staged data) under the same logical
+        # txid as the codebook replace.  Readers never observe staging
+        # (the live index serves old codes + old codebook throughout
+        # the per-bucket re-encode); index and codebook remain TWO
+        # table commits, so a reader in the instant between them can
+        # pair new codes with the old codebook — the same inter-commit
+        # window the pre-staging monolithic swap had.  A crash there
+        # converges on replay (both commits are idempotent under the
+        # shared txid); a serving stack that must close even that
+        # window pins reads to ``version_before_txid`` like the ingest
+        # gate does.
         cb_new_entries = _pq_train_entries(strm, _pq_seed_row(strm)).localCheckpoint()
         cb_new = _cb_row_from_entries(cb_new_entries).localCheckpoint(eager=False)
         enc_new = encode(strm, cb_new).localCheckpoint()

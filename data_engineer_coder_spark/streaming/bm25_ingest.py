@@ -266,6 +266,34 @@ def _term_range_filter(toks: list[str]):
     return f
 
 
+def read_pruned_postings(
+    spark: SparkSession, postings_root: str, toks: list[str]
+) -> DataFrame:
+    """The serve-side read of a standing postings table for the query
+    terms ``toks`` (sorted, driver-side — a serving query is tens of
+    terms, KBs of strings), through THREE pruning tiers: token bucket
+    at the manifest, per-file tok zone maps (files written
+    token-range-sorted), and the pushed isin filter at the row group.
+    ONE implementation shared by every served lexical read (BM25/RM3
+    serving, the hybrid lexical leg, the chunk pipeline) so the
+    pruning contract cannot drift between them.  Returns all columns
+    the table holds for the matching rows (callers select/cast)."""
+    import hashlib
+
+    from ..io.acid_table import read_table
+
+    allowed = {
+        str(int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % _TOK_BUCKETS)
+        for t in toks
+    }
+    return read_table(
+        spark,
+        postings_root,
+        partition_filter=lambda kv: kv["tok_bucket"] in allowed,
+        stats_filter=_term_range_filter(toks),
+    ).filter(F.col("tok").isin(toks))
+
+
 def _served_scores(
     spark: SparkSession, roots: dict, q: DataFrame, name: str
 ) -> DataFrame:
@@ -274,28 +302,12 @@ def _served_scores(
     the manifest to the query terms' token buckets, df counted inside
     those buckets, N/avglen summed from the ledger.  Same op-sequence
     as the in-plan ``_bm25_scores`` (``bm25_term_e9_col``)."""
-    import hashlib
-
     from ..io.acid_table import read_table
     from ..operators.textops import bm25_term_e9_col
 
     qtoks = q.select("tok").distinct().localCheckpoint()
-    # The query's terms, driver-side: a serving query is tens of terms
-    # (here ≤ the probes' distinct tokens, a few hundred strings — KBs).
-    # They drive THREE pruning tiers on the standing postings: bucket
-    # (manifest), file (footer zone maps on the sorted tok ranges), and
-    # row group (the pushed isin filter).
     toks = sorted(r["tok"] for r in qtoks.collect())
-    allowed = {
-        str(int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % _TOK_BUCKETS)
-        for t in toks
-    }
-    idx = read_table(
-        spark,
-        roots["postings"],
-        partition_filter=lambda kv: kv["tok_bucket"] in allowed,
-        stats_filter=_term_range_filter(toks),
-    ).filter(F.col("tok").isin(toks)).select(
+    idx = read_pruned_postings(spark, roots["postings"], toks).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("tok").cast("string").alias("tok"),
         F.col("tf").cast("long").alias("tf"),
@@ -341,7 +353,12 @@ def _audit_bucket_pruning(spark: SparkSession, roots: dict, qt: DataFrame) -> No
         p for p in all_parts
         if dict(s.split("=", 1) for s in p.split("/"))["tok_bucket"] in one_bucket
     ]
-    if len(one_parts) != 1 or (len(all_parts) > 1 and len(one_parts) >= len(all_parts)):
+    # Two REACHABLE failure modes: the term's bucket arithmetic drifted
+    # between engines/build (≠ 1 partition selected), or the table
+    # degenerated to a single partition so bucket pruning is vacuous
+    # (e.g. a bucket-count change) — either breaks the probe-local
+    # serving claim.
+    if len(one_parts) != 1 or len(all_parts) <= 1:
         raise RuntimeError(
             f"token-bucket pruning ineffective: term {one_tok!r} touches "
             f"{len(one_parts)} of {len(all_parts)} partitions"
@@ -552,13 +569,19 @@ def bm25_rm3_expansion_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             expt.withColumn("w", F.lit(0.5))
         ).localCheckpoint()
         sc2 = _served_scores(spark, roots, q2, "rm3_e9").localCheckpoint()
-        # bit-parity vs the in-plan chain, base AND expanded passes
+        # bit-parity vs the in-plan chain for BOTH scoring passes: the
+        # base query against the in-plan base scores, and the expanded
+        # weighted query (whose terms came off the FORWARD-index read)
+        # re-scored through the in-plan statistics — a wrong tf/len/df
+        # anywhere in either served read fails loudly here, while the
+        # feedback SELECTION itself is pinned by the driver oracle.
         fr = _bm25_frames(spark, sf_dir)
         _assert_bit_parity(
             base,
             _bm25_scores(fr, fr["qt"].withColumn("w", F.lit(1.0)), "bm25_e9"),
             "bm25_e9",
         )
+        _assert_bit_parity(sc2, _bm25_scores(fr, q2, "rm3_e9"), "rm3_e9")
         out = _topk(sc2, "rm3_e9").localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

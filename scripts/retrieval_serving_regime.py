@@ -112,11 +112,21 @@ def _scenario(spark, sf_dir: str, passes: int) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     passes = 2
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                passes = int(a.split("=", 1)[1])
+            else:
+                passes = int(argv[i + 1])
+                i += 1  # consume the value so it never lands in dirs
+        else:
+            args.append(a)
+        i += 1
     dirs = args or ["perfdata/ov-sf1", "perfdata/ov-sf10", "perfdata/ov-sf100"]
     spark = get_spark("serving-regime", cpus="32", driver_memory="32g")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
