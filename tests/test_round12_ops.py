@@ -358,3 +358,100 @@ def test_rag_chunk_pipeline_packs_diverse_docs_within_budget(spark, sf_dir):
         docs = [int(r["doc_id"]) for r in ctx]
         assert len(docs) == len(set(docs)), (pid, docs)
         assert pid not in docs, pid
+
+
+# --------------------------------------------------------------------------
+# adopt_partitions semantics + the shared pruned-postings reader
+# --------------------------------------------------------------------------
+
+
+def test_adopt_partitions_rebases_on_racing_commit(spark, tmp_path):
+    """The metadata-only adopt must RE-BASE on a racing writer's commit
+    rather than clobber it: a partition the destination gained from
+    another transaction (outside the adopted set) survives the adopt,
+    and the adopt's partitions point at the source's directories
+    without any data rewrite."""
+    import os
+
+    from data_engineer_coder_spark.io.acid_table import (
+        adopt_partitions,
+        current_manifest,
+        read_table,
+        replace_partitions,
+    )
+
+    dst = str(tmp_path / "dst")
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 2) for i in range(8)], "k long, v long, b int"
+    )
+    replace_partitions(base, dst, ["b"], "load")
+    # a racing writer lands a partition the adopt does not touch
+    other = spark.createDataFrame([(100, 1000, 7)], "k long, v long, b int")
+    replace_partitions(other, dst, ["b"], "racer")
+    # the staged source rewrites only buckets 0 and 1
+    staged = spark.createDataFrame(
+        [(i, i * 10 + 1, i % 2) for i in range(8)], "k long, v long, b int"
+    )
+    replace_partitions(staged, src, ["b"], "stage")
+
+    adopt_partitions(src, dst, ["b"], "swap")
+    man = current_manifest(dst)
+    # adopted partitions reference the SOURCE's staging dirs (no copy)
+    for p, dirs in man["partitions"].items():
+        bval = dict(s.split("=", 1) for s in p.split("/"))["b"]
+        if bval in ("0", "1"):
+            assert all(".." in d or os.path.isabs(d) for d in dirs), (p, dirs)
+    rows = {
+        (int(r["k"])): int(r["v"]) for r in read_table(spark, dst).collect()
+    }
+    want = {i: i * 10 + 1 for i in range(8)}
+    want[100] = 1000  # the racer's partition survives
+    assert rows == want
+    # replayed adopt: version no-op
+    v = man["version"]
+    adopt_partitions(src, dst, ["b"], "swap")
+    assert current_manifest(dst)["version"] == v
+
+
+def test_read_pruned_postings_skips_files_by_token_range(spark, tmp_path):
+    """The shared serve-side reader must actually SKIP files: a
+    postings table written token-range-sorted across several files per
+    bucket yields per-file [min_tok, max_tok] zone maps, and a
+    single-term query's stats filter must drop every file whose range
+    excludes the term (files_selected dry-run), while the read still
+    returns exactly the term's postings."""
+    from data_engineer_coder_spark.io.acid_table import (
+        files_selected,
+        replace_partitions,
+    )
+    from data_engineer_coder_spark.streaming.bm25_ingest import (
+        _term_range_filter,
+        read_pruned_postings,
+    )
+
+    import hashlib
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 16
+
+    # 200 tokens that ALL hash to one md5 bucket, so partition pruning
+    # can't help — only the zone maps can skip; 4 range-partitioned files
+    toks = [t for i in range(4000) if bucket(t := f"w{i:04d}") == 0][:200]
+    assert len(toks) == 200
+    rows = [(d, t, 1, 50, 0) for d in range(3) for t in toks]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tok string, tf long, len long, tok_bucket int"
+    ).repartitionByRange(4, "tok").sortWithinPartitions("tok")
+    root = str(tmp_path / "postings")
+    replace_partitions(df, root, ["tok_bucket"], "bulk-load")
+
+    probe = [max(toks)]  # lives in the LAST token range only
+    audit = files_selected(root, stats_filter=_term_range_filter(probe))
+    decisions = [keep for v in audit.values() for _, keep in v]
+    assert len(decisions) >= 4
+    assert sum(decisions) < len(decisions), audit  # something was skipped
+    got = read_pruned_postings(spark, root, probe).select("doc_id", "tok").collect()
+    assert sorted((int(r["doc_id"]), r["tok"]) for r in got) == [
+        (0, probe[0]), (1, probe[0]), (2, probe[0])
+    ]
