@@ -200,6 +200,7 @@ HEADLINE = [
     "hybrid_served_recall_check",
     "rag_chunk_pipeline",
     "cdf_incremental_rollup",
+    "retrieval_rank_metrics",
 ]
 
 

@@ -869,3 +869,163 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Round 12: GRADED ranking-quality metrics — MRR and nDCG@10 of the
+# hybrid fused ranking against the exact-cosine ground truth.  The
+# recall gates (hybrid_recall_check & co.) count set overlap; offline
+# retrieval evaluation needs POSITION-AWARE metrics, and a 100 TB
+# curation loop runs them continuously to catch ranking regressions.
+# Numeric design: each DCG position term rel·ln2/ln(r+1) is the same
+# double op-sequence in both engines and is quantized FLOOR(·1e9)
+# BEFORE the per-probe sum (the bigram_logprob_score convention), so
+# every metric is an exact order-independent integer.
+# --------------------------------------------------------------------------
+
+_RANKM_K = 10
+
+
+def _sql_rank_metrics() -> str:
+    from .similarity import _sql_rrf_core
+
+    dcg_term = (
+        "CAST(FLOOR(CAST(11 - t.vr AS DOUBLE) * LN(2.0)"
+        " / LN(CAST(r.rn + 1 AS DOUBLE)) * 1e9) AS BIGINT)"
+    )
+    idcg_term = (
+        "CAST(FLOOR(CAST(11 - vr AS DOUBLE) * LN(2.0)"
+        " / LN(CAST(vr + 1 AS DOUBLE)) * 1e9) AS BIGINT)"
+    )
+    return f"""{_sql_rrf_core()},
+rk AS (
+  SELECT pid, id, rn FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf DESC, id) AS rn
+    FROM fused
+  ) WHERE rn <= {_RANKM_K}
+),
+truth AS (SELECT pid, id, vr FROM vrank WHERE vr <= {_RANKM_K}),
+scored AS (
+  SELECT r.pid, r.rn,
+         CASE WHEN t.id IS NULL THEN CAST(0 AS BIGINT) ELSE {dcg_term} END AS dcg_e9,
+         t.id IS NOT NULL AS hit
+  FROM rk r LEFT JOIN truth t ON t.pid = r.pid AND t.id = r.id
+),
+idcg AS (
+  SELECT pid, CAST(SUM({idcg_term}) AS BIGINT) AS idcg_e9
+  FROM truth GROUP BY pid
+)
+SELECT s.pid AS probe_id,
+       CAST(COALESCE(MIN(CASE WHEN s.hit THEN s.rn END), 0) AS INT)
+         AS first_hit_rank,
+       CAST(COALESCE(CAST(FLOOR(1e9 / MIN(CASE WHEN s.hit THEN s.rn END))
+                          AS BIGINT), 0) AS BIGINT) AS mrr_e9,
+       CAST(SUM(s.dcg_e9) AS BIGINT) AS dcg_e9,
+       i.idcg_e9,
+       CAST((10000 * CAST(SUM(s.dcg_e9) AS BIGINT)) // i.idcg_e9 AS BIGINT)
+         AS ndcg_e4
+FROM scored s JOIN idcg i ON i.pid = s.pid
+GROUP BY s.pid, i.idcg_e9
+"""
+
+
+@register(
+    "retrieval_rank_metrics",
+    oracle=_sql_rank_metrics(),
+    tags=("similarity", "text", "llm", "quality-gate", "rag"),
+    doc=(
+        "L32 ranking-quality metrics: MRR and nDCG@10 of the hybrid "
+        "RRF ranking against the exact-cosine ground truth, per probe "
+        "— graded relevance rel = 11 − truth_rank, each DCG position "
+        "term quantized e9 before the order-independent sum, nDCG as "
+        "an e4 integer ratio.  The position-aware complement of the "
+        "set-overlap recall gates; fully oracle-replayed."
+    ),
+)
+def retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _rrf_fused
+
+    fused = _rrf_fused(spark, sf_dir)
+    w = Window.partitionBy("pid").orderBy(F.desc("rrf"), F.asc("id"))
+    rk = (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RANKM_K)
+        .select("pid", "id", "rn")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), _qvec("embedding").alias("qv")
+    )
+    n = emb.select("id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    probes = n.filter(F.col("id") < _RRF_PROBES).select(
+        F.col("id").alias("pid"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    w_v = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("id"))
+    truth = (
+        F.broadcast(probes)
+        .join(n, F.col("id") != F.col("pid"))
+        .select(
+            "pid",
+            "id",
+            _cosine(
+                _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+            ).alias("cos"),
+        )
+        .withColumn("vr", F.row_number().over(w_v))
+        .filter(F.col("vr") <= _RANKM_K)
+        .select("pid", F.col("id").alias("tid"), "vr")
+        .localCheckpoint(eager=False)
+    )
+    ln2 = F.log(F.lit(2.0))
+    dcg_term = F.floor(
+        (F.lit(11) - F.col("vr")).cast("double")
+        * ln2
+        / F.log((F.col("rn") + 1).cast("double"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    scored = (
+        rk.join(
+            truth,
+            (truth["pid"] == rk["pid"]) & (truth["tid"] == rk["id"]),
+            "left",
+        )
+        .select(
+            rk["pid"].alias("pid"),
+            "rn",
+            F.when(F.col("tid").isNull(), F.lit(0).cast("bigint"))
+            .otherwise(dcg_term)
+            .alias("dcg_e9"),
+            F.col("tid").isNotNull().alias("hit"),
+        )
+    )
+    idcg_term = F.floor(
+        (F.lit(11) - F.col("vr")).cast("double")
+        * ln2
+        / F.log((F.col("vr") + 1).cast("double"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    idcg = truth.groupBy("pid").agg(F.sum(idcg_term).alias("idcg_e9"))
+    first_hit = F.min(F.when(F.col("hit"), F.col("rn")))
+    return (
+        scored.groupBy("pid")
+        .agg(
+            F.coalesce(first_hit, F.lit(0)).cast("int").alias("first_hit_rank"),
+            F.coalesce(
+                F.floor(F.lit(1e9) / first_hit).cast("bigint"), F.lit(0)
+            ).alias("mrr_e9"),
+            F.sum("dcg_e9").cast("bigint").alias("dcg_e9"),
+        )
+        .join(idcg, "pid")
+        .select(
+            F.col("pid").alias("probe_id"),
+            "first_hit_rank",
+            "mrr_e9",
+            "dcg_e9",
+            "idcg_e9",
+            F.expr("CAST(10000 * dcg_e9 AS BIGINT) div idcg_e9").alias(
+                "ndcg_e4"
+            ),
+        )
+    )
