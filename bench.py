@@ -201,6 +201,7 @@ HEADLINE = [
     "rag_chunk_pipeline",
     "cdf_incremental_rollup",
     "retrieval_rank_metrics",
+    "retrieval_rank_metrics_served",
 ]
 
 

@@ -886,9 +886,11 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANKM_K = 10
 
 
-def _sql_rank_metrics() -> str:
-    from .similarity import _sql_rrf_core
-
+def _sql_rank_metrics_body(fused_cte: str) -> str:
+    """The metric CTE chain (rk → truth → scored → idcg → select) over
+    an in-scope ranking CTE ``{fused_cte}`` (pid, id, rrf) and the
+    exact-cosine ``vrank`` — shared by the exact and served metric
+    queries so the metric arithmetic cannot drift between them."""
     dcg_term = (
         "CAST(FLOOR(CAST(11 - t.vr AS DOUBLE) * LN(2.0)"
         " / LN(CAST(r.rn + 1 AS DOUBLE)) * 1e9) AS BIGINT)"
@@ -897,12 +899,11 @@ def _sql_rank_metrics() -> str:
         "CAST(FLOOR(CAST(11 - vr AS DOUBLE) * LN(2.0)"
         " / LN(CAST(vr + 1 AS DOUBLE)) * 1e9) AS BIGINT)"
     )
-    return f"""{_sql_rrf_core()},
-rk AS (
+    return f"""rk AS (
   SELECT pid, id, rn FROM (
     SELECT pid, id,
            ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf DESC, id) AS rn
-    FROM fused
+    FROM {fused_cte}
   ) WHERE rn <= {_RANKM_K}
 ),
 truth AS (SELECT pid, id, vr FROM vrank WHERE vr <= {_RANKM_K}),
@@ -930,6 +931,21 @@ GROUP BY s.pid, i.idcg_e9
 """
 
 
+def _sql_rank_metrics() -> str:
+    from .similarity import _sql_rrf_core
+
+    return f"""{_sql_rrf_core()},
+{_sql_rank_metrics_body('fused')}"""
+
+
+def _sql_rank_metrics_served() -> str:
+    from .similarity import _sql_rrf_core
+
+    return f"""{_sql_rrf_core()},
+{_sql_rrf_served_chain()},
+{_sql_rank_metrics_body('svfused')}"""
+
+
 @register(
     "retrieval_rank_metrics",
     oracle=_sql_rank_metrics(),
@@ -946,7 +962,34 @@ GROUP BY s.pid, i.idcg_e9
 def retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _rrf_fused
 
-    fused = _rrf_fused(spark, sf_dir)
+    return _rank_metrics_over(spark, sf_dir, _rrf_fused(spark, sf_dir))
+
+
+@register(
+    "retrieval_rank_metrics_served",
+    oracle=_sql_rank_metrics_served(),
+    tags=("similarity", "text", "llm", "quality-gate", "rag", "ann"),
+    doc=(
+        "L32 SERVED ranking-quality metrics: the SAME MRR/nDCG@10 "
+        "arithmetic over the ANN-served + standing-postings hybrid "
+        "ranking, against the same exact-cosine truth — the "
+        "position-aware twin of hybrid_served_recall_check, pinning "
+        "exactly how much ranking quality the probe-local serving "
+        "path trades (shared metric chains, exact and served can "
+        "never drift).  Fully oracle-replayed."
+    ),
+)
+def retrieval_rank_metrics_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_metrics_over(spark, sf_dir, _rrf_served_fused(spark, sf_dir))
+
+
+def _rank_metrics_over(
+    spark: SparkSession, sf_dir: str, fused: DataFrame
+) -> DataFrame:
+    """MRR + nDCG@10 of the ranking ``fused`` (pid, id, rrf) against
+    the exact-cosine ground truth — the Spark twin of
+    :func:`_sql_rank_metrics_body`, shared by the exact and served
+    metric queries."""
     w = Window.partitionBy("pid").orderBy(F.desc("rrf"), F.asc("id"))
     rk = (
         fused.withColumn("rn", F.row_number().over(w))
