@@ -148,6 +148,23 @@ def version_before_txid(root: str, txid: str) -> int:
     return 0
 
 
+def version_with_txid(root: str, txid: str) -> int | None:
+    """Smallest committed version whose manifest includes ``txid``, or
+    None when it never committed here.
+
+    The cross-table consistency anchor: a multi-table gate commits its
+    tables in sequence under one txid, so a reader that pins every
+    table to the version where the LEDGER's newest txid landed sees a
+    snapshot no mid-crash window can tear (the serving-side dual of
+    :func:`version_before_txid`)."""
+    for version, path in _manifest_versions(root):
+        with open(path) as fh:
+            man = json.load(fh)
+        if txid in man.get("txids", []):
+            return version
+    return None
+
+
 def _dirs(val) -> list[str]:
     """Partition-map values: list of staging dirs (legacy str accepted)."""
     return [val] if isinstance(val, str) else list(val)
@@ -648,6 +665,26 @@ def adopt_partitions(
     os.makedirs(mdir, exist_ok=True)
     src_files = src.get("dir_files", {})
     prev = current_manifest(dst_root)
+    if prev["partitions"]:
+        # Untouched dst partitions keep their OLD data directories, so a
+        # partial adopt must not flip the declared schema over them: a
+        # schema-evolved staging table has to be adopted into an empty or
+        # fully-covered dst (or the dst rewritten first).  Same guard for
+        # the dst's own partition columns.
+        if prev.get("partition_cols") not in (None, partition_cols):
+            raise ValueError(
+                f"adopt_partitions: dst partition columns differ "
+                f"({prev.get('partition_cols')} vs {partition_cols})"
+            )
+        ps, ss = prev.get("schema"), src.get("schema")
+        if ps and ss and ps != ss and not set(prev["partitions"]) <= set(
+            src["partitions"]
+        ):
+            raise ValueError(
+                "adopt_partitions: src schema differs from dst's while dst "
+                "retains partitions the adopt does not cover — a partial "
+                "adopt would declare a schema its retained files don't have"
+            )
     while True:
         if txid in prev["txids"]:
             return prev  # replayed swap: exactly-once no-op

@@ -622,8 +622,10 @@ fused AS (
   FULL OUTER JOIN lrank l ON l.pid = v.pid AND l.ck = v.ck
 ),
 cand AS MATERIALIZED (
-  SELECT probe_id, vec_id, qv, nrm, qsim FROM (
-    SELECT f.pid AS probe_id, f.ck AS vec_id, v.qv, v.nrm, f.rrf AS qsim,
+  SELECT probe_id, vec_id, qv, nrm,
+         CAST(1.0 AS DOUBLE) - CAST(rn - 1 AS DOUBLE) / {_RAGC_POOL}.0 AS qsim
+  FROM (
+    SELECT f.pid AS probe_id, f.ck AS vec_id, v.qv, v.nrm,
            ROW_NUMBER() OVER (
              PARTITION BY f.pid ORDER BY f.rrf DESC, f.ck
            ) AS rn
@@ -661,8 +663,10 @@ WHERE cum_tokens <= {_RAGC_BUDGET}
         "L33/L32/L3 composed: documents chunked into 32-token windows "
         "(stride 24), a STANDING token-bucketed chunk-postings index "
         "serves the lexical overlap leg (pruned read), chunk-inherited "
-        "embeddings serve the cosine leg, RRF fuses, the shared MMR "
-        "greedy diversifies the top-10 pool (same-doc chunks repel at "
+        "embeddings serve the cosine leg, RRF fuses (rank-normalized "
+        "to [1/pool, 1] so relevance and the cosine redundancy penalty "
+        "are commensurate), the shared MMR greedy diversifies the "
+        "top-10 pool (same-doc chunks repel at "
         "cosine 1.0), and the 96-token prefix pack assembles the "
         "context.  One lazy plan; fully oracle-replayed; funnel "
         "conservation harness-asserted."
@@ -803,6 +807,13 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rrf"),
             )
         )
+        # Rank-normalize the fused score into the MMR pool: raw RRF tops
+        # out near 2/(k+1) ≈ 0.033 while the redundancy term is a cosine
+        # on ~[-1,1], so feeding rrf straight into 0.7·qsim − 0.3·max_sim
+        # would let dissimilarity dominate after step 1 (ADVICE r12).
+        # qsim = 1 − (rn−1)/pool puts relevance on [1/pool, 1] — the two
+        # objective terms are commensurate and the pool ORDER is exactly
+        # the fused ranking.
         cand = (
             fused.join(cvec.select("ck", "qv", "nrm"), "ck")
             .select(
@@ -810,18 +821,28 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ck").alias("vec_id"),
                 "qv",
                 "nrm",
-                F.col("rrf").alias("qsim"),
+                "rrf",
             )
             .withColumn(
                 "rn",
                 F.row_number().over(
                     Window.partitionBy("probe_id").orderBy(
-                        F.desc("qsim"), F.asc("vec_id")
+                        F.desc("rrf"), F.asc("vec_id")
                     )
                 ),
             )
             .filter(F.col("rn") <= _RAGC_POOL)
-            .drop("rn")
+            .select(
+                "probe_id",
+                "vec_id",
+                "qv",
+                "nrm",
+                (
+                    F.lit(1.0)
+                    - (F.col("rn") - F.lit(1)).cast("double")
+                    / F.lit(float(_RAGC_POOL))
+                ).alias("qsim"),
+            )
             .localCheckpoint()
         )
         sel = _mmr_greedy(cand).select(

@@ -76,15 +76,13 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-11 cohort — LEN-range oracles, gate collect caps, standing
-    # PQ codebook — pruned: all re-proven green in CORRECTNESS_r11.)
-    # round 12: the maintenance re-encode is now STAGED per cell bucket
-    # (per-bucket txids + one atomic codebook/code swap) — end state is
-    # bit-identical by design, but the txn path changed, so re-prove.
-    "ann_index_retrain_swap_audit",
-    # round 12: acid_change_data_feed's partition guard tightened from
-    # issubset to strict equality (ADVICE r11) — re-prove post-change.
-    "acid_change_data_feed",
+    # (round-12 cohort — staged re-encode swap, CDF guard — pruned:
+    # both re-proven green in CORRECTNESS_r12.)
+    # round 13: rag_chunk_pipeline's MMR pool now rank-normalizes the
+    # fused score (ADVICE r12 — rrf ~0.033 vs cosine ~[-1,1] made the
+    # objective dissimilarity-dominated); query AND oracle changed
+    # together, so the recorded r12 hash is stale.
+    "rag_chunk_pipeline",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

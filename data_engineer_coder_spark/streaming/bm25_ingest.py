@@ -266,8 +266,35 @@ def _term_range_filter(toks: list[str]):
     return f
 
 
+def _ledger_snapshot(spark: SparkSession, roots: dict) -> tuple[int, float, str]:
+    """Read the stats ledger at its current head and return
+    ``(N, avglen, last_txid)`` where ``last_txid`` is the gate txid of
+    the newest epoch the LEDGER contains.
+
+    The gate commits postings → forward → ledger as three table commits
+    under one txid; a crash between them leaves a window where postings
+    hold an epoch the ledger's N/avglen excludes.  Serving therefore
+    pins every other standing-artifact read to the version where
+    ``last_txid`` landed (``version_with_txid``) — the snapshot is
+    consistent across all three tables by construction, because a txid
+    present in the ledger was committed to postings and forward first."""
+    from ..io.acid_table import read_table
+
+    rows = read_table(spark, roots["stats"]).select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("len_sum").cast("long").alias("len_sum"),
+    ).collect()
+    n = sum(int(r["n_docs"]) for r in rows)
+    lens = sum(int(r["len_sum"]) for r in rows)
+    last_e = max(int(r["epoch"]) for r in rows)
+    txid = "bulk-load" if last_e == -1 else f"epoch-{last_e}"
+    return n, lens / n, txid
+
+
 def read_pruned_postings(
-    spark: SparkSession, postings_root: str, toks: list[str]
+    spark: SparkSession, postings_root: str, toks: list[str],
+    version: int | None = None,
 ) -> DataFrame:
     """The serve-side read of a standing postings table for the query
     terms ``toks`` (sorted, driver-side — a serving query is tens of
@@ -290,6 +317,7 @@ def read_pruned_postings(
         spark,
         postings_root,
         partition_filter=lambda kv: kv["tok_bucket"] in allowed,
+        version=version,
         stats_filter=_term_range_filter(toks),
     ).filter(F.col("tok").isin(toks))
 
@@ -300,14 +328,21 @@ def _served_scores(
     """Per-(probe, doc) BM25 scores for the weighted query ``q``
     (pid, tok, w), READ FROM THE STANDING ARTIFACTS: postings pruned at
     the manifest to the query terms' token buckets, df counted inside
-    those buckets, N/avglen summed from the ledger.  Same op-sequence
+    those buckets, N/avglen summed from the ledger.  The postings read
+    is PINNED to the version where the ledger's newest epoch committed
+    (``_ledger_snapshot``) so a crash between the gate's postings and
+    ledger commits can never serve a torn snapshot.  Same op-sequence
     as the in-plan ``_bm25_scores`` (``bm25_term_e9_col``)."""
-    from ..io.acid_table import read_table
+    from ..io.acid_table import version_with_txid
     from ..operators.textops import bm25_term_e9_col
 
+    n_docs, avglen, led_txid = _ledger_snapshot(spark, roots)
+    pin = version_with_txid(roots["postings"], led_txid)
     qtoks = q.select("tok").distinct().localCheckpoint()
     toks = sorted(r["tok"] for r in qtoks.collect())
-    idx = read_pruned_postings(spark, roots["postings"], toks).select(
+    idx = read_pruned_postings(
+        spark, roots["postings"], toks, version=pin
+    ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("tok").cast("string").alias("tok"),
         F.col("tf").cast("long").alias("tf"),
@@ -315,12 +350,11 @@ def _served_scores(
     )
     post_q = idx.join(F.broadcast(qtoks), "tok").localCheckpoint(eager=False)
     dfreq = post_q.groupBy("tok").agg(F.count("*").alias("df"))
-    led = read_table(spark, roots["stats"]).agg(
-        F.sum(F.col("n_docs").cast("long")).alias("n"),
-        (
-            F.sum(F.col("len_sum").cast("long")).cast("double")
-            / F.sum(F.col("n_docs").cast("long")).cast("double")
-        ).alias("avglen"),
+    # N/avglen from the ledger snapshot collected above (tiny — one row
+    # per epoch); Python long/long division and Spark's double division
+    # of the same ints are the same IEEE double.
+    led = spark.createDataFrame(
+        [(int(n_docs), float(avglen))], "n long, avglen double"
     )
     m = (
         F.broadcast(q)
@@ -537,7 +571,11 @@ def bm25_rm3_expansion_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pid", F.col("id").alias("doc_id"))
             .localCheckpoint()
         )
-        # FORWARD-INDEX read: the ≤ 30 feedback docs' buckets only.
+        # FORWARD-INDEX read: the ≤ 30 feedback docs' buckets only,
+        # pinned to the ledger-consistent version like the postings read.
+        from ..io.acid_table import version_with_txid
+
+        _, _, led_txid = _ledger_snapshot(spark, roots)
         fb_buckets = {
             str(r["b"])
             for r in fb.select(
@@ -550,6 +588,7 @@ def bm25_rm3_expansion_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             roots["forward"],
             partition_filter=lambda kv: kv["doc_bucket"] in fb_buckets,
+            version=version_with_txid(roots["forward"], led_txid),
         ).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("tok").cast("string").alias("tok"),

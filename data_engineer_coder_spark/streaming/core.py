@@ -1444,7 +1444,15 @@ def write_stream_bm25_index_gate(
        cannot double-count them.
 
     All three appends share ONE epoch txid: a replayed epoch is a
-    no-op on postings, forward, and ledger at once.  Scale shape per
+    no-op on postings, forward, and ledger at once.  They are still
+    three SEPARATE table commits, so a crash between them leaves a
+    window where postings hold an epoch the ledger excludes (the
+    retrain-swap docstring documents the analogous ANN window); the
+    serving reads close it by pinning postings and forward to the
+    version where the ledger's newest epoch committed
+    (``bm25_ingest._ledger_snapshot`` + ``version_with_txid``) — a
+    reader never sees a snapshot the three tables disagree on, and
+    replaying the crashed epoch converges the head.  Scale shape per
     epoch: Θ(batch tokens) work, appends across ≤ 16+16 partitions;
     nothing reads or rewrites standing rows — gate cost is independent
     of corpus size (the continuous-regime property the ANN gate

@@ -96,12 +96,15 @@ def _scenario(spark, sf_dir: str, passes: int) -> dict:
             roots["postings"], stats_filter=_term_range_filter(short)
         )
         sfiles_read = sum(1 for v in saudit.values() for _, keep in v if keep)
+        # timings kept UNROUNDED here — the cross-scale ratio/exponent
+        # math divides them, and a fast pass rounded to 0.00 would blow
+        # up to inf/NaN; main() rounds for display only (ADVICE r12).
         return {
             "n_docs": int(n_docs),
             "n_query_terms": len(toks),
-            "t_build": round(t_build, 2),
-            "t_serve": round(t_serve, 2),
-            "t_serve_short": round(t_short, 2),
+            "t_build": t_build,
+            "t_serve": t_serve,
+            "t_serve_short": t_short,
             "topk_rows": int(n_rows),
             "files_total": files_total,
             "files_read": files_read,
@@ -143,11 +146,16 @@ def main() -> None:
     for a, b in zip(tags, tags[1:]):
         nr = out[b]["n_docs"] / out[a]["n_docs"]
         for leg in ("t_build", "t_serve", "t_serve_short"):
-            r = out[b][leg] / out[a][leg]
+            # ratio/exponent from the UNROUNDED timings (floored at 1ms
+            # so a pathological 0-second pass still yields a finite row)
+            r = max(out[b][leg], 1e-3) / max(out[a][leg], 1e-3)
             out[f"{a}->{b}:{leg}"] = {
                 "ratio": round(r, 2),
                 "exponent": round(math.log(r) / math.log(nr), 2),
             }
+    for tag in tags:  # round for display only, after the math
+        for leg in ("t_build", "t_serve", "t_serve_short"):
+            out[tag][leg] = round(out[tag][leg], 2)
     print(json.dumps({"metric": "bm25_served_split", **out}))
 
 
