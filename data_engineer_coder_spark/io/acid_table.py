@@ -165,6 +165,29 @@ def version_with_txid(root: str, txid: str) -> int | None:
     return None
 
 
+def latest_consistent_version(root: str, ledger_txids: set[str]) -> int | None:
+    """Newest committed version whose every txid is either present in
+    ``ledger_txids`` or is a logically-neutral maintenance commit
+    (txid prefixed ``compact-`` — same rows, different files).
+
+    The multi-table serving pin: a gate commits data tables before its
+    ledger under one txid, so a data-table version containing a txid the
+    ledger lacks is a torn (mid-crash) snapshot and must not serve;
+    compactions commit to the data table alone but change no logical
+    row, so they never block the pin.  Returns None for an empty table
+    or when even v1 is inconsistent."""
+    best = None
+    for version, path in _manifest_versions(root):
+        with open(path) as fh:
+            man = json.load(fh)
+        if all(
+            t in ledger_txids or t.startswith("compact-")
+            for t in man.get("txids", [])
+        ):
+            best = version
+    return best
+
+
 def _dirs(val) -> list[str]:
     """Partition-map values: list of staging dirs (legacy str accepted)."""
     return [val] if isinstance(val, str) else list(val)

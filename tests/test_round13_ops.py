@@ -60,6 +60,7 @@ def test_adopt_partitions_schema_guard(spark, tmp_path):
 def test_bm25_serving_pins_to_ledger_snapshot(spark, tmp_path):
     from data_engineer_coder_spark.io.acid_table import (
         append_partitions,
+        latest_consistent_version,
         version_with_txid,
     )
     from data_engineer_coder_spark.streaming.bm25_ingest import (
@@ -98,11 +99,17 @@ def test_bm25_serving_pins_to_ledger_snapshot(spark, tmp_path):
     # postings+forward hold doc 3, the ledger's N/avglen exclude it
     _commit_epoch([(3, "spark spark spark torn snapshot")], 1, ledger=False)
 
-    n, avglen, txid = _ledger_snapshot(spark, roots)
-    assert (n, txid) == (2, "epoch-0")
+    n, avglen, txids = _ledger_snapshot(spark, roots)
+    assert (n, txids) == (2, {"epoch-0"})
     assert version_with_txid(roots["postings"], "epoch-0") == 1
     assert version_with_txid(roots["postings"], "epoch-1") == 2
     assert version_with_txid(roots["postings"], "epoch-nope") is None
+    # the serving pin stops BEFORE the torn epoch-1 commit...
+    assert latest_consistent_version(roots["postings"], txids) == 1
+    # ...but a logically-neutral compact-* commit would not block it
+    assert latest_consistent_version(
+        roots["postings"], txids | {"epoch-1"}
+    ) == 2
 
     q = spark.createDataFrame([(0, "spark")], "pid long, tok string")
     sc = _served_scores(
