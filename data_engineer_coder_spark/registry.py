@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "data_engineer_coder_spark.operators.graph",
     "data_engineer_coder_spark.operators.similarity",
     "data_engineer_coder_spark.operators.retrieval_served",
+    "data_engineer_coder_spark.operators.retrieval_delete",
     "data_engineer_coder_spark.operators.textops",
     "data_engineer_coder_spark.operators.multimodal",
     "data_engineer_coder_spark.operators.sampling",
