@@ -1086,6 +1086,7 @@ def write_stream_curation_gate(
     bands_root: str | None = None,
     index_file_rows: int | None = None,
     prune_key_cap: int = 100_000,
+    search_roots: dict | None = None,
 ):
     """T8i (round 11): the UNIFIED CURATION INGEST PIPELINE — the three
     proven gates (near-dup screen → decontamination → stats rollup)
@@ -1131,6 +1132,27 @@ def write_stream_curation_gate(
     set.  Cost shape per epoch: the T8e probe (∝ colliding index
     files) + the T8h broadcast semi-join (∝ batch grams) — nothing new
     is added to either component's scaling story.
+
+    ``search_roots`` (round 13, VERDICT r12 #1) makes the accepted
+    corpus SEARCHABLE in the same transaction: a dict with keys
+    ``postings``/``forward``/``bm25_stats``/``cents``/``ann``.  When
+    given (and the stream carries nullable ``qv``/``nrm`` vector
+    columns), each epoch's ACCEPTED docs are additionally
+
+    - tokenized once (``bm25_index_batch_frames``) and appended to the
+      standing token-bucketed postings + doc-bucketed forward index,
+      with an (epoch, n_docs, len_sum) row in the BM25 stats ledger
+      (the serving N/avglen source — ``bm25_ingest._ledger_snapshot``);
+    - two-level-assigned against the STANDING IVF quantizer (read
+      pinned pre-epoch via ``version_before_txid`` — the ann gate's
+      crash-replay rule) and appended to the cell-bucketed ANN index
+      (rows lacking a vector are lexical-only, skipped here);
+
+    all under the SAME ``epoch-N`` txid as the docs/verdicts/ledger
+    commits — an accepted doc can never exist without being
+    retrievable, and a crash-replayed epoch is a no-op on every
+    table at once.  Per-epoch cost adds Θ(batch tokens) + Θ(batch·√K)
+    — still independent of every standing table's size.
     """
     from pyspark.sql import functions as F
 
@@ -1195,6 +1217,55 @@ def write_stream_curation_gate(
         _append_neardup_index(
             acc_sig, sig_root, bands_root, txid, index_file_rows
         )
+
+        # 3b. searchable-corpus appends (same txid — see docstring)
+        if search_roots is not None:
+            from ..operators.similarity import _two_level_assign
+
+            fr = bm25_index_batch_frames(accepted.select("doc_id", "text"))
+            if n_accepted:
+                append_partitions(
+                    fr["postings"].withColumn("epoch", F.lit(int(epoch_id))),
+                    search_roots["postings"], ["tok_bucket"], txid,
+                )
+                append_partitions(
+                    fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                    search_roots["forward"], ["doc_bucket"], txid,
+                )
+            lstat = fr["dl"].agg(
+                F.coalesce(F.sum("len"), F.lit(0)).alias("lens")
+            ).collect()[0]
+            append_partitions(
+                spark.createDataFrame(
+                    [(int(epoch_id), int(n_accepted), int(lstat["lens"]))],
+                    "epoch int, n_docs long, len_sum long",
+                ),
+                search_roots["bm25_stats"], ["epoch"], txid,
+            )
+            cents_v = version_before_txid(search_roots["cents"], txid)
+            cents = read_table(
+                spark, search_roots["cents"], version=cents_v
+            ).select(
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+                F.col("cqv").cast("array<bigint>").alias("cqv"),
+                F.col("cnrm").cast("long").alias("cnrm"),
+                F.col("stride").cast("long").alias("stride"),
+                F.col("cstride").cast("long").alias("cstride"),
+            ).localCheckpoint(eager=False)
+            ann = (
+                _two_level_assign(
+                    accepted.filter(F.col("qv").isNotNull()).select(
+                        F.col("doc_id").alias("vec_id"), "qv", "nrm"
+                    ),
+                    cents,
+                )
+                .select("vec_id", "centroid_id", "qv", "nrm")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .withColumn("cell_bucket", F.pmod("centroid_id", F.lit(16)))
+                .localCheckpoint()
+            )
+            if ann.count():
+                append_partitions(ann, search_roots["ann"], ["cell_bucket"], txid)
 
         # 4. per-doc verdicts + the epoch ledger
         def tag(ids_df, verdict: str):

@@ -25,7 +25,9 @@ from ..io.tables import table
 from ..registry import register
 
 
-def _curation_oracle() -> str:
+def _curation_ctes() -> str:
+    """The verdict-replay CTE chain (tr → … → a2), WITHOUT the final
+    SELECT — shared by the plain and the searchable curation oracles."""
     from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
     from ..operators.textops import _DECON_MOD, _DECON_N
 
@@ -129,7 +131,16 @@ s2 AS (
   WHERE doc_id NOT IN (SELECT doc_id FROM ri2 UNION SELECT doc_id FROM rb2)
 ),
 q2 AS (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM contam)),
-a2 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+a2 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+    # multi-referenced heavy CTEs: DuckDB inlines per reference and the
+    # epoch recursion references sig/m2/contam many times (the r10
+    # MATERIALIZED rule — bpe_learn_iterative / cms-gate pattern)
+    for cte in ("hv", "sig", "m2", "ev", "contam"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
+_VERDICT_UNION = """
 SELECT doc_id, 0 AS epoch, 'rejected_neardup_batch' AS verdict FROM rb0
 UNION ALL SELECT doc_id, 0, 'quarantined_contaminated' FROM q0
 UNION ALL SELECT doc_id, 0, 'accepted' FROM a0
@@ -142,12 +153,83 @@ UNION ALL SELECT doc_id, 2, 'rejected_neardup_batch' FROM rb2
 UNION ALL SELECT doc_id, 2, 'quarantined_contaminated' FROM q2
 UNION ALL SELECT doc_id, 2, 'accepted' FROM a2
 """
-    # multi-referenced heavy CTEs: DuckDB inlines per reference and the
-    # epoch recursion references sig/m2/contam many times (the r10
-    # MATERIALIZED rule — bpe_learn_iterative / cms-gate pattern)
-    for cte in ("hv", "sig", "m2", "ev", "contam"):
-        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
-    return sql
+
+
+def _curation_oracle() -> str:
+    return _curation_ctes() + _VERDICT_UNION
+
+
+def _searchable_oracle() -> str:
+    from ..operators._helpers import sql_md5_bucket
+    from ..operators.similarity import (
+        _SQL_NORM,
+        _SQL_QVEC,
+        _sql_ivf_cents,
+        _sql_ivf_params,
+        _sql_two_level,
+    )
+
+    tokb = f"CAST(({sql_md5_bucket('tok')}) % 16 AS BIGINT)"
+    return f"""{_curation_ctes()},
+acc AS MATERIALIZED (
+  SELECT doc_id, 0 AS epoch FROM a0
+  UNION ALL SELECT doc_id, 1 FROM a1
+  UNION ALL SELECT doc_id, 2 FROM a2
+),
+atok AS MATERIALIZED (
+  SELECT epoch, doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT a.epoch, t.doc_id, unnest(t.ws) AS tok
+    FROM tr t JOIN acc a ON a.doc_id = t.doc_id
+  ) GROUP BY 1, 2, 3
+),
+postrows AS (
+  SELECT epoch, {tokb} AS k, COUNT(*) AS v1,
+         CAST(SUM(({sql_md5_bucket('tok')}) * tf) AS BIGINT) AS v2
+  FROM atok GROUP BY 1, 2
+),
+fwdrows AS (
+  SELECT epoch, CAST(doc_id % 16 AS BIGINT) AS k, COUNT(*) AS v1,
+         CAST(SUM(tf * doc_id) AS BIGINT) AS v2
+  FROM atok GROUP BY 1, 2
+),
+ledrows AS (
+  SELECT a.epoch, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(LEN(t.ws)) AS BIGINT) AS v1
+  FROM tr t JOIN acc a ON a.doc_id = t.doc_id GROUP BY a.epoch
+),
+n2 AS MATERIALIZED (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (
+    SELECT e.vec_id, {_SQL_QVEC.format(e='e.embedding')} AS qv
+    FROM embeddings e JOIN tr t ON t.doc_id = e.vec_id
+  )
+),
+nb AS MATERIALIZED (SELECT * FROM n2 WHERE vec_id % 10 = 0),
+{_sql_ivf_params('nb')},
+{_sql_ivf_cents('nb')},
+av AS (
+  SELECT n2.vec_id, a.epoch, n2.qv, n2.nrm
+  FROM n2 JOIN acc a ON a.doc_id = n2.vec_id
+),
+{_sql_two_level('cents', 'asg', 'av', extra_cols=('epoch',))},
+annrows AS (
+  SELECT epoch, CAST(centroid_id % 16 AS BIGINT) AS k, COUNT(*) AS v1,
+         CAST(SUM(vec_id * centroid_id) AS BIGINT) AS v2
+  FROM asg GROUP BY 1, 2
+)
+SELECT 'verdict' AS kind, CAST(epoch AS INT) AS epoch,
+       CAST(doc_id AS BIGINT) AS k, verdict AS s,
+       CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+FROM ({_VERDICT_UNION})
+UNION ALL
+SELECT 'postings', CAST(epoch AS INT), k, '', v1, v2 FROM postrows
+UNION ALL
+SELECT 'forward', CAST(epoch AS INT), k, '', v1, v2 FROM fwdrows
+UNION ALL
+SELECT 'bm25_ledger', CAST(epoch AS INT), k, '', v1, CAST(0 AS BIGINT) FROM ledrows
+UNION ALL
+SELECT 'ann', CAST(epoch AS INT), k, '', v1, v2 FROM annrows
+"""
 
 
 @register(
@@ -263,3 +345,288 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         verdicts, "doc_id long, epoch int, verdict string"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 13 (VERDICT r12 #1): ONE INGEST, ALL STANDING ARTIFACTS — the
+# searchable curation gate.  stream_curation_ingest proves the verdict
+# pipeline is transactional, but an accepted doc was not yet
+# RETRIEVABLE: the standing BM25 postings/forward index and the ANN
+# cell index were maintained by separate gates on separate streams.
+# Here the same curation gate also appends every accepted doc's
+# postings, forward rows, BM25 ledger row, and (for docs carrying a
+# vector) its ANN cell row — all under the SAME epoch txid, so
+# "accepted" and "searchable" can never disagree, even across a crash.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_curation_searchable",
+    oracle=_searchable_oracle(),
+    tags=(
+        "streaming", "pipeline", "dedup", "decontamination", "llm",
+        "acid", "real-stream", "rag", "ann",
+    ),
+    doc=(
+        "T8i+ (round 13): the unified curation gate extended so every "
+        "ACCEPTED doc is immediately retrievable — per epoch, accepted "
+        "docs are tokenized into the standing token-bucketed postings "
+        "+ doc-bucketed forward index (with a BM25 ledger row), and "
+        "their vectors two-level-assigned against the standing IVF "
+        "quantizer into the cell-bucketed ANN index, all under the "
+        "SAME epoch txid as docs/verdicts/near-dup-index/ledger.  "
+        "Returns one table uniting the per-doc verdicts with "
+        "per-(epoch, bucket) rollups of all four retrieval artifacts; "
+        "oracle = full SQL replay of every verdict AND both indexes' "
+        "contents across the 3 epochs.  Harness asserts: a keyword "
+        "BM25 serve from the gate's artifacts is bit-identical to the "
+        "from-scratch recompute over the accepted corpus, and a full "
+        "stream replay is a no-op on all 10 standing tables."
+    ),
+)
+def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..io.acid_table import current_manifest, read_table, replace_partitions
+    from ..operators._helpers import md5_bucket
+    from ..operators.similarity import _dot, _ivf_cents, _qvec
+    from ..operators.textops import _DECON_MOD, _DECON_N, _bm25_scores, ngram_array
+    from .bm25_ingest import _served_scores
+    from .core import write_stream_curation_gate
+    from .windows import _await_gate, _ordered_epoch_stream
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.pmod("doc_id", F.lit(_DECON_MOD)) == 0
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _qvec("embedding").alias("qv"))
+        .select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    )
+    train = (
+        docs.filter(~is_eval)
+        .join(emb, docs["doc_id"] == emb["vec_id"], "left")
+        .select("doc_id", "text", "qv", "nrm")
+    )
+    tmp = tempfile.mkdtemp(prefix="crsearch_")
+    try:
+        names = (
+            "eval", "sigs", "docs", "quarantine", "verdicts", "stats",
+            "postings", "forward", "bm25_stats", "cents", "ann",
+        )
+        roots = {n: os.path.join(tmp, n) for n in names}
+        roots["bands"] = roots["sigs"] + "_bands"
+        # standing eval 8-gram index (the decontamination probe)
+        ev = (
+            docs.filter(is_eval)
+            .select(
+                F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g")
+            )
+            .distinct()
+            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(8)))
+        )
+        replace_partitions(
+            ev.repartition(F.col("b")), roots["eval"], ["b"], "eval-build"
+        )
+        # standing IVF quantizer: hash-seeded centroids from the
+        # deterministic vec_id % 10 = 0 bootstrap of the train-slice
+        # vectors, committed ONCE before the stream starts
+        nvt = train.filter(F.col("qv").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "qv", "nrm"
+        )
+        cents = _ivf_cents(nvt.filter(F.pmod("vec_id", F.lit(10)) == 0))
+        replace_partitions(
+            cents.withColumn("b", F.pmod("centroid_id", F.lit(4))),
+            roots["cents"], ["b"], "cents-build",
+        )
+        search_roots = {
+            k: roots[k] for k in ("postings", "forward", "bm25_stats", "cents", "ann")
+        }
+
+        def _run_stream(src_tmp: str):
+            sdf = _ordered_epoch_stream(spark, train, src_tmp)
+            key = "spark.sql.shuffle.partitions"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "8")
+            try:
+                q = write_stream_curation_gate(
+                    sdf, roots["eval"], roots["sigs"], roots["docs"],
+                    roots["quarantine"], roots["verdicts"], roots["stats"],
+                    bands_root=roots["bands"], search_roots=search_roots,
+                )
+                _await_gate(q)
+            finally:
+                spark.conf.set(key, prev)
+
+        _run_stream(tmp)
+
+        # ---- conservation: verdicts partition arrivals; ledgers agree
+        ledger = {
+            int(r["epoch"]): (
+                int(r["n_arrived"]),
+                int(r["n_rejected_index"]) + int(r["n_rejected_batch"])
+                + int(r["n_quarantined"]) + int(r["n_accepted"]),
+                int(r["n_accepted"]),
+            )
+            for r in read_table(spark, roots["stats"]).collect()
+        }
+        for e, (n, parts, _) in ledger.items():
+            if n != parts:
+                raise RuntimeError(f"epoch {e}: verdicts don't partition arrivals")
+        bled = {
+            int(r["epoch"]): int(r["n_docs"])
+            for r in read_table(spark, roots["bm25_stats"]).collect()
+        }
+        if bled != {e: na for e, (_, _, na) in ledger.items()}:
+            raise RuntimeError(
+                f"BM25 ledger disagrees with the curation ledger: {bled}"
+            )
+
+        # ---- a keyword serve from the gate's artifacts must equal the
+        # from-scratch recompute over the ACCEPTED corpus, bit for bit
+        acc_docs = read_table(spark, roots["docs"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("text").cast("string").alias("text"),
+        ).localCheckpoint(eager=False)
+        qk = (
+            docs.filter(F.col("doc_id") < 5)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+            .orderBy("tok")
+            .limit(3)
+            .select(F.lit(0).cast("long").alias("pid"), "tok")
+            .localCheckpoint()
+        )
+        sroots = {"postings": roots["postings"], "stats": roots["bm25_stats"]}
+        served = _served_scores(
+            spark, sroots, qk.withColumn("w", F.lit(1.0)), "bm25_e9"
+        ).localCheckpoint()
+        d2 = acc_docs.select("doc_id", F.split("text", " ").alias("ws"))
+        dl2 = d2.select("doc_id", F.size("ws").alias("len"))
+        tok2 = (
+            d2.select("doc_id", F.explode("ws").alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+        )
+        fr2 = {
+            "dl": dl2,
+            "tok": tok2,
+            "dfreq": tok2.groupBy("tok").agg(F.count("*").alias("df")),
+            "stats": dl2.agg(
+                F.count("*").alias("n"),
+                (F.sum("len").cast("double") / F.count("*").cast("double")).alias(
+                    "avglen"
+                ),
+            ),
+        }
+        want = _bm25_scores(fr2, qk.withColumn("w", F.lit(1.0)), "bm25_e9")
+        bad = (
+            served.withColumnRenamed("bm25_e9", "a")
+            .join(want.withColumnRenamed("bm25_e9", "b"), ["pid", "id"], "full")
+            .filter(
+                F.col("a").isNull() | F.col("b").isNull() | (F.col("a") != F.col("b"))
+            )
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"gate-built BM25 index diverged from the accepted-corpus "
+                f"recompute on {bad} scores"
+            )
+
+        # ---- a full stream replay is a no-op on EVERY standing table
+        vers = {
+            n: current_manifest(roots[n])["version"]
+            for n in names + ("bands",)
+            if n != "quarantine" or current_manifest(roots[n])["partitions"]
+        }
+        _run_stream(os.path.join(tmp, "replay"))
+        after = {n: current_manifest(roots[n])["version"] for n in vers}
+        if after != vers:
+            raise RuntimeError(
+                f"stream replay committed new versions: {vers} -> {after}"
+            )
+
+        # ---- the driver-hashed output: verdicts + all four artifacts
+        zl = F.lit(0).cast("bigint")
+        verd = read_table(spark, roots["verdicts"]).select(
+            F.lit("verdict").alias("kind"),
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("doc_id").cast("bigint").alias("k"),
+            F.col("verdict").cast("string").alias("s"),
+            zl.alias("v1"),
+            zl.alias("v2"),
+        )
+        post = (
+            read_table(spark, roots["postings"])
+            .groupBy(
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("tok_bucket").cast("bigint").alias("k"),
+            )
+            .agg(
+                F.count("*").alias("v1"),
+                F.sum(
+                    md5_bucket(F.col("tok").cast("string")).cast("bigint")
+                    * F.col("tf").cast("long")
+                ).alias("v2"),
+            )
+            .select(
+                F.lit("postings").alias("kind"), "epoch", "k",
+                F.lit("").alias("s"), "v1", "v2",
+            )
+        )
+        fwd = (
+            read_table(spark, roots["forward"])
+            .groupBy(
+                F.col("epoch").cast("int").alias("epoch"),
+                F.col("doc_bucket").cast("bigint").alias("k"),
+            )
+            .agg(
+                F.count("*").alias("v1"),
+                F.sum(
+                    F.col("tf").cast("long") * F.col("doc_id").cast("long")
+                ).alias("v2"),
+            )
+            .select(
+                F.lit("forward").alias("kind"), "epoch", "k",
+                F.lit("").alias("s"), "v1", "v2",
+            )
+        )
+        led = read_table(spark, roots["bm25_stats"]).select(
+            F.lit("bm25_ledger").alias("kind"),
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("n_docs").cast("bigint").alias("k"),
+            F.lit("").alias("s"),
+            F.col("len_sum").cast("bigint").alias("v1"),
+            zl.alias("v2"),
+        )
+        ann = (
+            read_table(spark, roots["ann"])
+            .groupBy(
+                F.col("epoch").cast("int").alias("epoch"),
+                F.pmod(F.col("centroid_id").cast("long"), F.lit(16))
+                .cast("bigint")
+                .alias("k"),
+            )
+            .agg(
+                F.count("*").alias("v1"),
+                F.sum(
+                    F.col("vec_id").cast("long") * F.col("centroid_id").cast("long")
+                ).alias("v2"),
+            )
+            .select(
+                F.lit("ann").alias("kind"), "epoch", "k",
+                F.lit("").alias("s"), "v1", "v2",
+            )
+        )
+        out = (
+            verd.unionByName(post)
+            .unionByName(fwd)
+            .unionByName(led)
+            .unionByName(ann)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
