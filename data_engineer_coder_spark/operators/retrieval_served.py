@@ -110,29 +110,44 @@ pcell AS (
 )"""
 
 
+def _build_ann_index(spark: SparkSession, nv: DataFrame, index_root: str):
+    """Build the standing cell-bucketed ANN index once (raw vectors per
+    cell for exact re-rank) and return the broadcastable centroid frame.
+    Idempotent: an existing committed index at ``index_root`` is reused
+    (the sweep/serve split — build is the one-time corpus pass)."""
+    import os
+
+    from ..io.acid_table import replace_partitions
+
+    boot = nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
+    cents = _ivf_cents(boot).localCheckpoint(eager=False)
+    if not os.path.isdir(os.path.join(index_root, "_manifests")):
+        idx_rows = _two_level_assign(nv, cents).select(
+            "vec_id", "centroid_id", "qv", "nrm"
+        ).withColumn("cell_bucket", F.pmod("centroid_id", F.lit(_CELL_BUCKETS)))
+        replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
+    return cents
+
+
 def _ann_candidate_pool(
     spark: SparkSession,
     nv: DataFrame,
     probes: DataFrame,
     pool: int,
     tmp: str,
+    nprobe: int = _IVF_NPROBE,
 ) -> DataFrame:
     """Spark twin of :func:`_sql_served_pool`: build the standing
     bucketed index once (raw vectors per cell for exact re-rank), probe
-    each query's top-``_IVF_NPROBE`` cells through the MANIFEST-PRUNED
+    each query's top-``nprobe`` cells through the MANIFEST-PRUNED
     read (single-probe pruning audited), return the exact-re-ranked
     pool (probe_id, vec_id, qv, nrm, qsim), ≤ ``pool`` per probe."""
     import os
 
-    from ..io.acid_table import current_manifest, read_table, replace_partitions
+    from ..io.acid_table import current_manifest, read_table
 
     index_root = os.path.join(tmp, "ann_index")
-    boot = nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
-    cents = _ivf_cents(boot).localCheckpoint(eager=False)
-    idx_rows = _two_level_assign(nv, cents).select(
-        "vec_id", "centroid_id", "qv", "nrm"
-    ).withColumn("cell_bucket", F.pmod("centroid_id", F.lit(_CELL_BUCKETS)))
-    replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
+    cents = _build_ann_index(spark, nv, index_root)
 
     w_cent = Window.partitionBy("probe_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
@@ -148,7 +163,7 @@ def _ann_candidate_pool(
             ).alias("c_sim"),
         )
         .withColumn("crn", F.row_number().over(w_cent))
-        .filter(F.col("crn") <= _IVF_NPROBE)
+        .filter(F.col("crn") <= nprobe)
         .select("probe_id", "centroid_id")
         .localCheckpoint()
     )
@@ -171,7 +186,7 @@ def _ann_candidate_pool(
         F.col("nrm").cast("long").alias("nrm"),
     )
     # single-probe pruning audit (the ann_index_bucket_probe convention)
-    one = probe_cells.orderBy("probe_id").limit(_IVF_NPROBE)
+    one = probe_cells.orderBy("probe_id").limit(nprobe)
     one_buckets = {
         str(r["b"])
         for r in one.select(
@@ -188,7 +203,7 @@ def _ann_candidate_pool(
     # (a crn-filter regression), or the index degenerated to a single
     # partition so bucket pruning is vacuous (a bucket-count
     # regression) — either breaks the ≤ nprobe-buckets serving claim.
-    if len(one_parts) > _IVF_NPROBE or len(all_parts) <= 1:
+    if len(one_parts) > nprobe or len(all_parts) <= 1:
         raise RuntimeError(
             f"cell-bucket pruning ineffective: one probe touches "
             f"{len(one_parts)} of {len(all_parts)} partitions"
@@ -325,10 +340,20 @@ WHERE rn <= 5
 """
 
 
-def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rrf_served_fused(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = _IVF_NPROBE,
+    pool: int = _RRF_POOL,
+    tmp: str | None = None,
+) -> DataFrame:
     """The served fused hybrid ranking (pid, id, rrf): vector leg from
     the standing ANN index pool, lexical leg from the standing
-    token-bucketed postings — both manifest-pruned reads."""
+    token-bucketed postings — both manifest-pruned reads.  ``nprobe``/
+    ``pool`` parametrize the vector leg for the quality-curve sweep
+    (``scripts/served_quality_curve.py``); pass a caller-managed
+    ``tmp`` to reuse the standing indexes across sweep points (both
+    builds are idempotent bulk-load txns)."""
     import os
     import shutil
     import tempfile
@@ -356,11 +381,12 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("pnrm"),
         F.col("ws").alias("pws"),
     ).localCheckpoint()
-    tmp = tempfile.mkdtemp(prefix="rrfserve_")
+    own_tmp = tmp is None
+    tmp = tmp or tempfile.mkdtemp(prefix="rrfserve_")
     try:
         # VECTOR LEG: the ANN-served pool, exact-re-ranked
         cand = _ann_candidate_pool(
-            spark, nv, probes.drop("pws"), _RRF_POOL, tmp
+            spark, nv, probes.drop("pws"), pool, tmp, nprobe=nprobe
         )
         vrank = (
             cand.select(
@@ -432,7 +458,8 @@ def _rrf_served_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
     return fused
 
 

@@ -97,7 +97,7 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         roots = {
             nm: os.path.join(tmp, nm)
-            for nm in ("postings", "forward", "stats")
+            for nm in ("postings", "forward", "stats", "tokstats")
         }
         sdf = _ordered_epoch_stream(spark, docs, tmp, key="doc_id")
         key = "spark.sql.shuffle.partitions"
@@ -105,7 +105,8 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(key, "8")
         try:
             q = write_stream_bm25_index_gate(
-                sdf, roots["postings"], roots["forward"], roots["stats"]
+                sdf, roots["postings"], roots["forward"], roots["stats"],
+                tokstats_root=roots["tokstats"],
             )
             _await_gate(q)
         finally:
@@ -181,6 +182,24 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         if (int(fchk["n"]), int(fchk["w"])) != (int(pchk["n"]), int(pchk["w"])):
             raise RuntimeError("forward/postings index drifted apart")
+        # tokstats deltas must SUM to the postings' global df per token
+        ts = read_table(spark, roots["tokstats"]).groupBy("tok").agg(
+            F.sum(F.col("df").cast("long")).alias("df")
+        )
+        want_df = post.groupBy("tok").agg(F.count("*").alias("wdf"))
+        n_drift = (
+            ts.join(want_df, "tok", "full")
+            .filter(
+                F.col("df").isNull()
+                | F.col("wdf").isNull()
+                | (F.col("df") != F.col("wdf"))
+            )
+            .count()
+        )
+        if n_drift:
+            raise RuntimeError(
+                f"tokstats df deltas drifted from the postings on {n_drift} tokens"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -199,7 +218,8 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     from ..operators._helpers import shuffle_parts
 
     roots = {
-        nm: os.path.join(tmp, nm) for nm in ("postings", "forward", "stats")
+        nm: os.path.join(tmp, nm)
+        for nm in ("postings", "forward", "stats", "tokstats")
     }
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     fr = bm25_index_batch_frames(docs)
@@ -222,6 +242,19 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
         fr["forward"].withColumn("epoch", F.lit(-1)),
         roots["forward"], ["doc_bucket"], "bulk-load",
     )
+    # token-stats sidecar (round 13): per-token document frequency as a
+    # standing table, Θ(vocab) rows — the long-query two-stage serve
+    # ranks the query's terms by df WITHOUT touching any postings
+    # bucket.  Token-range-sorted for the same file-level zone maps.
+    tokstats = (
+        fr["postings"]
+        .groupBy("tok", "tok_bucket")
+        .agg(F.count("*").alias("df"))
+        .withColumn("epoch", F.lit(-1))
+        .repartitionByRange(4, "tok")
+        .sortWithinPartitions("tok")
+    )
+    replace_partitions(tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load")
     stats = fr["dl"].agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
@@ -816,3 +849,325 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "version int, n_dirs long, n_rows long")
+
+
+# --------------------------------------------------------------------------
+# Round 13 (VERDICT r12 #5): RANK-SAFE TWO-STAGE SERVING for long
+# queries.  A whole-document probe (~270 terms) is Θ(matched postings)
+# at serve time — 105 s at ov-sf100 (ninth campaign) vs 1.9 s for
+# keywords, because common terms' postings dominate.  The WAND-style
+# static prefix was measured rank-UNSAFE (retention 0.04–0.56) and
+# rejected in r12; this is the rank-safe alternative:
+#
+#   stage 0  read df for ALL query terms from the standing TOKSTATS
+#            vocab table (Θ(vocab) rows, bucket+zone-map pruned — no
+#            postings touched);
+#   stage 1  CANDIDATE CUT — score only the query's _TS_TERMS rarest
+#            terms (df asc = idf desc; the terms that concentrate the
+#            BM25 mass) through the normal pruned postings read, and
+#            keep the top _TS_OVERFETCH·k docs per probe by partial
+#            score;
+#   stage 2  EXACT RE-RANK — read the candidates' full term vectors
+#            from the FORWARD index (≤ candidates' doc buckets), score
+#            every query term with the ledger N/avglen and tokstats df
+#            (bit-identical op-sequence to the in-plan chain), and
+#            emit the top-k.
+#
+# Serve cost: Θ(rare-term postings) + Θ(candidates · doc length) —
+# independent of the common terms' posting lists.  The ranking is NOT
+# guaranteed identical to exact BM25 (a doc scoring purely on common
+# terms can be cut), so the retention gate pins the measured trade on
+# the driver fixture and the campaign measures it on the 92k-word zipf
+# ov fixtures (the honest fixture, per the r12 verdict).
+# --------------------------------------------------------------------------
+
+_TS_TERMS = 32       # rarest query terms entering the candidate cut
+_TS_OVERFETCH = 4    # candidate pool = overfetch × k
+_TS_K = 5
+
+
+def _two_stage_ctes() -> str:
+    """Oracle CTE chain for the two-stage serve over the in-scope BM25
+    core CTEs (tok/dfreq/dl/stats/qt): term selection → partial scores
+    → candidate cut → exact re-rank → ``ts_top``."""
+    from ..operators.textops import _sql_bm25_term_e9
+
+    pool = _TS_OVERFETCH * _TS_K
+    return f"""qsel AS (
+  SELECT pid, tok FROM (
+    SELECT q.pid, q.tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.pid ORDER BY f.df ASC, q.tok
+           ) AS trn
+    FROM qt q JOIN dfreq f ON f.tok = q.tok
+  ) WHERE trn <= {_TS_TERMS}
+),
+pm AS (
+  SELECT q.pid, t.doc_id AS id, {_sql_bm25_term_e9()} AS e9
+  FROM qsel q
+  JOIN tok t ON t.tok = q.tok AND t.doc_id <> q.pid
+  JOIN dfreq f ON f.tok = q.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+psc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS p9 FROM pm GROUP BY pid, id),
+tcand AS MATERIALIZED (
+  SELECT pid, id FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY p9 DESC, id) AS crn
+    FROM psc
+  ) WHERE crn <= {pool}
+),
+tm2 AS (
+  SELECT q.pid, t.doc_id AS id, {_sql_bm25_term_e9()} AS e9
+  FROM qt q
+  JOIN tcand c ON c.pid = q.pid
+  JOIN tok t ON t.doc_id = c.id AND t.tok = q.tok
+  JOIN dfreq f ON f.tok = q.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+tsc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS bm25_e9 FROM tm2 GROUP BY pid, id),
+ts_top AS (
+  SELECT pid, id, rn, bm25_e9 FROM (
+    SELECT pid, id, bm25_e9,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY bm25_e9 DESC, id) AS rn
+    FROM tsc
+  ) WHERE rn <= {_TS_K}
+)"""
+
+
+def _two_stage_served(
+    spark: SparkSession, roots: dict, qt: DataFrame
+) -> DataFrame:
+    """The two-stage serve against the standing artifacts: returns the
+    per-probe top-k (pid, id, rn, bm25_e9).  Every read is pinned to
+    the ledger-consistent snapshot."""
+    from ..io.acid_table import latest_consistent_version, read_table
+    from ..operators.textops import bm25_term_e9_col
+
+    n_docs, avglen, led_txids = _ledger_snapshot(spark, roots)
+    led = spark.createDataFrame(
+        [(int(n_docs), float(avglen))], "n long, avglen double"
+    )
+    # stage 0: df for ALL query terms from the standing vocab table
+    toks = sorted(r["tok"] for r in qt.select("tok").distinct().collect())
+    allowed = {
+        str(int(__import__("hashlib").md5(t.encode()).hexdigest()[:2], 16)
+            % _TOK_BUCKETS)
+        for t in toks
+    }
+    dfreq = (
+        read_table(
+            spark, roots["tokstats"],
+            partition_filter=lambda kv: kv["tok_bucket"] in allowed,
+            version=latest_consistent_version(roots["tokstats"], led_txids),
+            stats_filter=_term_range_filter(toks),
+        )
+        .filter(F.col("tok").isin(toks))
+        .groupBy(F.col("tok").cast("string").alias("tok"))
+        .agg(F.sum(F.col("df").cast("long")).alias("df"))
+        .localCheckpoint()
+    )
+    # stage 1: rarest-terms candidate cut
+    w_t = Window.partitionBy("pid").orderBy(F.asc("df"), F.asc("tok"))
+    qsel = (
+        qt.join(F.broadcast(dfreq), "tok")
+        .withColumn("trn", F.row_number().over(w_t))
+        .filter(F.col("trn") <= _TS_TERMS)
+        .select("pid", "tok")
+        .localCheckpoint()
+    )
+    sel_toks = sorted({r["tok"] for r in qsel.collect()})
+    pin = latest_consistent_version(roots["postings"], led_txids)
+    idx = read_pruned_postings(
+        spark, roots["postings"], sel_toks, version=pin
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tok").cast("string").alias("tok"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("len").cast("long").alias("len"),
+    )
+    pm = (
+        F.broadcast(qsel.withColumn("w", F.lit(1.0)))
+        .join(idx, "tok")
+        .filter(F.col("doc_id") != F.col("pid"))
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(led))
+        .select("pid", F.col("doc_id").alias("id"), bm25_term_e9_col().alias("e9"))
+        .groupBy("pid", "id")
+        .agg(F.sum("e9").cast("bigint").alias("p9"))
+    )
+    w_c = Window.partitionBy("pid").orderBy(F.desc("p9"), F.asc("id"))
+    cand = (
+        pm.withColumn("crn", F.row_number().over(w_c))
+        .filter(F.col("crn") <= _TS_OVERFETCH * _TS_K)
+        .select("pid", "id")
+        .localCheckpoint()
+    )
+    # stage 2: exact re-rank off the FORWARD index (len = Σtf per doc)
+    cand_buckets = {
+        str(r["b"])
+        for r in cand.select(
+            F.pmod("id", F.lit(_FWD_BUCKETS)).alias("b")
+        ).distinct().collect()
+    }
+    fwd = (
+        read_table(
+            spark, roots["forward"],
+            partition_filter=lambda kv: kv["doc_bucket"] in cand_buckets,
+            version=latest_consistent_version(roots["forward"], led_txids),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            F.col("tok").cast("string").alias("tok"),
+            F.col("tf").cast("long").alias("tf"),
+        )
+        .join(F.broadcast(cand.select("id").distinct()), "id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    dlen = fwd.groupBy("id").agg(F.sum("tf").alias("len"))
+    m2 = (
+        F.broadcast(cand)
+        .join(qt.withColumn("w", F.lit(1.0)), "pid")
+        .join(fwd, ["id", "tok"])
+        .join(F.broadcast(dfreq), "tok")
+        .join(dlen, "id")
+        .crossJoin(F.broadcast(led))
+        .select("pid", "id", bm25_term_e9_col().alias("e9"))
+        .groupBy("pid", "id")
+        .agg(F.sum("e9").cast("bigint").alias("bm25_e9"))
+    )
+    return _topk(m2, "bm25_e9", k=_TS_K).select(
+        F.col("probe_id").alias("pid"),
+        F.col("doc_id").alias("id"),
+        "rn",
+        "bm25_e9",
+    )
+
+
+def _two_stage_oracle() -> str:
+    from ..operators.textops import _sql_bm25_core
+
+    return f"""{_sql_bm25_core()},
+{_two_stage_ctes()}
+SELECT pid AS probe_id, id AS doc_id, rn, bm25_e9 FROM ts_top
+"""
+
+
+@register(
+    "bm25_longdoc_two_stage_served",
+    oracle=_two_stage_oracle(),
+    tags=("text", "llm", "topk", "rag", "acid"),
+    doc=(
+        "L34c (round 13): rank-safe two-stage serving for LONG queries "
+        "— the probe's 32 rarest terms (df from the standing tokstats "
+        "vocab table, no postings touched) nominate a 4k-overfetched "
+        "candidate pool through the pruned postings read, then an "
+        "exact re-rank off the forward index scores EVERY query term "
+        "with ledger N/avglen.  Serve cost Θ(rare-term postings) + "
+        "Θ(candidates·doclen), independent of the common terms' "
+        "posting lists.  Oracle = full SQL replay of both stages."
+    ),
+)
+def bm25_longdoc_two_stage_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bm25ts_")
+    try:
+        roots = _build_standing_index(spark, sf_dir, tmp)
+        qt = _probe_qt(spark, sf_dir).localCheckpoint()
+        _audit_bucket_pruning(spark, roots, qt)
+        out = (
+            _two_stage_served(spark, roots, qt)
+            .select(
+                F.col("pid").alias("probe_id"),
+                F.col("id").alias("doc_id"),
+                "rn",
+                "bm25_e9",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _two_stage_retention_oracle() -> str:
+    from ..operators.textops import _sql_bm25_core
+
+    return f"""{_sql_bm25_core()},
+{_two_stage_ctes()},
+extop AS (
+  SELECT pid, id FROM (
+    SELECT pid, id,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY bm25_e9 DESC, id) AS rn
+    FROM sc
+  ) WHERE rn <= {_TS_K}
+),
+hits AS (
+  SELECT s.pid, s.id,
+         CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM ts_top s LEFT JOIN extop t ON t.pid = s.pid AND t.id = s.id
+)
+SELECT CAST(SUM(hit) AS BIGINT) AS n_hits,
+       COUNT(*) AS n_slots,
+       CAST((10000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS BIGINT) AS recall_e4
+FROM hits
+"""
+
+
+@register(
+    "bm25_two_stage_retention_check",
+    oracle=_two_stage_retention_oracle(),
+    tags=("text", "llm", "quality-gate", "rag", "acid"),
+    doc=(
+        "L34c quality gate: retention of the exact BM25 top-5 by the "
+        "two-stage serve's top-5 (recall_e4), driver-hash-PINNED — the "
+        "candidate cut going rank-unsafe fails the gate.  The harness "
+        "additionally hard-fails below 0.9 (the VERDICT-r12 bar the "
+        "rejected WAND prefix missed at 0.04–0.56)."
+    ),
+)
+def bm25_two_stage_retention_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.textops import _bm25_frames, _bm25_scores
+
+    tmp = tempfile.mkdtemp(prefix="bm25tsr_")
+    try:
+        roots = _build_standing_index(spark, sf_dir, tmp)
+        qt = _probe_qt(spark, sf_dir).localCheckpoint()
+        served = _two_stage_served(spark, roots, qt).select("pid", "id")
+        fr = _bm25_frames(spark, sf_dir)
+        exact = _topk(
+            _bm25_scores(fr, fr["qt"].withColumn("w", F.lit(1.0)), "bm25_e9"),
+            "bm25_e9", k=_TS_K,
+        ).select(
+            F.col("probe_id").alias("pid"), F.col("doc_id").alias("tid")
+        )
+        hits = served.join(
+            exact,
+            (exact["pid"] == served["pid"]) & (exact["tid"] == served["id"]),
+            "left",
+        ).select(
+            F.when(F.col("tid").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("hit")
+        )
+        out = hits.agg(
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            F.count("*").alias("n_slots"),
+            F.expr("CAST(10000 * sum(hit) AS BIGINT) div count(*)").alias(
+                "recall_e4"
+            ),
+        ).localCheckpoint()
+        rec = out.collect()[0]
+        if int(rec["recall_e4"]) < 9000:
+            raise RuntimeError(
+                f"two-stage serve went rank-unsafe: retention "
+                f"{int(rec['recall_e4']) / 1e4:.4f} < 0.9"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1487,6 +1487,7 @@ def write_stream_bm25_index_gate(
     forward_root: str,
     stats_root: str,
     checkpoint: str | None = None,
+    tokstats_root: str | None = None,
 ):
     """T8k (round 12): STREAMING LEXICAL (BM25) INDEX MAINTENANCE — the
     ingest face of the retrieval family (VERDICT r11 #1).  The batch
@@ -1514,7 +1515,12 @@ def write_stream_bm25_index_gate(
        them by summing the (tiny) ledger, so a crash-replayed epoch
        cannot double-count them.
 
-    All three appends share ONE epoch txid: a replayed epoch is a
+    5. (optional, ``tokstats_root``) Append the batch's per-token df
+       DELTAS to the standing vocab table — the long-query two-stage
+       serve ranks query terms by summed df without touching postings
+       (``bm25_longdoc_two_stage_served``).
+
+    All appends share ONE epoch txid: a replayed epoch is a
     no-op on postings, forward, and ledger at once.  They are still
     three SEPARATE table commits, so a crash between them leaves a
     window where postings hold an epoch the ledger excludes (the
@@ -1557,6 +1563,16 @@ def write_stream_bm25_index_gate(
             fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
             forward_root, ["doc_bucket"], txid
         )
+        if tokstats_root is not None:
+            # per-epoch df DELTAS (df is additive over batches of new
+            # docs): serving sums them, so a replayed epoch can't
+            # double-count — the ledger rule applied to the vocab table
+            append_partitions(
+                postings.groupBy("tok", "tok_bucket")
+                .agg(F.count("*").alias("df"))
+                .withColumn("epoch", F.lit(int(epoch_id))),
+                tokstats_root, ["tok_bucket"], txid,
+            )
         ledger = spark.createDataFrame(
             [
                 (
