@@ -202,6 +202,14 @@ HEADLINE = [
     "cdf_incremental_rollup",
     "retrieval_rank_metrics",
     "retrieval_rank_metrics_served",
+    # round 13: the searchable curation gate (one ingest, all standing
+    # artifacts), delete propagation to the retrieval indexes, postings
+    # compaction, and the rank-safe two-stage long-query serve (the
+    # retention gate shares the family; kept out to bound wall time)
+    "stream_curation_searchable",
+    "retrieval_index_delete_audit",
+    "bm25_index_compaction_audit",
+    "bm25_longdoc_two_stage_served",
 ]
 
 

@@ -44,7 +44,7 @@ from ..io.tables import table
 from ..registry import register
 from ._helpers import md5_bucket
 from .similarity import (
-    _IVF_NPROBE,
+    _SERVED_NPROBE,
     _SQL_DOT,
     _SQL_NORM,
     _SQL_QVEC,
@@ -127,7 +127,7 @@ pcell AS (
              PARTITION BY p.pid ORDER BY {pcos} DESC, c.centroid_id
            ) AS crn
     FROM probes p CROSS JOIN cents c
-  ) WHERE crn <= {_IVF_NPROBE}
+  ) WHERE crn <= {_SERVED_NPROBE}
 ),
 anntop AS (
   SELECT pid, vec_id, rn, CAST(FLOOR(qsim * 1e9) AS BIGINT) AS e9 FROM (
@@ -386,7 +386,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c_sim"),
             )
             .withColumn("crn", F.row_number().over(w_c))
-            .filter(F.col("crn") <= _IVF_NPROBE)
+            .filter(F.col("crn") <= _SERVED_NPROBE)
             .select("pid", "centroid_id")
             .localCheckpoint()
         )

@@ -42,6 +42,7 @@ from ..io.tables import table
 from ..registry import register
 from .similarity import (
     _IVF_NPROBE,
+    _SERVED_NPROBE,
     _MMR_K,
     _MMR_POOL,
     _MMR_PROBES,
@@ -78,7 +79,7 @@ def _sql_served_pool(
 ) -> str:
     """CTE chain (nb → params/cents → asg → pcell → ``{out}``): the
     ANN-served candidate pool — bootstrap-trained quantizer, two-level
-    assignment of the whole corpus, top-``_IVF_NPROBE`` cells per
+    assignment of the whole corpus, top-``_SERVED_NPROBE`` cells per
     probe, exact cosine re-rank of the probed cells' members.
     ``{src}`` must expose (vec_id, qv, nrm), ``{probes}``
     ({pid}, pqv, pnrm)."""
@@ -95,7 +96,7 @@ pcell AS (
              PARTITION BY p.{pid} ORDER BY {pcos} DESC, c.centroid_id
            ) AS crn
     FROM {probes} p CROSS JOIN cents c
-  ) WHERE crn <= {_IVF_NPROBE}
+  ) WHERE crn <= {_SERVED_NPROBE}
 ),
 {out} AS MATERIALIZED (
   SELECT {pid}, vec_id, qv, nrm, qsim FROM (
@@ -135,7 +136,7 @@ def _ann_candidate_pool(
     probes: DataFrame,
     pool: int,
     tmp: str,
-    nprobe: int = _IVF_NPROBE,
+    nprobe: int = _SERVED_NPROBE,
 ) -> DataFrame:
     """Spark twin of :func:`_sql_served_pool`: build the standing
     bucketed index once (raw vectors per cell for exact re-rank), probe
@@ -343,7 +344,7 @@ WHERE rn <= 5
 def _rrf_served_fused(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = _IVF_NPROBE,
+    nprobe: int = _SERVED_NPROBE,
     pool: int = _RRF_POOL,
     tmp: str | None = None,
 ) -> DataFrame:

@@ -340,6 +340,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 4
 
+# Round 13 (VERDICT r12 #2): the SERVED retrieval pools' operating
+# point, picked from the measured nprobe×pool quality-latency curve
+# (scripts/served_quality_curve.py; BASELINE.md tenth campaign).  At
+# nprobe=4 the served hybrid lost ~35% of nDCG@10 (0.34–0.37 vs exact
+# 0.57) for no latency win — the r12 "pinned cliff".  nprobe=12 buys
+# nDCG 0.53–0.59 and top-5 retention 0.93–0.96 at fixture/ov-sf1 scale
+# with ~flat serve latency (the cell reads are a small share of the
+# serve); nprobe=16 is exhaustive at the fixture's K=16 and adds little
+# at ov scale.  Pool 50 never beat pool 20 on any metric.  The batch
+# IVF demos keep _IVF_NPROBE=4 (their oracles pin the classic
+# low-nprobe search shape); every SERVED gate reads this constant, so
+# Spark and oracle move together.
+_SERVED_NPROBE = 12
+
 # --- corpus-scaled, data-driven centroid seeding (round 9) -----------------
 # The r1–r8 quantizer pinned K = 16 centroids to vec_id ∈ [100, 116) —
 # per-cell population grew ∝ n/16, so every within-cell self-join was

@@ -84,6 +84,14 @@ _FORCE_RECHECK: tuple[str, ...] = (
     # objective dissimilarity-dominated); query AND oracle changed
     # together, so the recorded r12 hash is stale.
     "rag_chunk_pipeline",
+    # round 13: every SERVED retrieval gate re-pinned at the measured
+    # quality-latency knee _SERVED_NPROBE = 12 (was the r12 nprobe=4
+    # cliff — VERDICT r12 #2); Spark and oracle derive from the same
+    # constant, but the recorded r12 hashes are stale.
+    "mmr_diversified_topk_served",
+    "hybrid_rrf_retrieval_served",
+    "hybrid_served_recall_check",
+    "retrieval_rank_metrics_served",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query
