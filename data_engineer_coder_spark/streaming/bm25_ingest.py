@@ -881,8 +881,18 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ov fixtures (the honest fixture, per the r12 verdict).
 # --------------------------------------------------------------------------
 
-_TS_TERMS = 32       # rarest query terms entering the candidate cut
-_TS_OVERFETCH = 4    # candidate pool = overfetch × k
+# Operating point measured on the 92k-word zipf ov fixtures (tenth
+# campaign, m swept WITH one shared ov-sf100 build): the m dial trades
+# candidate recall against the selected terms' summed posting-list
+# length — m=32 serves 34 s but retains only 0.80 of the exact top-5
+# (the cut misses discriminative medium-df terms); m=64 retains 1.0
+# but the 41st-64th rarest terms of a zipf doc drag mid-frequency
+# lists in (167 s — slower than exact); m=40 is the knee: retention
+# 0.911/0.956/0.911 across ov-sf1/10/100 with the ov-sf100 serve at
+# 49 s vs exact's 98 s.  Overfetch is cheap (stage 2 ∝ pool·doclen);
+# 10 beats 4 on recall for free.
+_TS_TERMS = 40       # rarest query terms entering the candidate cut
+_TS_OVERFETCH = 10   # candidate pool = overfetch × k
 _TS_K = 5
 
 
@@ -938,7 +948,8 @@ ts_top AS (
 
 
 def _two_stage_served(
-    spark: SparkSession, roots: dict, qt: DataFrame
+    spark: SparkSession, roots: dict, qt: DataFrame,
+    n_terms: int = _TS_TERMS, overfetch: int = _TS_OVERFETCH,
 ) -> DataFrame:
     """The two-stage serve against the standing artifacts: returns the
     per-probe top-k (pid, id, rn, bm25_e9).  Every read is pinned to
@@ -974,7 +985,7 @@ def _two_stage_served(
     qsel = (
         qt.join(F.broadcast(dfreq), "tok")
         .withColumn("trn", F.row_number().over(w_t))
-        .filter(F.col("trn") <= _TS_TERMS)
+        .filter(F.col("trn") <= n_terms)
         .select("pid", "tok")
         .localCheckpoint()
     )
@@ -1001,7 +1012,7 @@ def _two_stage_served(
     w_c = Window.partitionBy("pid").orderBy(F.desc("p9"), F.asc("id"))
     cand = (
         pm.withColumn("crn", F.row_number().over(w_c))
-        .filter(F.col("crn") <= _TS_OVERFETCH * _TS_K)
+        .filter(F.col("crn") <= overfetch * _TS_K)
         .select("pid", "id")
         .localCheckpoint()
     )
@@ -1061,8 +1072,8 @@ SELECT pid AS probe_id, id AS doc_id, rn, bm25_e9 FROM ts_top
     tags=("text", "llm", "topk", "rag", "acid"),
     doc=(
         "L34c (round 13): rank-safe two-stage serving for LONG queries "
-        "— the probe's 32 rarest terms (df from the standing tokstats "
-        "vocab table, no postings touched) nominate a 4k-overfetched "
+        "— the probe's 40 rarest terms (df from the standing tokstats "
+        "vocab table, no postings touched) nominate a 10k-overfetched "
         "candidate pool through the pruned postings read, then an "
         "exact re-rank off the forward index scores EVERY query term "
         "with ledger N/avglen.  Serve cost Θ(rare-term postings) + "
