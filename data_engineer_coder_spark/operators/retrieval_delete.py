@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from ..io.tables import table
 from ..registry import register
 from ._helpers import md5_bucket
+from .retrieval_served import _cell_bucket
 from .similarity import (
     _SERVED_NPROBE,
     _SQL_DOT,
@@ -58,7 +59,6 @@ from .similarity import (
     _two_level_assign,
 )
 
-_CELL_BUCKETS = 16
 _TOK_BUCKETS = 16
 _FWD_BUCKETS = 16
 
@@ -208,9 +208,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace_partitions(
             _two_level_assign(nv, cents)
             .select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn(
-                "cell_bucket", F.pmod("centroid_id", F.lit(_CELL_BUCKETS))
-            ),
+            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
             ann_root, ["cell_bucket"], "bulk-load",
         )
 
@@ -249,9 +247,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_del, len_del = int(dstat["nd"]), int(dstat["lens"])
         del_cells = _two_level_assign(
             nv.filter(F.col("vec_id").isin(del_ids)), cents
-        ).select(
-            F.pmod("centroid_id", F.lit(_CELL_BUCKETS)).alias("b")
-        )
+        ).select(_cell_bucket(F.col("centroid_id")).alias("b"))
         cell_buckets = {str(r["b"]) for r in del_cells.distinct().collect()}
 
         man_pre = {
@@ -393,7 +389,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed = {
             str(r["b"])
             for r in pcell.select(
-                F.pmod("centroid_id", F.lit(_CELL_BUCKETS)).alias("b")
+                _cell_bucket(F.col("centroid_id")).alias("b")
             ).distinct().collect()
         }
         idx = read_table(

@@ -64,7 +64,24 @@ from .similarity import (
     _two_level_assign,
 )
 
-_CELL_BUCKETS = 16
+# Physical ANN partition key for the served index family.  Round 13:
+# hash-mixed and widened 16 → 64 after the quality-curve sweep showed
+# `centroid_id % 16` inheriting the fixtures' embedding-id parity (only
+# even buckets populated → the per-probe partition prune capped at half
+# the granularity it should have).  md5-mixing kills id-structure skew;
+# 64 buckets let a 12-cell probe read ≤ 12/64 of the index instead of
+# ≤ 12/16.  Physical only — no oracle hashes the layout; the pruning
+# audits assert against whatever this yields.
+_CELL_BUCKETS = 64
+
+
+def _cell_bucket(col):
+    """The one physical bucket function every served-ANN writer and
+    reader shares (writer layout, reader partition_filter, audits) —
+    split it and the manifest prune silently reads the wrong dirs."""
+    from ._helpers import md5_bucket
+
+    return F.pmod(md5_bucket(col), F.lit(_CELL_BUCKETS))
 
 
 def _sql_cos(a: str, b: str, na: str, nb: str) -> str:
@@ -125,7 +142,7 @@ def _build_ann_index(spark: SparkSession, nv: DataFrame, index_root: str):
     if not os.path.isdir(os.path.join(index_root, "_manifests")):
         idx_rows = _two_level_assign(nv, cents).select(
             "vec_id", "centroid_id", "qv", "nrm"
-        ).withColumn("cell_bucket", F.pmod("centroid_id", F.lit(_CELL_BUCKETS)))
+        ).withColumn("cell_bucket", _cell_bucket(F.col("centroid_id")))
         replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
     return cents
 
@@ -170,9 +187,7 @@ def _ann_candidate_pool(
     )
     allowed = {
         str(r["b"])
-        for r in probe_cells.select(
-            F.pmod("centroid_id", F.lit(_CELL_BUCKETS)).alias("b")
-        )
+        for r in probe_cells.select(_cell_bucket(F.col("centroid_id")).alias("b"))
         .distinct()
         .collect()
     }
@@ -190,9 +205,7 @@ def _ann_candidate_pool(
     one = probe_cells.orderBy("probe_id").limit(nprobe)
     one_buckets = {
         str(r["b"])
-        for r in one.select(
-            F.pmod("centroid_id", F.lit(_CELL_BUCKETS)).alias("b")
-        ).collect()
+        for r in one.select(_cell_bucket(F.col("centroid_id")).alias("b")).collect()
     }
     all_parts = list(current_manifest(index_root)["partitions"])
     one_parts = [

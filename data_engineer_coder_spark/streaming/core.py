@@ -1220,6 +1220,7 @@ def write_stream_curation_gate(
 
         # 3b. searchable-corpus appends (same txid — see docstring)
         if search_roots is not None:
+            from ..operators.retrieval_served import _cell_bucket
             from ..operators.similarity import _two_level_assign
 
             fr = bm25_index_batch_frames(accepted.select("doc_id", "text"))
@@ -1261,7 +1262,7 @@ def write_stream_curation_gate(
                 )
                 .select("vec_id", "centroid_id", "qv", "nrm")
                 .withColumn("epoch", F.lit(int(epoch_id)))
-                .withColumn("cell_bucket", F.pmod("centroid_id", F.lit(16)))
+                .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id")))
                 .localCheckpoint()
             )
             if ann.count():
