@@ -35,6 +35,7 @@ from data_engineer_coder_spark.io.tables import table  # noqa: E402
 from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
     _CELL_BUCKETS,
     _build_ann_index,
+    _cell_bucket,
     _rank_metrics_over,
     _rrf_served_fused,
 )
@@ -98,7 +99,7 @@ def _buckets_read(spark, sf_dir, nprobe) -> int:
         )
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= nprobe)
-        .select(F.pmod("centroid_id", F.lit(_CELL_BUCKETS)).alias("b"))
+        .select(_cell_bucket(F.col("centroid_id")).alias("b"))
         .distinct()
         .count()
     )
