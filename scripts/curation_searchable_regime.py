@@ -33,6 +33,9 @@ from data_engineer_coder_spark.operators.dedup import (  # noqa: E402
     minhash_from_hashes,
     shingle_hashes,
 )
+from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
+    _cell_bucket,
+)
 from data_engineer_coder_spark.operators.similarity import (  # noqa: E402
     _dot,
     _ivf_cents,
@@ -106,7 +109,7 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
     replace_partitions(
         _two_level_assign(emb, cents).select("vec_id", "centroid_id", "qv", "nrm")
         .withColumn("epoch", F.lit(-1))
-        .withColumn("cell_bucket", F.pmod("centroid_id", F.lit(16))),
+        .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
         roots["ann"], ["cell_bucket"], "bulk-load",
     )
     return roots

@@ -45,6 +45,9 @@ from data_engineer_coder_spark.io.acid_table import (  # noqa: E402
     read_table,
 )
 from data_engineer_coder_spark.io.tables import table  # noqa: E402
+from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
+    _cell_bucket,
+)
 from data_engineer_coder_spark.operators.similarity import (  # noqa: E402
     _dot,
     _ivf_cents,
@@ -163,7 +166,7 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
         cents = _ivf_cents(nv.filter(F.pmod("vec_id", F.lit(10)) == 0)).localCheckpoint()
         replace_partitions(
             _two_level_assign(nv, cents).select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn("cell_bucket", F.pmod("centroid_id", F.lit(16))),
+            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
             ann_root, ["cell_bucket"], "bulk-load",
         )
         qt = _probe_qt(spark, sf_dir).localCheckpoint()
@@ -205,7 +208,7 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
         cell_buckets = {
             str(r["b"]) for r in _two_level_assign(
                 nv.filter(F.col("vec_id").isin(del_ids)), cents
-            ).select(F.pmod("centroid_id", F.lit(16)).alias("b")).distinct().collect()
+            ).select(_cell_bucket(F.col("centroid_id")).alias("b")).distinct().collect()
         }
         t0 = time.time()
         delete_rows(
