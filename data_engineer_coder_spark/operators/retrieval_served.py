@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from ..io.tables import table
 from ..registry import register
 from .similarity import (
-    _IVF_NPROBE,
     _SERVED_NPROBE,
     _MMR_K,
     _MMR_POOL,

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from data_engineer_coder_spark.io.tables import table  # noqa: E402
 from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
-    _CELL_BUCKETS,
     _build_ann_index,
     _cell_bucket,
     _rank_metrics_over,
