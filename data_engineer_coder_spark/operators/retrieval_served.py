@@ -63,24 +63,46 @@ from .similarity import (
     _two_level_assign,
 )
 
-# Physical ANN partition key for the served index family.  Round 13:
-# hash-mixed and widened 16 → 64 after the quality-curve sweep showed
-# `centroid_id % 16` inheriting the fixtures' embedding-id parity (only
-# even buckets populated → the per-probe partition prune capped at half
-# the granularity it should have).  md5-mixing kills id-structure skew;
-# 64 buckets let a 12-cell probe read ≤ 12/64 of the index instead of
-# ≤ 12/16.  Physical only — no oracle hashes the layout; the pruning
-# audits assert against whatever this yields.
+# CREATION-TIME default for the served ANN index's physical partition
+# key.  Round 13: hash-mixed and widened 16 → 64 after the quality-curve
+# sweep showed `centroid_id % 16` inheriting the fixtures' embedding-id
+# parity (only even buckets populated → the per-probe partition prune
+# capped at half the granularity it should have).  md5-mixing kills
+# id-structure skew.  Round 14 (VERDICT r13 #1): the count a table was
+# WRITTEN with is persisted in its _config.json (io/layout.py) and every
+# reader/delete derives it from the table; this constant only seeds a
+# brand-new index.  Physical only — no oracle hashes the layout; the
+# pruning audits assert against whatever the table records.
 _CELL_BUCKETS = 64
 
+# Corpus scaling for new indexes: ≈ this many IVF cells per bucket, so
+# the per-probe prune fraction (nprobe / buckets) keeps shrinking as
+# K ∝ corpus grows instead of saturating at 64 dirs.
+_CELLS_PER_BUCKET = 16
 
-def _cell_bucket(col):
+
+def cell_layout(index_root: str, n_cells: int | None = None) -> int:
+    """Resolve (and on first write persist) an ANN index's cell-bucket
+    count.  A creator passes ``n_cells`` (the trained quantizer's K) to
+    get the corpus-scaled count; readers/deletes omit it and the
+    persisted record is REQUIRED (guessing prunes the wrong dirs)."""
+    from ..io.layout import pow2_buckets, read_table_config, table_config
+
+    if n_cells is None:
+        return int(read_table_config(index_root)["cell_buckets"])
+    want = pow2_buckets(int(n_cells), _CELLS_PER_BUCKET, lo=_CELL_BUCKETS)
+    return int(table_config(index_root, {"cell_buckets": want})["cell_buckets"])
+
+
+def _cell_bucket(col, n_buckets: int = _CELL_BUCKETS):
     """The one physical bucket function every served-ANN writer and
     reader shares (writer layout, reader partition_filter, audits) —
-    split it and the manifest prune silently reads the wrong dirs."""
+    split it and the manifest prune silently reads the wrong dirs.
+    ``n_buckets`` must be the TABLE's persisted count (``cell_layout``)
+    for any standing-table use."""
     from ._helpers import md5_bucket
 
-    return F.pmod(md5_bucket(col), F.lit(_CELL_BUCKETS))
+    return F.pmod(md5_bucket(col), F.lit(int(n_buckets)))
 
 
 def _sql_cos(a: str, b: str, na: str, nb: str) -> str:
@@ -139,9 +161,10 @@ def _build_ann_index(spark: SparkSession, nv: DataFrame, index_root: str):
     boot = nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
     cents = _ivf_cents(boot).localCheckpoint(eager=False)
     if not os.path.isdir(os.path.join(index_root, "_manifests")):
+        cellb = cell_layout(index_root, n_cells=cents.count())
         idx_rows = _two_level_assign(nv, cents).select(
             "vec_id", "centroid_id", "qv", "nrm"
-        ).withColumn("cell_bucket", _cell_bucket(F.col("centroid_id")))
+        ).withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb))
         replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
     return cents
 
@@ -165,6 +188,7 @@ def _ann_candidate_pool(
 
     index_root = os.path.join(tmp, "ann_index")
     cents = _build_ann_index(spark, nv, index_root)
+    cellb = cell_layout(index_root)  # the persisted layout, never a guess
 
     w_cent = Window.partitionBy("probe_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
@@ -186,7 +210,9 @@ def _ann_candidate_pool(
     )
     allowed = {
         str(r["b"])
-        for r in probe_cells.select(_cell_bucket(F.col("centroid_id")).alias("b"))
+        for r in probe_cells.select(
+            _cell_bucket(F.col("centroid_id"), cellb).alias("b")
+        )
         .distinct()
         .collect()
     }
@@ -204,7 +230,9 @@ def _ann_candidate_pool(
     one = probe_cells.orderBy("probe_id").limit(nprobe)
     one_buckets = {
         str(r["b"])
-        for r in one.select(_cell_bucket(F.col("centroid_id")).alias("b")).collect()
+        for r in one.select(
+            _cell_bucket(F.col("centroid_id"), cellb).alias("b")
+        ).collect()
     }
     all_parts = list(current_manifest(index_root)["partitions"])
     one_parts = [
@@ -765,14 +793,23 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="ragchunk_")
     try:
-        # STANDING CHUNK-POSTINGS INDEX (token-bucketed, one bulk txn)
+        # STANDING CHUNK-POSTINGS INDEX (token-bucketed, one bulk txn);
+        # layout persisted at creation like every standing postings table
         post_root = os.path.join(tmp, "chunk_postings")
+        from ..io.layout import table_config
+        from ..streaming.core import _BM25_TOK_BUCKETS
         from ._helpers import shuffle_parts
 
+        tokb = int(
+            table_config(post_root, {"tok_buckets": _BM25_TOK_BUCKETS})[
+                "tok_buckets"
+            ]
+        )
         fr = bm25_index_batch_frames(
             chunks.select(
                 F.col("ck").alias("doc_id"), F.array_join("cws", " ").alias("text")
-            )
+            ),
+            tok_buckets=tokb,
         )
         # token-range-sorted files → per-file zone maps prune the serve
         # read (the _build_standing_index layout convention)

@@ -77,21 +77,28 @@ _loaded = False
 # row for them: always re-checked first, regardless of recorded status.
 # Prune when the post-change round records a fresh green row.
 _FORCE_RECHECK: tuple[str, ...] = (
-    # (round-12 cohort — staged re-encode swap, CDF guard — pruned:
-    # both re-proven green in CORRECTNESS_r12.)
-    # round 13: rag_chunk_pipeline's MMR pool now rank-normalizes the
-    # fused score (ADVICE r12 — rrf ~0.033 vs cosine ~[-1,1] made the
-    # objective dissimilarity-dominated); query AND oracle changed
-    # together, so the recorded r12 hash is stale.
-    "rag_chunk_pipeline",
-    # round 13: every SERVED retrieval gate re-pinned at the measured
-    # quality-latency knee _SERVED_NPROBE = 12 (was the r12 nprobe=4
-    # cliff — VERDICT r12 #2); Spark and oracle derive from the same
-    # constant, but the recorded r12 hashes are stale.
-    "mmr_diversified_topk_served",
-    "hybrid_rrf_retrieval_served",
-    "hybrid_served_recall_check",
-    "retrieval_rank_metrics_served",
+    # (round-13 cohort — rag_chunk_pipeline rank-normalization + the
+    # nprobe=12 served re-pin — pruned: all 5 re-proven green in
+    # CORRECTNESS_r13.)
+    # round 14: the compaction audit now covers all three lexical
+    # tables (oracle re-derived: tbl column + forward/tokstats dir
+    # ledgers), and the delete audit routes through
+    # propagate_retrieval_delete (tokstats df corrections, layout from
+    # table metadata) — implementations/oracles changed post-green.
+    "bm25_index_compaction_audit",
+    "retrieval_index_delete_audit",
+    # round 14: the two-stage serve's stage-0 dfreq now drops df<=0
+    # tokens and reads the persisted tokstats layout; the retention
+    # gate shares the path.
+    "bm25_longdoc_two_stage_served",
+    "bm25_two_stage_retention_check",
+    # round 14: served/standing-index reads derive bucket layouts from
+    # table _config.json (VERDICT r13 #1) and the curation gate commits
+    # its BM25 ledger last (ADVICE r13) — recorded hashes predate that.
+    "bm25_topk_served",
+    "bm25_rm3_expansion_served",
+    "stream_bm25_index_ingest",
+    "stream_curation_searchable",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -42,12 +42,49 @@ from ..io.tables import table
 from ..operators._helpers import md5_bucket, sql_md5_bucket
 from ..registry import register
 
+# The ORACLE-REPLAYABLE layout: every driver fixture (sf ≤ 0.1) resolves
+# to 16 buckets (the pow2_buckets lo clamp), so DuckDB oracles that hash
+# the physical layout stay literal.  These constants never reach a
+# standing-table write or read directly — the table's _config.json
+# record does (core.bm25_table_layout / io/layout.py, VERDICT r13 #1).
 _TOK_BUCKETS = 16
 _FWD_BUCKETS = 16
+
+# Corpus scaling for bulk-built indexes: ≈ this many corpus TOKENS per
+# token bucket (len_sum is known before the postings pass; distinct
+# postings ≤ tokens, so buckets err slightly wide).  At 16 buckets a
+# ~100-word doc's tokens hash into EVERY bucket, so a takedown rewrote
+# 16/16 postings buckets ∝ corpus (r13 tenth campaign); scaling the
+# count with the corpus keeps per-doc bucket fan-out a shrinking
+# fraction: ov-sf1 → 64, ov-sf10 → 512, ov-sf100 → 4096 (hi clamp).
+_TOKENS_PER_BUCKET = 65_536
 
 
 def _sql_tok_bucket(tok: str = "tok") -> str:
     return f"CAST(({sql_md5_bucket(tok)}) % {_TOK_BUCKETS} AS INT)"
+
+
+def _py_tok_bucket(tok: str, n_buckets: int) -> int:
+    """Driver-side twin of ``_helpers.md5_bucket % n_buckets`` (first
+    two md5 hex chars) — the one place the serve paths hash a token on
+    the driver to build a partition_filter's allowed-bucket set."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % int(n_buckets)
+
+
+def _tok_layout(postings_root: str) -> int:
+    """The postings table's persisted token-bucket count (reader side)."""
+    from ..io.layout import read_table_config
+
+    return int(read_table_config(postings_root)["tok_buckets"])
+
+
+def _fwd_layout(forward_root: str) -> int:
+    """The forward table's persisted doc-bucket count (reader side)."""
+    from ..io.layout import read_table_config
+
+    return int(read_table_config(forward_root)["fwd_buckets"])
 
 
 def _bm25_ingest_oracle() -> str:
@@ -213,7 +250,8 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     import os
 
     from ..io.acid_table import replace_partitions
-    from .core import bm25_index_batch_frames
+    from ..io.layout import pow2_buckets
+    from .core import bm25_index_batch_frames, bm25_table_layout
 
     from ..operators._helpers import shuffle_parts
 
@@ -222,7 +260,20 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
         for nm in ("postings", "forward", "stats", "tokstats")
     }
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    fr = bm25_index_batch_frames(docs)
+    # Corpus-scaled layout, decided BEFORE the postings pass from the
+    # cheap length aggregate (split+size, no explode), then persisted in
+    # each table's _config.json so every later reader/delete/compaction
+    # derives it from the table instead of a module constant.
+    stats = docs.select(F.size(F.split("text", " ")).alias("len")).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
+    ).collect()[0]
+    want = pow2_buckets(int(stats["len_sum"]), _TOKENS_PER_BUCKET)
+    tokb, fwdb = bm25_table_layout(
+        roots["postings"], roots["forward"], roots["tokstats"],
+        tok_buckets=want, fwd_buckets=want,
+    )
+    fr = bm25_index_batch_frames(docs, tokb, fwdb)
     # Range-partition by token and sort within tasks before the write:
     # each staged file then covers a NARROW token range, so the commit's
     # parquet-footer zone maps (min/max tok per file) let a serve read
@@ -255,10 +306,6 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
         .sortWithinPartitions("tok")
     )
     replace_partitions(tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load")
-    stats = fr["dl"].agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
-    ).collect()[0]
     ledger = spark.createDataFrame(
         [(-1, int(stats["n_docs"]), int(stats["len_sum"]))],
         "epoch int, n_docs long, len_sum long",
@@ -324,6 +371,13 @@ def _ledger_snapshot(
     n = sum(int(r["n_docs"]) for r in rows)
     lens = sum(int(r["len_sum"]) for r in rows)
     txids = set(current_manifest(roots["stats"]).get("txids", []))
+    if n == 0:
+        # A ledger netting to zero docs is reachable: delete corrections
+        # cancelling the corpus, or a first gate epoch that accepts
+        # nothing (its stats row is appended even when n_accepted is 0).
+        # Serving such a corpus returns no scores; avglen 0.0 is inert
+        # because no posting row exists to score (ADVICE r13).
+        return 0, 0.0, txids
     return n, lens / n, txids
 
 
@@ -339,15 +393,13 @@ def read_pruned_postings(
     ONE implementation shared by every served lexical read (BM25/RM3
     serving, the hybrid lexical leg, the chunk pipeline) so the
     pruning contract cannot drift between them.  Returns all columns
-    the table holds for the matching rows (callers select/cast)."""
-    import hashlib
-
+    the table holds for the matching rows (callers select/cast).  The
+    bucket count comes from the TABLE's persisted layout record — never
+    a module constant (VERDICT r13 #1)."""
     from ..io.acid_table import read_table
 
-    allowed = {
-        str(int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % _TOK_BUCKETS)
-        for t in toks
-    }
+    tokb = _tok_layout(postings_root)
+    allowed = {str(_py_tok_bucket(t, tokb)) for t in toks}
     return read_table(
         spark,
         postings_root,
@@ -410,13 +462,8 @@ def _audit_bucket_pruning(spark: SparkSession, roots: dict, qt: DataFrame) -> No
     cost probe-local, so that is what the audit pins.)"""
     from ..io.acid_table import current_manifest
 
-    import hashlib
-
     one_tok = qt.select("tok").orderBy("tok").limit(1).collect()[0]["tok"]
-    # driver-side twin of _helpers.md5_bucket % 16 (first two md5 hex chars)
-    one_bucket = {
-        str(int(hashlib.md5(one_tok.encode()).hexdigest()[:2], 16) % _TOK_BUCKETS)
-    }
+    one_bucket = {str(_py_tok_bucket(one_tok, _tok_layout(roots["postings"])))}
     all_parts = list(current_manifest(roots["postings"])["partitions"])
     one_parts = [
         p for p in all_parts
@@ -614,7 +661,7 @@ def bm25_rm3_expansion_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb_buckets = {
             str(r["b"])
             for r in fb.select(
-                F.pmod("doc_id", F.lit(_FWD_BUCKETS)).alias("b")
+                F.pmod("doc_id", F.lit(_fwd_layout(roots["forward"]))).alias("b")
             )
             .distinct()
             .collect()
@@ -678,6 +725,12 @@ def bm25_rm3_expansion_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _compaction_oracle() -> str:
+    """Dir-ledger replay for ALL THREE standing lexical tables: per
+    epoch each table gains one generation dir per touched bucket, the
+    compaction collapses each to one dir per live bucket, and row
+    counts never change.  postings rows = (doc, tok) pairs; forward
+    rows = the same pairs; tokstats rows = one df-delta row per
+    (epoch, distinct tok)."""
     return f"""
 WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 tok AS MATERIALIZED (
@@ -685,25 +738,49 @@ tok AS MATERIALIZED (
   FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
   GROUP BY doc_id, tok
 ),
-p AS (
-  SELECT {_sql_tok_bucket()} AS tb, CAST(doc_id % 3 AS INT) AS e FROM tok
+p AS MATERIALIZED (
+  SELECT doc_id, tok, {_sql_tok_bucket()} AS tb,
+         CAST(doc_id % {_FWD_BUCKETS} AS BIGINT) AS fb,
+         CAST(doc_id % 3 AS INT) AS e
+  FROM tok
 ),
-agg AS (
-  SELECT
-    COUNT(DISTINCT tb) FILTER (WHERE e = 0) AS b0,
-    COUNT(DISTINCT tb) FILTER (WHERE e = 1) AS b1,
-    COUNT(DISTINCT tb) FILTER (WHERE e = 2) AS b2,
-    COUNT(DISTINCT tb) AS ball,
-    COUNT(*) FILTER (WHERE e = 0) AS r0,
-    COUNT(*) FILTER (WHERE e = 1) AS r1,
-    COUNT(*) FILTER (WHERE e = 2) AS r2,
-    COUNT(*) AS rall
+pe AS (
+  SELECT e,
+         COUNT(*) AS rows_pf,
+         COUNT(DISTINCT tb) AS dirs_t,
+         COUNT(DISTINCT fb) AS dirs_f,
+         COUNT(DISTINCT tok) AS rows_t
+  FROM p GROUP BY e
+),
+cum AS (
+  SELECT e,
+         SUM(rows_pf) OVER (ORDER BY e) AS crows_pf,
+         SUM(dirs_t) OVER (ORDER BY e) AS cdirs_t,
+         SUM(dirs_f) OVER (ORDER BY e) AS cdirs_f,
+         SUM(rows_t) OVER (ORDER BY e) AS crows_t
+  FROM pe
+),
+tot AS (
+  SELECT COUNT(*) AS rall, COUNT(DISTINCT tb) AS ball,
+         COUNT(DISTINCT fb) AS fall
   FROM p
-)
-SELECT 1 AS version, CAST(b0 AS BIGINT) AS n_dirs, CAST(r0 AS BIGINT) AS n_rows FROM agg
-UNION ALL SELECT 2, CAST(b0 + b1 AS BIGINT), CAST(r0 + r1 AS BIGINT) FROM agg
-UNION ALL SELECT 3, CAST(b0 + b1 + b2 AS BIGINT), CAST(r0 + r1 + r2 AS BIGINT) FROM agg
-UNION ALL SELECT 4, CAST(ball AS BIGINT), CAST(rall AS BIGINT) FROM agg
+),
+ttot AS (SELECT SUM(rows_t) AS tall FROM pe)
+SELECT 'postings' AS tbl, CAST(e + 1 AS INT) AS version,
+       CAST(cdirs_t AS BIGINT) AS n_dirs, CAST(crows_pf AS BIGINT) AS n_rows
+FROM cum
+UNION ALL SELECT 'postings', 4, CAST(ball AS BIGINT), CAST(rall AS BIGINT) FROM tot
+UNION ALL
+SELECT 'forward', CAST(e + 1 AS INT), CAST(cdirs_f AS BIGINT),
+       CAST(crows_pf AS BIGINT)
+FROM cum
+UNION ALL SELECT 'forward', 4, CAST(fall AS BIGINT), CAST(rall AS BIGINT) FROM tot
+UNION ALL
+SELECT 'tokstats', CAST(e + 1 AS INT), CAST(cdirs_t AS BIGINT),
+       CAST(crows_t AS BIGINT)
+FROM cum
+UNION ALL SELECT 'tokstats', 4, CAST(ball AS BIGINT),
+       CAST(tall AS BIGINT) FROM tot, ttot
 """
 
 
@@ -712,17 +789,20 @@ UNION ALL SELECT 4, CAST(ball AS BIGINT), CAST(rall AS BIGINT) FROM agg
     oracle=_compaction_oracle(),
     tags=("streaming", "text", "llm", "acid", "lakehouse", "real-stream", "rag"),
     doc=(
-        "L34 maintenance: sort-restoring compaction of the standing "
-        "BM25 postings index — 3 gate epochs append one generation per "
-        "token bucket each, then a compact-* txid merges every bucket "
-        "back to token-range-sorted files.  Returns the commit history "
-        "(version, n_dirs, n_rows): dirs accumulate per epoch, collapse "
-        "to one per bucket at the compaction, rows never change.  "
-        "Harness additionally asserts row checksums, a bit-identical "
-        "keyword serve across the compaction (reading the compacted "
-        "version through the ledger pin), and a reduced files-read "
-        "count under the rebuilt zone maps.  Oracle = full SQL replay "
-        "of the tokenize pass, the bucket layout, and the dir ledger."
+        "L34/L34d maintenance (extended round 14, VERDICT r13 #4): "
+        "sort-restoring compaction of ALL THREE standing lexical tables "
+        "— postings, forward index, AND the tokstats vocab sidecar — "
+        "after 3 gate epochs append one generation per bucket each.  "
+        "Returns the full commit history (tbl, version, n_dirs, "
+        "n_rows): dirs accumulate per epoch, collapse to one per live "
+        "bucket at each table's compact-* txid, rows never change.  "
+        "Harness additionally asserts row checksums per table, a "
+        "bit-identical keyword serve AND two-stage long-query serve "
+        "across the compaction (the two-stage path reads all three "
+        "tables), a reduced files-read count under the rebuilt zone "
+        "maps, and txid-replay no-ops.  Oracle = full SQL replay of "
+        "the tokenize pass, all three bucket layouts, and the three "
+        "dir ledgers."
     ),
 )
 def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,7 +824,8 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bm25compact_")
     try:
         roots = {
-            nm: os.path.join(tmp, nm) for nm in ("postings", "forward", "stats")
+            nm: os.path.join(tmp, nm)
+            for nm in ("postings", "forward", "stats", "tokstats")
         }
         sdf = _ordered_epoch_stream(spark, docs, tmp, key="doc_id")
         key = "spark.sql.shuffle.partitions"
@@ -752,27 +833,25 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(key, "8")
         try:
             q = write_stream_bm25_index_gate(
-                sdf, roots["postings"], roots["forward"], roots["stats"]
+                sdf, roots["postings"], roots["forward"], roots["stats"],
+                tokstats_root=roots["tokstats"],
             )
             _await_gate(q)
         finally:
             spark.conf.set(key, prev)
 
-        def _chk(root: str, version=None):
+        def _chk(root: str, version=None, cols=("doc_id", "tok", "tf", "epoch")):
             df = read_table(spark, root, version=version)
             r = df.agg(
                 F.count("*").alias("n"),
                 F.coalesce(
-                    F.sum(
-                        F.pmod(
-                            F.xxhash64("doc_id", "tok", "tf", "epoch"),
-                            F.lit(10**12),
-                        )
-                    ),
+                    F.sum(F.pmod(F.xxhash64(*cols), F.lit(10**12))),
                     F.lit(0),
                 ).alias("h"),
             ).collect()[0]
             return int(r["n"]), int(r["h"])
+
+        ts_cols = ("tok", "df", "epoch")
 
         def _serve(qk: DataFrame):
             rows = _served_scores(
@@ -791,6 +870,16 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         toks = sorted(r["tok"] for r in qk.collect())
+        # the whole-doc probes: the TWO-STAGE serve reads all three
+        # tables (tokstats stage 0, postings stage 1, forward stage 2)
+        qt = _probe_qt(spark, sf_dir).localCheckpoint()
+
+        def _ts_serve():
+            rows = _two_stage_served(spark, roots, qt).collect()
+            return sorted(
+                (int(r["pid"]), int(r["id"]), int(r["rn"]), int(r["bm25_e9"]))
+                for r in rows
+            )
 
         def _files_read(version=None):
             audit = files_selected(
@@ -801,10 +890,15 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         chk_pre = _chk(roots["postings"])
         fchk_pre = _chk(roots["forward"])
+        tchk_pre = _chk(roots["tokstats"], cols=ts_cols)
         serve_pre = _serve(qk)
+        ts_pre = _ts_serve()
         files_pre = _files_read()
 
-        # the maintenance pass: snapshot-guarded, logically a no-op
+        # the maintenance pass: snapshot-guarded, logically a no-op on
+        # EVERY table of the family (VERDICT r13 #4 — forward and
+        # tokstats accumulate one generation per epoch too, and both
+        # sit on the two-stage serving path)
         compact_partitions(
             spark, roots["postings"], "compact-postings-1",
             sort_by=["tok"],
@@ -813,42 +907,78 @@ def bm25_index_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, roots["forward"], "compact-forward-1",
             sort_by=["doc_id"],
         )
+        compact_partitions(
+            spark, roots["tokstats"], "compact-tokstats-1",
+            sort_by=["tok"],
+        )
 
         # LOGICAL NO-OP + the serving pin now selects the compacted head
         _, _, led_txids = _ledger_snapshot(spark, roots)
-        hist = {
-            int(r["version"]): (int(r["n_dirs"]), r["txid"])
-            for r in table_history(spark, roots["postings"]).collect()
+        hists = {
+            nm: {
+                int(r["version"]): (int(r["n_dirs"]), r["txid"])
+                for r in table_history(spark, roots[nm]).collect()
+            }
+            for nm in ("postings", "forward", "tokstats")
         }
         pin = latest_consistent_version(roots["postings"], led_txids)
-        if pin != max(hist) or hist[pin][1] != "compact-postings-1":
+        if pin != max(hists["postings"]) or hists["postings"][pin][1] != (
+            "compact-postings-1"
+        ):
             raise RuntimeError(
-                f"serving pin {pin} is not the compacted head {max(hist)}"
+                f"serving pin {pin} is not the compacted head "
+                f"{max(hists['postings'])}"
             )
-        if _chk(roots["postings"]) != chk_pre or _chk(roots["forward"]) != fchk_pre:
+        if (
+            _chk(roots["postings"]) != chk_pre
+            or _chk(roots["forward"]) != fchk_pre
+            or _chk(roots["tokstats"], cols=ts_cols) != tchk_pre
+        ):
             raise RuntimeError("compaction changed logical rows")
         if _serve(qk) != serve_pre:
             raise RuntimeError("keyword serve drifted across the compaction")
+        if _ts_serve() != ts_pre:
+            raise RuntimeError("two-stage serve drifted across the compaction")
         files_post = _files_read()
         if files_post > files_pre:
             raise RuntimeError(
                 f"compaction worsened zone-map pruning: {files_pre} -> {files_post}"
             )
-        # replaying the maintenance txid is an exactly-once no-op
+        # replaying a maintenance txid is an exactly-once no-op
         compact_partitions(
             spark, roots["postings"], "compact-postings-1", sort_by=["tok"]
         )
-        hist2 = table_history(spark, roots["postings"]).count()
-        if hist2 != len(hist):
+        compact_partitions(
+            spark, roots["tokstats"], "compact-tokstats-1", sort_by=["tok"]
+        )
+        if (
+            table_history(spark, roots["postings"]).count()
+            != len(hists["postings"])
+            or table_history(spark, roots["tokstats"]).count()
+            != len(hists["tokstats"])
+        ):
             raise RuntimeError("compaction txid replay created a new version")
 
-        rows = [
-            (v, int(hist[v][0]), int(_chk(roots["postings"], version=v)[0]))
-            for v in sorted(hist)
-        ]
+        rows = []
+        for nm, cols in (
+            ("postings", ("doc_id", "tok", "tf", "epoch")),
+            ("forward", ("doc_id", "tok", "tf", "epoch")),
+            ("tokstats", ts_cols),
+        ):
+            for v in sorted(hists[nm]):
+                rows.append(
+                    (
+                        nm,
+                        v,
+                        int(hists[nm][v][0]),
+                        int(_chk(roots[nm], version=v, cols=cols)[0]),
+                    )
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, "version int, n_dirs long, n_rows long")
+    return spark.createDataFrame(
+        rows, "tbl string, version int, n_dirs long, n_rows long"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -947,6 +1077,39 @@ ts_top AS (
 )"""
 
 
+def _query_dfreq(
+    spark: SparkSession, roots: dict, toks: list[str], led_txids: set[str]
+) -> DataFrame:
+    """STAGE 0 of every df-aware serve: per-token corpus df for the
+    query terms, summed from the standing TOKSTATS vocab table —
+    bucket- and zone-map-pruned to the query's terms, pinned to the
+    ledger-consistent snapshot, NO postings bucket touched.  The vocab
+    table shares the postings' persisted token-bucket layout
+    (``bm25_table_layout``)."""
+    from ..io.acid_table import latest_consistent_version, read_table
+    from ..io.layout import read_table_config
+
+    ts_tokb = int(read_table_config(roots["tokstats"])["tok_buckets"])
+    allowed = {str(_py_tok_bucket(t, ts_tokb)) for t in toks}
+    return (
+        read_table(
+            spark, roots["tokstats"],
+            partition_filter=lambda kv: kv["tok_bucket"] in allowed,
+            version=latest_consistent_version(roots["tokstats"], led_txids),
+            stats_filter=_term_range_filter(toks),
+        )
+        .filter(F.col("tok").isin(toks))
+        .groupBy(F.col("tok").cast("string").alias("tok"))
+        .agg(F.sum(F.col("df").cast("long")).alias("df"))
+        # a token whose df deltas NET TO ZERO (every holder deleted —
+        # propagate_retrieval_delete's negative corrections) is no
+        # longer in the corpus: it must not occupy a rarest-term slot
+        # in the stage-1 cut, exactly as a from-scratch dfreq omits it
+        .filter(F.col("df") > 0)
+        .localCheckpoint()
+    )
+
+
 def _two_stage_served(
     spark: SparkSession, roots: dict, qt: DataFrame,
     n_terms: int = _TS_TERMS, overfetch: int = _TS_OVERFETCH,
@@ -963,23 +1126,7 @@ def _two_stage_served(
     )
     # stage 0: df for ALL query terms from the standing vocab table
     toks = sorted(r["tok"] for r in qt.select("tok").distinct().collect())
-    allowed = {
-        str(int(__import__("hashlib").md5(t.encode()).hexdigest()[:2], 16)
-            % _TOK_BUCKETS)
-        for t in toks
-    }
-    dfreq = (
-        read_table(
-            spark, roots["tokstats"],
-            partition_filter=lambda kv: kv["tok_bucket"] in allowed,
-            version=latest_consistent_version(roots["tokstats"], led_txids),
-            stats_filter=_term_range_filter(toks),
-        )
-        .filter(F.col("tok").isin(toks))
-        .groupBy(F.col("tok").cast("string").alias("tok"))
-        .agg(F.sum(F.col("df").cast("long")).alias("df"))
-        .localCheckpoint()
-    )
+    dfreq = _query_dfreq(spark, roots, toks, led_txids)
     # stage 1: rarest-terms candidate cut
     w_t = Window.partitionBy("pid").orderBy(F.asc("df"), F.asc("tok"))
     qsel = (
@@ -1020,7 +1167,7 @@ def _two_stage_served(
     cand_buckets = {
         str(r["b"])
         for r in cand.select(
-            F.pmod("id", F.lit(_FWD_BUCKETS)).alias("b")
+            F.pmod("id", F.lit(_fwd_layout(roots["forward"]))).alias("b")
         ).distinct().collect()
     }
     fwd = (
@@ -1179,6 +1326,158 @@ def bm25_two_stage_retention_check(spark: SparkSession, sf_dir: str) -> DataFram
                 f"two-stage serve went rank-unsafe: retention "
                 f"{int(rec['recall_e4']) / 1e4:.4f} < 0.9"
             )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Round 14 (VERDICT r13 #3): COST-BASED SERVE DISPATCH.  The tenth
+# campaign measured the two-stage serve LOSING to exact below ~1M docs
+# (11.5 vs 7.0 s at ov-sf1) and winning 2.0x at 5M (49 vs 98 s at
+# ov-sf100): exact serve cost is ~ the query's total matched postings
+# (Σ df over its terms), while the two-stage pays a near-fixed overhead
+# (stage-0 vocab read + 3 extra jobs) plus only the RAREST terms'
+# postings.  The dispatcher picks per probe, off nothing but the
+# standing artifacts the serve already reads: the stage-0 tokstats df
+# (summed per probe = that probe's matched-postings load) against a
+# cutoff calibrated from the measured crossover.  Rank safety: the
+# exact leg IS exact, and the two-stage leg fires only at loads where
+# its retention gate pinned the trade.
+# --------------------------------------------------------------------------
+
+# Calibrated from the r14 campaign (BASELINE.md): whole-doc probes
+# carry ~0.44M matched postings at ov-sf1 (exact wins) and ~44M at
+# ov-sf100 (two-stage wins 2x); the crossover sits between ov-sf10's
+# and ov-sf100's loads, and 10M splits it on the measured decades.
+_DISPATCH_CUTOFF = 10_000_000
+
+
+def _dispatched_serve(
+    spark: SparkSession, roots: dict, qt: DataFrame, cutoff: int
+) -> DataFrame:
+    """Per-probe cost-based dispatch between the exact served BM25 and
+    the two-stage serve: a probe whose summed term df (its matched-
+    postings load, from the stage-0 tokstats read) exceeds ``cutoff``
+    takes the two-stage path; the rest take exact.  Returns
+    (pid, id, rn, bm25_e9, leg)."""
+    toks = sorted(r["tok"] for r in qt.select("tok").distinct().collect())
+    _, _, led_txids = _ledger_snapshot(spark, roots)
+    dfreq = _query_dfreq(spark, roots, toks, led_txids)
+    load = {
+        int(r["pid"]): int(r["sdf"])
+        for r in qt.join(F.broadcast(dfreq), "tok")
+        .groupBy("pid")
+        .agg(F.sum("df").alias("sdf"))
+        .collect()
+    }
+    ts_pids = sorted(p for p, sdf in load.items() if sdf > cutoff)
+    ex_pids = sorted(p for p in load if p not in set(ts_pids))
+    parts = []
+    if ex_pids:
+        sc = _served_scores(
+            spark, roots,
+            qt.filter(F.col("pid").isin(ex_pids)).withColumn("w", F.lit(1.0)),
+            "bm25_e9",
+        )
+        parts.append(
+            _topk(sc, "bm25_e9", k=_TS_K).select(
+                F.col("probe_id").alias("pid"),
+                F.col("doc_id").alias("id"),
+                "rn", "bm25_e9",
+            ).withColumn("leg", F.lit("exact"))
+        )
+    if ts_pids:
+        parts.append(
+            _two_stage_served(
+                spark, roots, qt.filter(F.col("pid").isin(ts_pids))
+            ).withColumn("leg", F.lit("two_stage"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dispatch_oracle() -> str:
+    from ..operators.textops import _sql_bm25_core
+
+    return f"""{_sql_bm25_core()},
+{_two_stage_ctes()},
+qload AS (
+  SELECT q.pid, CAST(SUM(f.df) AS BIGINT) AS sdf
+  FROM (SELECT DISTINCT pid, tok FROM qt) q
+  JOIN dfreq f ON f.tok = q.tok
+  GROUP BY q.pid
+),
+extop AS (
+  SELECT pid, id, rn, bm25_e9 FROM (
+    SELECT pid, id, bm25_e9,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY bm25_e9 DESC, id) AS rn
+    FROM sc
+  ) WHERE rn <= {_TS_K}
+),
+dials AS (SELECT * FROM (VALUES (0), ({_DISPATCH_CUTOFF})) AS d(dial)),
+pick AS (
+  SELECT d.dial, l.pid,
+         CASE WHEN l.sdf > d.dial THEN 'two_stage' ELSE 'exact' END AS leg
+  FROM dials d CROSS JOIN qload l
+)
+SELECT p.dial AS dial, p.pid AS probe_id, e.id AS doc_id,
+       CAST(e.rn AS INT) AS rn, e.bm25_e9, p.leg
+FROM pick p JOIN extop e ON e.pid = p.pid AND p.leg = 'exact'
+UNION ALL
+SELECT p.dial, p.pid, t.id, CAST(t.rn AS INT), t.bm25_e9, p.leg
+FROM pick p JOIN ts_top t ON t.pid = p.pid AND p.leg = 'two_stage'
+"""
+
+
+@register(
+    "bm25_serve_dispatch",
+    oracle=_dispatch_oracle(),
+    tags=("text", "llm", "topk", "rag", "acid"),
+    doc=(
+        "L34e (round 14): cost-based dispatch between the exact served "
+        "BM25 and the two-stage serve — each probe's matched-postings "
+        "load (summed term df from the stage-0 tokstats read) is "
+        "compared against the campaign-calibrated cutoff; heavy probes "
+        "take the two-stage path, light ones exact.  The query runs "
+        "the dispatcher at TWO dials — the production cutoff and 0 "
+        "(forcing every probe onto the two-stage leg) — so the driver "
+        "hash pins the load computation, the decision rule, AND both "
+        "serve legs.  Oracle = full SQL replay of both dials."
+    ),
+)
+def bm25_serve_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bm25disp_")
+    try:
+        roots = _build_standing_index(spark, sf_dir, tmp)
+        qt = _probe_qt(spark, sf_dir).localCheckpoint()
+        parts = []
+        for dial in (0, _DISPATCH_CUTOFF):
+            served = _dispatched_serve(spark, roots, qt, cutoff=dial)
+            parts.append(served.withColumn("dial", F.lit(dial)))
+        out = parts[0].unionByName(parts[1])
+        # at driver scales every probe's load sits far below the
+        # production cutoff — the dial=cutoff pass must be all-exact and
+        # the dial=0 pass all-two-stage, or the load computation drifted
+        legs = {
+            (int(r["dial"]), r["leg"])
+            for r in out.select("dial", "leg").distinct().collect()
+        }
+        if legs != {(0, "two_stage"), (_DISPATCH_CUTOFF, "exact")}:
+            raise RuntimeError(f"dispatch legs drifted: {sorted(legs)}")
+        out = out.select(
+            "dial",
+            F.col("pid").alias("probe_id"),
+            F.col("id").alias("doc_id"),
+            F.col("rn").cast("int").alias("rn"),
+            "bm25_e9",
+            "leg",
+        ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -1163,6 +1163,22 @@ def write_stream_curation_gate(
     if bands_root is None:
         bands_root = sig_root.rstrip("/") + "_bands"
 
+    if search_roots is not None:
+        # Resolve (and on first write persist) the searchable artifacts'
+        # bucket layouts once, at gate construction — the same
+        # restart-safety rule as write_stream_bm25_index_gate.
+        from ..io.layout import table_config
+        from ..operators.retrieval_served import _CELL_BUCKETS
+
+        s_tokb, s_fwdb = bm25_table_layout(
+            search_roots["postings"], search_roots["forward"]
+        )
+        s_cellb = int(
+            table_config(
+                search_roots["ann"], {"cell_buckets": _CELL_BUCKETS}
+            )["cell_buckets"]
+        )
+
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
         txid = f"epoch-{epoch_id}"
@@ -1223,7 +1239,9 @@ def write_stream_curation_gate(
             from ..operators.retrieval_served import _cell_bucket
             from ..operators.similarity import _two_level_assign
 
-            fr = bm25_index_batch_frames(accepted.select("doc_id", "text"))
+            fr = bm25_index_batch_frames(
+                accepted.select("doc_id", "text"), s_tokb, s_fwdb
+            )
             if n_accepted:
                 append_partitions(
                     fr["postings"].withColumn("epoch", F.lit(int(epoch_id))),
@@ -1233,16 +1251,6 @@ def write_stream_curation_gate(
                     fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
                     search_roots["forward"], ["doc_bucket"], txid,
                 )
-            lstat = fr["dl"].agg(
-                F.coalesce(F.sum("len"), F.lit(0)).alias("lens")
-            ).collect()[0]
-            append_partitions(
-                spark.createDataFrame(
-                    [(int(epoch_id), int(n_accepted), int(lstat["lens"]))],
-                    "epoch int, n_docs long, len_sum long",
-                ),
-                search_roots["bm25_stats"], ["epoch"], txid,
-            )
             cents_v = version_before_txid(search_roots["cents"], txid)
             cents = read_table(
                 spark, search_roots["cents"], version=cents_v
@@ -1262,11 +1270,29 @@ def write_stream_curation_gate(
                 )
                 .select("vec_id", "centroid_id", "qv", "nrm")
                 .withColumn("epoch", F.lit(int(epoch_id)))
-                .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id")))
+                .withColumn(
+                    "cell_bucket", _cell_bucket(F.col("centroid_id"), s_cellb)
+                )
                 .localCheckpoint()
             )
             if ann.count():
                 append_partitions(ann, search_roots["ann"], ["cell_bucket"], txid)
+            # BM25 stats LAST among the searchable appends (ADVICE r13):
+            # the ledger commit is the epoch's serving-pin anchor
+            # (latest_consistent_version), so it must be the final table
+            # commit of the epoch — a crash before it leaves every
+            # standing table pinned to the previous epoch, never a
+            # ledger that includes docs the ANN index lacks.
+            lstat = fr["dl"].agg(
+                F.coalesce(F.sum("len"), F.lit(0)).alias("lens")
+            ).collect()[0]
+            append_partitions(
+                spark.createDataFrame(
+                    [(int(epoch_id), int(n_accepted), int(lstat["lens"]))],
+                    "epoch int, n_docs long, len_sum long",
+                ),
+                search_roots["bm25_stats"], ["epoch"], txid,
+            )
 
         # 4. per-doc verdicts + the epoch ledger
         def tag(ids_df, verdict: str):
@@ -1448,11 +1474,57 @@ def write_stream_ann_index_gate(
     )
 
 
+# CREATION-TIME defaults only: a table's actual layout lives in its
+# _config.json sidecar (io/layout.py — VERDICT r13 #1); every writer,
+# reader, delete, and compaction derives the count from the table, so
+# the constants can never diverge across modules.  16 is the
+# oracle-replayable driver-fixture layout (the pow2_buckets lo clamp).
 _BM25_TOK_BUCKETS = 16
 _BM25_FWD_BUCKETS = 16
 
 
-def bm25_index_batch_frames(df: DataFrame) -> dict:
+def bm25_table_layout(
+    postings_root: str,
+    forward_root: str,
+    tokstats_root: str | None = None,
+    tok_buckets: int | None = None,
+    fwd_buckets: int | None = None,
+) -> tuple[int, int]:
+    """Resolve (and on first write persist) the BM25 index family's
+    bucket layout from the tables' ``_config.json`` sidecars.  The
+    tokstats vocab table shares the postings' token-bucket layout (its
+    stage-0 pruning hashes the same way).  Existing records always win
+    over the passed values — a restart cannot re-split standing rows."""
+    from ..io.layout import table_config
+
+    tokb = int(
+        table_config(
+            postings_root, {"tok_buckets": int(tok_buckets or _BM25_TOK_BUCKETS)}
+        )["tok_buckets"]
+    )
+    fwdb = int(
+        table_config(
+            forward_root, {"fwd_buckets": int(fwd_buckets or _BM25_FWD_BUCKETS)}
+        )["fwd_buckets"]
+    )
+    if tokstats_root is not None:
+        got = int(
+            table_config(tokstats_root, {"tok_buckets": tokb})["tok_buckets"]
+        )
+        if got != tokb:
+            raise ValueError(
+                f"tokstats layout ({got} token buckets) disagrees with the "
+                f"postings layout ({tokb}) — the vocab sidecar must share "
+                "the postings' bucket function"
+            )
+    return tokb, fwdb
+
+
+def bm25_index_batch_frames(
+    df: DataFrame,
+    tok_buckets: int = _BM25_TOK_BUCKETS,
+    fwd_buckets: int = _BM25_FWD_BUCKETS,
+) -> dict:
     """The per-batch index rows the BM25 gate commits, as frames:
     ``postings`` (doc_id, tok, tf, len, tok_bucket) — the inverted
     index, doc length DENORMALIZED onto each posting so a probe never
@@ -1461,8 +1533,10 @@ def bm25_index_batch_frames(df: DataFrame) -> dict:
     derive from one tokenize+group pass over the batch.
 
     The token bucket is the engine-independent md5 bucket
-    (``_helpers.md5_bucket % 16``) so the DuckDB oracles can replay the
-    physical layout, not just the logical rows.
+    (``_helpers.md5_bucket % tok_buckets``) so the DuckDB oracles can
+    replay the physical layout, not just the logical rows.  Callers
+    writing to a STANDING table must pass the table's persisted counts
+    (``bm25_table_layout``), never the module defaults.
     """
     from ..operators._helpers import md5_bucket
 
@@ -1474,10 +1548,10 @@ def bm25_index_batch_frames(df: DataFrame) -> dict:
         .agg(F.count("*").alias("tf"))
     )
     postings = tok.join(dl, "doc_id").withColumn(
-        "tok_bucket", F.pmod(md5_bucket("tok"), F.lit(_BM25_TOK_BUCKETS))
+        "tok_bucket", F.pmod(md5_bucket("tok"), F.lit(int(tok_buckets)))
     )
     forward = tok.withColumn(
-        "doc_bucket", F.pmod("doc_id", F.lit(_BM25_FWD_BUCKETS))
+        "doc_bucket", F.pmod("doc_id", F.lit(int(fwd_buckets)))
     )
     return {"postings": postings, "forward": forward, "dl": dl}
 
@@ -1489,6 +1563,8 @@ def write_stream_bm25_index_gate(
     stats_root: str,
     checkpoint: str | None = None,
     tokstats_root: str | None = None,
+    tok_buckets: int | None = None,
+    fwd_buckets: int | None = None,
 ):
     """T8k (round 12): STREAMING LEXICAL (BM25) INDEX MAINTENANCE — the
     ingest face of the retrieval family (VERDICT r11 #1).  The batch
@@ -1541,10 +1617,18 @@ def write_stream_bm25_index_gate(
     """
     from ..io.acid_table import append_partitions
 
+    # Layout resolution happens ONCE, at gate construction: the table's
+    # persisted record wins over the passed values, so a restarted gate
+    # can never split standing tokens across two bucket layouts.
+    tokb, fwdb = bm25_table_layout(
+        postings_root, forward_root, tokstats_root,
+        tok_buckets=tok_buckets, fwd_buckets=fwd_buckets,
+    )
+
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
         spark = df.sparkSession
         txid = f"epoch-{epoch_id}"
-        fr = bm25_index_batch_frames(df)
+        fr = bm25_index_batch_frames(df, tokb, fwdb)
         postings = fr["postings"].withColumn(
             "epoch", F.lit(int(epoch_id))
         ).localCheckpoint()

@@ -77,7 +77,20 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
         "epoch", F.lit(-1)
     )
     _append_neardup_index(sig, roots["sigs"], roots["bands"], "bulk-load")
-    fr = bm25_index_batch_frames(train)
+    # corpus-scaled persisted layout (the _build_standing_index rule) so
+    # the regime measures the realistic bucket fan-out per decade
+    from data_engineer_coder_spark.io.layout import pow2_buckets
+    from data_engineer_coder_spark.streaming.bm25_ingest import _TOKENS_PER_BUCKET
+    from data_engineer_coder_spark.streaming.core import bm25_table_layout
+
+    lstat = train.select(F.size(F.split("text", " ")).alias("len")).agg(
+        F.coalesce(F.sum("len"), F.lit(0)).alias("l")
+    ).collect()[0]
+    want = pow2_buckets(int(lstat["l"]), _TOKENS_PER_BUCKET)
+    tokb, fwdb = bm25_table_layout(
+        roots["postings"], roots["forward"], tok_buckets=want, fwd_buckets=want
+    )
+    fr = bm25_index_batch_frames(train, tokb, fwdb)
     replace_partitions(
         fr["postings"].withColumn("epoch", F.lit(-1)),
         roots["postings"], ["tok_bucket"], "bulk-load",
@@ -106,10 +119,13 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
         cents.withColumn("b", F.pmod("centroid_id", F.lit(4))),
         roots["cents"], ["b"], "cents-build",
     )
+    from data_engineer_coder_spark.operators.retrieval_served import cell_layout
+
+    cellb = cell_layout(roots["ann"], n_cells=cents.count())
     replace_partitions(
         _two_level_assign(emb, cents).select("vec_id", "centroid_id", "qv", "nrm")
         .withColumn("epoch", F.lit(-1))
-        .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
+        .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
         roots["ann"], ["cell_bucket"], "bulk-load",
     )
     return roots

@@ -40,9 +40,7 @@ from data_engineer_coder_spark.io.acid_table import (  # noqa: E402
     append_partitions,
     compact_partitions,
     current_manifest,
-    delete_rows,
     files_selected,
-    read_table,
 )
 from data_engineer_coder_spark.io.tables import table  # noqa: E402
 from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
@@ -69,8 +67,11 @@ EPOCH_DOCS = 2000
 
 
 def _append_epoch(spark, roots, docs, epoch: int) -> None:
+    from data_engineer_coder_spark.streaming.core import bm25_table_layout
+
     txid = f"epoch-{epoch}"
-    fr = bm25_index_batch_frames(docs)
+    tokb, fwdb = bm25_table_layout(roots["postings"], roots["forward"])
+    fr = bm25_index_batch_frames(docs, tokb, fwdb)
     append_partitions(
         fr["postings"].withColumn("epoch", F.lit(epoch)),
         roots["postings"], ["tok_bucket"], txid,
@@ -163,10 +164,16 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
             .select("vec_id", _qvec("embedding").alias("qv"))
             .select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
         )
+        from data_engineer_coder_spark.operators.retrieval_delete import (
+            propagate_retrieval_delete,
+        )
+        from data_engineer_coder_spark.operators.retrieval_served import cell_layout
+
         cents = _ivf_cents(nv.filter(F.pmod("vec_id", F.lit(10)) == 0)).localCheckpoint()
+        cellb = cell_layout(ann_root, n_cells=cents.count())
         replace_partitions(
             _two_level_assign(nv, cents).select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"))),
+            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
             ann_root, ["cell_bucket"], "bulk-load",
         )
         qt = _probe_qt(spark, sf_dir).localCheckpoint()
@@ -177,56 +184,29 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
             for r in pre.withColumn("rn", F.row_number().over(w1))
             .filter(F.col("rn") == 1).select("id").collect()
         })
-        fwd_buckets = {str(i % 16) for i in del_ids}
-        t0 = time.time()
-        dfwd = read_table(
-            spark, roots["forward"],
-            partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
-        ).filter(F.col("doc_id").cast("long").isin(del_ids))
-        from data_engineer_coder_spark.operators._helpers import md5_bucket
-        tok_buckets = {
-            str(r["b"]) for r in dfwd.select(
-                F.pmod(md5_bucket(F.col("tok").cast("string")), F.lit(16)).alias("b")
-            ).distinct().collect()
-        }
-        t_locate = time.time() - t0
-        cond = F.col("doc_id").cast("long").isin(del_ids)
-        t0 = time.time()
-        delete_rows(
-            spark, roots["postings"], partition_cols=["tok_bucket"],
-            condition=cond, txid="maint-delete-1",
-            partition_filter=lambda kv: kv["tok_bucket"] in tok_buckets,
-        )
-        t_post = time.time() - t0
-        t0 = time.time()
-        delete_rows(
-            spark, roots["forward"], partition_cols=["doc_bucket"],
-            condition=cond, txid="maint-delete-1",
-            partition_filter=lambda kv: kv["doc_bucket"] in fwd_buckets,
-        )
-        t_fwd = time.time() - t0
         cell_buckets = {
             str(r["b"]) for r in _two_level_assign(
                 nv.filter(F.col("vec_id").isin(del_ids)), cents
-            ).select(_cell_bucket(F.col("centroid_id")).alias("b")).distinct().collect()
+            ).select(
+                _cell_bucket(F.col("centroid_id"), cellb).alias("b")
+            ).distinct().collect()
         }
+        # the full maintenance txn (library core): locate, delete all
+        # four tables, tokstats corrections, ledger last
         t0 = time.time()
-        delete_rows(
-            spark, ann_root, partition_cols=["cell_bucket"],
-            condition=F.col("vec_id").cast("long").isin(del_ids),
-            txid="maint-delete-1",
-            partition_filter=lambda kv: kv["cell_bucket"] in cell_buckets,
+        touched = propagate_retrieval_delete(
+            spark, roots, del_ids, "maint-delete-1",
+            ann_root=ann_root, del_cell_buckets=cell_buckets,
         )
-        t_ann = time.time() - t0
+        t_txn = time.time() - t0
+        n_tok = len(current_manifest(roots["postings"])["partitions"])
+        n_fwd = len(current_manifest(roots["forward"])["partitions"])
         n_ann_parts = len(current_manifest(ann_root)["partitions"])
         return {
             "n_deleted_docs": len(del_ids),
-            "t_locate": round(t_locate, 2),
-            "t_delete_postings": round(t_post, 2),
-            "postings_buckets_touched": f"{len(tok_buckets)}/16",
-            "t_delete_forward": round(t_fwd, 2),
-            "forward_buckets_touched": f"{len(fwd_buckets)}/16",
-            "t_delete_ann": round(t_ann, 2),
+            "t_delete_txn": round(t_txn, 2),
+            "postings_buckets_touched": f"{len(touched['tok_buckets'])}/{n_tok}",
+            "forward_buckets_touched": f"{len(touched['fwd_buckets'])}/{n_fwd}",
             "ann_buckets_touched": f"{len(cell_buckets)}/{n_ann_parts}",
         }
     finally:

@@ -37,6 +37,7 @@ from data_engineer_coder_spark.operators.retrieval_served import (  # noqa: E402
     _cell_bucket,
     _rank_metrics_over,
     _rrf_served_fused,
+    cell_layout,
 )
 from data_engineer_coder_spark.operators.similarity import (  # noqa: E402
     _RRF_PROBES,
@@ -75,7 +76,7 @@ def _nv(spark, sf_dir):
     )
 
 
-def _buckets_read(spark, sf_dir, nprobe) -> int:
+def _buckets_read(spark, sf_dir, nprobe, cellb) -> int:
     """Distinct cell buckets the probe set's top-nprobe cells touch."""
     from pyspark.sql import Window
 
@@ -98,7 +99,7 @@ def _buckets_read(spark, sf_dir, nprobe) -> int:
         )
         .withColumn("crn", F.row_number().over(w))
         .filter(F.col("crn") <= nprobe)
-        .select(_cell_bucket(F.col("centroid_id")).alias("b"))
+        .select(_cell_bucket(F.col("centroid_id"), cellb).alias("b"))
         .distinct()
         .count()
     )
@@ -111,13 +112,14 @@ def _scenario(spark, sf_dir: str, passes: int, with_exact: bool) -> list[dict]:
         # prebuild both standing indexes once (the one-time corpus pass)
         _build_standing_index(spark, sf_dir, os.path.join(tmp, "lex"))
         _build_ann_index(spark, _nv(spark, sf_dir), os.path.join(tmp, "ann_index"))
+        cellb = cell_layout(os.path.join(tmp, "ann_index"))
         exact5 = None
         if with_exact:
             exact5 = _top5(_rrf_fused(spark, sf_dir)).withColumnRenamed(
                 "id", "tid"
             ).localCheckpoint()
         for nprobe in NPROBES:
-            nbk = _buckets_read(spark, sf_dir, nprobe)
+            nbk = _buckets_read(spark, sf_dir, nprobe, cellb)
             for pool in POOLS:
                 t_serve = float("inf")
                 m = None

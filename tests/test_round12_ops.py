@@ -444,6 +444,9 @@ def test_read_pruned_postings_skips_files_by_token_range(spark, tmp_path):
         rows, "doc_id long, tok string, tf long, len long, tok_bucket int"
     ).repartitionByRange(4, "tok").sortWithinPartitions("tok")
     root = str(tmp_path / "postings")
+    from data_engineer_coder_spark.io.layout import table_config
+
+    table_config(root, {"tok_buckets": 16})  # the reader derives the layout
     replace_partitions(df, root, ["tok_bucket"], "bulk-load")
 
     probe = [max(toks)]  # lives in the LAST token range only

@@ -70,6 +70,9 @@ def test_bm25_serving_pins_to_ledger_snapshot(spark, tmp_path):
     from data_engineer_coder_spark.streaming.core import bm25_index_batch_frames
 
     roots = {n: str(tmp_path / n) for n in ("postings", "forward", "stats")}
+    from data_engineer_coder_spark.streaming.core import bm25_table_layout
+
+    bm25_table_layout(roots["postings"], roots["forward"])  # persist layout
 
     def _commit_epoch(rows, epoch, *, ledger=True):
         txid = f"epoch-{epoch}"
@@ -151,7 +154,12 @@ def test_two_stage_equals_exact_when_terms_cover_vocab(spark, tmp_path):
         "doc_id long, text string",
     )
     roots = {n: str(tmp_path / n) for n in ("postings", "forward", "stats", "tokstats")}
-    fr = bm25_index_batch_frames(docs)
+    from data_engineer_coder_spark.streaming.core import bm25_table_layout
+
+    tokb, fwdb = bm25_table_layout(
+        roots["postings"], roots["forward"], roots["tokstats"]
+    )
+    fr = bm25_index_batch_frames(docs, tokb, fwdb)
     from pyspark.sql import functions as F
 
     replace_partitions(
