@@ -46,6 +46,7 @@ from ._helpers import md5_bucket
 from .retrieval_served import _cell_bucket
 from .similarity import (
     _SERVED_NPROBE,
+    served_nprobe,
     _SQL_DOT,
     _SQL_NORM,
     _SQL_QVEC,
@@ -325,7 +326,8 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _ivf_cents(
             nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
         ).localCheckpoint()
-        cellb = cell_layout(ann_root, n_cells=cents.count())
+        n_cells = cents.count()
+        cellb = cell_layout(ann_root, n_cells=n_cells)
         replace_partitions(
             _two_level_assign(nv, cents)
             .select("vec_id", "centroid_id", "qv", "nrm")
@@ -485,7 +487,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c_sim"),
             )
             .withColumn("crn", F.row_number().over(w_c))
-            .filter(F.col("crn") <= _SERVED_NPROBE)
+            .filter(F.col("crn") <= served_nprobe(n_cells))
             .select("pid", "centroid_id")
             .localCheckpoint()
         )

@@ -175,7 +175,7 @@ def _ann_candidate_pool(
     probes: DataFrame,
     pool: int,
     tmp: str,
-    nprobe: int = _SERVED_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Spark twin of :func:`_sql_served_pool`: build the standing
     bucketed index once (raw vectors per cell for exact re-rank), probe
@@ -189,6 +189,13 @@ def _ann_candidate_pool(
     index_root = os.path.join(tmp, "ann_index")
     cents = _build_ann_index(spark, nv, index_root)
     cellb = cell_layout(index_root)  # the persisted layout, never a guess
+    if nprobe is None:
+        # adaptive probe width (VERDICT r13 #2): a pinned CELL FRACTION
+        # of the quantizer, floored at the small-K operating point —
+        # identical to the oracles' literal 12 at every driver scale
+        from .similarity import served_nprobe
+
+        nprobe = served_nprobe(cents.count())
 
     w_cent = Window.partitionBy("probe_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
@@ -384,7 +391,7 @@ WHERE rn <= 5
 def _rrf_served_fused(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = _SERVED_NPROBE,
+    nprobe: int | None = None,
     pool: int = _RRF_POOL,
     tmp: str | None = None,
 ) -> DataFrame:

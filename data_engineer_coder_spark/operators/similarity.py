@@ -354,6 +354,26 @@ _IVF_NPROBE = 4
 # Spark and oracle move together.
 _SERVED_NPROBE = 12
 
+# Round 14 (VERDICT r13 #2): fixed nprobe over K ∝ corpus covers a
+# vanishing cell fraction — the tenth campaign measured served nDCG@10
+# falling 0.53 → 0.27 from sf0.1 to ov-sf10 at the nprobe=12 pin.  The
+# served pools therefore probe ADAPTIVELY: nprobe(K) = max(12, ceil(K ·
+# frac)), i.e. a floor of 12 cells for small quantizers (where 12 is
+# already most or all of K — the driver-fixture regime every oracle's
+# literal 12 replays exactly: K = 4 at sf0.01, 16 at sf0.1, so
+# served_nprobe == 12 at every oracle-checked scale) and a pinned CELL
+# FRACTION at corpus scale.  frac = 1/16 re-pinned from the r14 curve
+# (scripts/served_quality_curve.py, BASELINE.md eleventh campaign):
+# at ov-sf10 (K = 1600) nprobe = 100 restores nDCG@10 ≥ 0.4 at a serve
+# latency within the flat band the r13 curve measured.
+_SERVED_CELL_FRAC = 1 / 16
+
+
+def served_nprobe(n_cells: int) -> int:
+    """The served pools' adaptive probe width: max(12, ceil(K/16))."""
+    return max(_SERVED_NPROBE, -(-int(n_cells) // 16))
+
+
 # --- corpus-scaled, data-driven centroid seeding (round 9) -----------------
 # The r1–r8 quantizer pinned K = 16 centroids to vec_id ∈ [100, 116) —
 # per-cell population grew ∝ n/16, so every within-cell self-join was

@@ -25,9 +25,12 @@ from ..io.tables import table
 from ..registry import register
 
 
-def _curation_ctes() -> str:
+def _curation_ctes(idx2_where: str = "") -> str:
     """The verdict-replay CTE chain (tr → … → a2), WITHOUT the final
-    SELECT — shared by the plain and the searchable curation oracles."""
+    SELECT — shared by the plain, searchable, and lifecycle curation
+    oracles.  ``idx2_where`` optionally filters the standing index
+    epoch 2 probes against (the lifecycle drill's takedown arriving
+    between epochs 1 and 2 shrinks it)."""
     from ..operators.dedup import _MERSENNE, _PERM_A, _PERM_B, _ROWS
     from ..operators.textops import _DECON_MOD, _DECON_N
 
@@ -116,7 +119,10 @@ s1 AS (
 ),
 q1 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM contam)),
 a1 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-idx2 AS (SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1),
+idx2 AS (
+  SELECT doc_id FROM (SELECT doc_id FROM a0 UNION SELECT doc_id FROM a1)
+  {idx2_where}
+),
 ri2 AS (
   SELECT DISTINCT m.da AS doc_id FROM m2 m
   JOIN e2 x ON x.doc_id = m.da JOIN idx2 y ON y.doc_id = m.db
@@ -625,6 +631,517 @@ def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(fwd)
             .unionByName(led)
             .unionByName(ann)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Round 14 (VERDICT r13 #5): the END-TO-END LIFECYCLE DRILL — ingest →
+# serve → takedown → ingest more → re-serve, under the CONTINUOUS
+# regime.  L39 proves the searchable gate and L40 proves delete
+# propagation, each alone; this composes them the way a production
+# corpus actually lives: epochs 0 and 1 stream through the searchable
+# curation gate, a takedown then deletes a deterministic slice of the
+# accepted docs from EVERY standing table (docs, near-dup sigs/bands,
+# postings, forward, ANN, ledger correction LAST), and epoch 2 resumes
+# THE SAME stream (same checkpoint — the crash/restart story), probing
+# the SHRUNK near-dup index, so its verdicts interleave with the
+# delete.  Both serves then read the post-delete, post-epoch-2
+# artifacts.  The oracle replays all of it in SQL: every verdict
+# across the 3 epochs with the index evolving as
+# (accepted₀ ∪ accepted₁) − deleted for epoch 2, the final BM25
+# keyword serve over the reduced corpus, and the ANN cell-probe serve
+# over the reduced index.
+# --------------------------------------------------------------------------
+
+_LC_DEL_MOD = 17     # takedown set: accepted e0/e1 docs with doc_id%17==5
+_LC_DEL_REM = 5
+
+
+def _lifecycle_oracle() -> str:
+    from ..operators.similarity import _SERVED_NPROBE, _SQL_DOT
+    from ..operators.textops import _sql_bm25_term_e9
+
+    del_pred = f"doc_id % {_LC_DEL_MOD} = {_LC_DEL_REM}"
+    pcos = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='c.cqv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(c.cnrm AS DOUBLE)))"
+    )
+    qcos = (
+        f"CAST({_SQL_DOT.format(a='p.pqv', b='a.qv')} AS DOUBLE)"
+        " / (SQRT(CAST(p.pnrm AS DOUBLE)) * SQRT(CAST(a.nrm AS DOUBLE)))"
+    )
+    from ..operators.similarity import (
+        _SQL_NORM,
+        _SQL_QVEC,
+        _sql_ivf_cents,
+        _sql_ivf_params,
+        _sql_two_level,
+    )
+
+    return f"""{_curation_ctes(idx2_where=f"WHERE NOT ({del_pred})")},
+corp AS MATERIALIZED (
+  SELECT doc_id FROM idx2 UNION SELECT doc_id FROM a2
+),
+cd AS MATERIALIZED (
+  SELECT t.doc_id, t.ws FROM tr t JOIN corp c ON c.doc_id = t.doc_id
+),
+cdl AS (SELECT doc_id, LEN(ws) AS len FROM cd),
+ctok AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM cd)
+  GROUP BY doc_id, tok
+),
+cdf AS (SELECT tok, COUNT(*) AS df FROM ctok GROUP BY tok),
+cstats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avglen
+  FROM cdl
+),
+qk AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS pid, tok FROM (
+    SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 5
+  ) ORDER BY tok LIMIT 3
+),
+bm AS (
+  SELECT q.pid, t.doc_id AS id, {_sql_bm25_term_e9()} AS e9
+  FROM qk q
+  JOIN ctok t ON t.tok = q.tok AND t.doc_id <> q.pid
+  JOIN cdf f ON f.tok = q.tok
+  JOIN cdl l ON l.doc_id = t.doc_id
+  CROSS JOIN cstats s
+),
+bsc AS (SELECT pid, id, CAST(SUM(e9) AS BIGINT) AS e9 FROM bm GROUP BY pid, id),
+bmtop AS (
+  SELECT pid, id, rn, e9 FROM (
+    SELECT pid, id, e9,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY e9 DESC, id) AS rn
+    FROM bsc
+  ) WHERE rn <= 5
+),
+n2 AS MATERIALIZED (
+  SELECT vec_id, qv, {_SQL_NORM.format(a='qv')} AS nrm
+  FROM (
+    SELECT e.vec_id, {_SQL_QVEC.format(e='e.embedding')} AS qv
+    FROM embeddings e JOIN tr t ON t.doc_id = e.vec_id
+  )
+),
+nb AS MATERIALIZED (SELECT * FROM n2 WHERE vec_id % 10 = 0),
+{_sql_ivf_params('nb')},
+{_sql_ivf_cents('nb')},
+av AS (SELECT n2.* FROM n2 JOIN corp c ON c.doc_id = n2.vec_id),
+{_sql_two_level('cents', 'asg', 'av')},
+probes AS (SELECT vec_id AS pid, qv AS pqv, nrm AS pnrm FROM n2 WHERE vec_id < 10),
+pcell AS (
+  SELECT pid, centroid_id FROM (
+    SELECT p.pid, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.pid ORDER BY {pcos} DESC, c.centroid_id
+           ) AS crn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE crn <= {_SERVED_NPROBE}
+),
+anntop AS (
+  SELECT pid, vec_id, rn, CAST(FLOOR(qsim * 1e9) AS BIGINT) AS e9 FROM (
+    SELECT pc.pid, a.vec_id, {qcos} AS qsim,
+           ROW_NUMBER() OVER (
+             PARTITION BY pc.pid ORDER BY {qcos} DESC, a.vec_id
+           ) AS rn
+    FROM pcell pc
+    JOIN asg a ON a.centroid_id = pc.centroid_id AND a.vec_id <> pc.pid
+    JOIN probes p ON p.pid = pc.pid
+  ) WHERE rn <= 5
+)
+SELECT 'verdict' AS kind, CAST(epoch AS BIGINT) AS a,
+       CAST(doc_id AS BIGINT) AS b, verdict AS s,
+       CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+FROM ({_VERDICT_UNION})
+UNION ALL
+SELECT 'bm25', pid, CAST(rn AS BIGINT), '', CAST(id AS BIGINT), e9 FROM bmtop
+UNION ALL
+SELECT 'ann', pid, CAST(rn AS BIGINT), '', CAST(vec_id AS BIGINT), e9 FROM anntop
+"""
+
+
+@register(
+    "retrieval_lifecycle_audit",
+    oracle=_lifecycle_oracle(),
+    tags=(
+        "streaming", "pipeline", "dedup", "decontamination", "llm",
+        "acid", "real-stream", "rag", "ann", "lakehouse",
+    ),
+    doc=(
+        "Round 14 lifecycle drill (VERDICT r13 #5): epochs 0-1 of the "
+        "train slice stream through the SEARCHABLE curation gate, a "
+        "takedown then deletes the accepted docs with doc_id%17==5 "
+        "from EVERY standing table under one maintenance txid (docs, "
+        "near-dup sigs/bands, postings, forward, ANN; stats-ledger "
+        "correction LAST), and epoch 2 RESUMES the same stream off the "
+        "same checkpoint, probing the shrunk near-dup index.  Returns "
+        "all per-doc verdicts plus the post-everything BM25 keyword "
+        "serve and ANN cell-probe serve.  Oracle = full SQL replay of "
+        "the 3-epoch verdict evolution with the mid-stream delete, "
+        "both final serves included.  Harness asserts: deleted docs "
+        "absent from both serves, untouched buckets dir-verbatim "
+        "across the takedown, and both the delete txid AND a full "
+        "stream replay are no-ops on every standing table."
+    ),
+)
+def retrieval_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..io.acid_table import (
+        current_manifest,
+        delete_rows,
+        read_table,
+        replace_partitions,
+    )
+    from ..operators._helpers import md5_bucket
+    from ..operators.retrieval_delete import propagate_retrieval_delete
+    from ..operators.retrieval_served import _cell_bucket, cell_layout
+    from ..operators.similarity import (
+        _cosine,
+        _dot,
+        _ivf_cents,
+        _qvec,
+        _two_level_assign,
+        served_nprobe,
+    )
+    from ..operators.textops import _DECON_MOD, _DECON_N, ngram_array
+    from ..streaming.bm25_ingest import _served_scores
+    from .core import write_stream_curation_gate
+    from .windows import _await_gate
+
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.pmod("doc_id", F.lit(_DECON_MOD)) == 0
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", _qvec("embedding").alias("qv"))
+        .select("vec_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("nrm"))
+    )
+    train = (
+        docs.filter(~is_eval)
+        .join(emb, docs["doc_id"] == emb["vec_id"], "left")
+        .select("doc_id", "text", "qv", "nrm")
+    )
+    tmp = tempfile.mkdtemp(prefix="lifecycle_")
+    try:
+        names = (
+            "eval", "sigs", "docs", "quarantine", "verdicts", "stats",
+            "postings", "forward", "bm25_stats", "cents", "ann",
+        )
+        roots = {n: os.path.join(tmp, n) for n in names}
+        roots["bands"] = roots["sigs"] + "_bands"
+        ev = (
+            docs.filter(is_eval)
+            .select(
+                F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g")
+            )
+            .distinct()
+            .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(8)))
+        )
+        replace_partitions(
+            ev.repartition(F.col("b")), roots["eval"], ["b"], "eval-build"
+        )
+        nvt = train.filter(F.col("qv").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "qv", "nrm"
+        )
+        cents = _ivf_cents(
+            nvt.filter(F.pmod("vec_id", F.lit(10)) == 0)
+        ).localCheckpoint()
+        n_cells = cents.count()
+        replace_partitions(
+            cents.withColumn("b", F.pmod("centroid_id", F.lit(4))),
+            roots["cents"], ["b"], "cents-build",
+        )
+        search_roots = {
+            k: roots[k] for k in ("postings", "forward", "bm25_stats", "cents", "ann")
+        }
+
+        # ---- the ORDERED file-source stream, fed epoch by epoch so the
+        # takedown can land between epochs; ONE checkpoint across runs
+        # (the restart story — batch ids, hence epoch txids, continue)
+        src_dir = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src_dir)
+        part_files = []
+        now = _time.time()
+        for e in range(3):
+            part_dir = os.path.join(tmp, f"part{e}")
+            train.filter(F.pmod("doc_id", F.lit(3)) == e).coalesce(1).write.parquet(
+                part_dir
+            )
+            part_files.append(
+                next(
+                    os.path.join(part_dir, f)
+                    for f in os.listdir(part_dir)
+                    if f.endswith(".parquet")
+                )
+            )
+        schema = spark.read.parquet(os.path.dirname(part_files[0])).schema
+
+        def _feed(e: int) -> None:
+            dst = os.path.join(src_dir, f"e{e}.parquet")
+            shutil.copy(part_files[e], dst)
+            os.utime(dst, (now + 30 * e, now + 30 * e))
+
+        def _run_gate() -> None:
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            key = "spark.sql.shuffle.partitions"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "8")
+            try:
+                q = write_stream_curation_gate(
+                    sdf, roots["eval"], roots["sigs"], roots["docs"],
+                    roots["quarantine"], roots["verdicts"], roots["stats"],
+                    bands_root=roots["bands"], search_roots=search_roots,
+                    checkpoint=ckpt,
+                )
+                _await_gate(q)
+            finally:
+                spark.conf.set(key, prev)
+
+        _feed(0)
+        _feed(1)
+        _run_gate()
+
+        # ---- the TAKEDOWN, between epochs: deterministic slice of the
+        # so-far-accepted corpus, deleted from EVERY standing table
+        del_ids = sorted(
+            int(r["doc_id"])
+            for r in read_table(spark, roots["docs"])
+            .filter(F.pmod(F.col("doc_id").cast("long"), F.lit(_LC_DEL_MOD))
+                    == _LC_DEL_REM)
+            .select("doc_id")
+            .collect()
+        )
+        if not del_ids:
+            raise RuntimeError("lifecycle takedown selected no docs — fixture drifted")
+        txid = "maint-takedown-1"
+        cellb = cell_layout(roots["ann"])
+        cell_buckets = {
+            str(r["b"])
+            for r in _two_level_assign(
+                nvt.filter(F.col("vec_id").isin(del_ids)), cents
+            ).select(_cell_bucket(F.col("centroid_id"), cellb).alias("b"))
+            .distinct()
+            .collect()
+        }
+        man_pre = {
+            nm: current_manifest(roots[nm])["partitions"]
+            for nm in ("postings", "forward", "ann")
+        }
+        cond = F.col("doc_id").cast("long").isin(del_ids)
+        # curation-side tables first (corpus + the near-dup index mirror
+        # — epoch 2's screen must not judge against deleted docs) ...
+        delete_rows(
+            spark, roots["docs"], partition_cols=["epoch"],
+            condition=cond, txid=txid,
+            partition_filter=lambda kv: kv["epoch"] in {"0", "1"},
+        )
+        sig_buckets = {str(i % 8) for i in del_ids}
+        delete_rows(
+            spark, roots["sigs"], partition_cols=["sb"],
+            condition=cond, txid=txid,
+            partition_filter=lambda kv: kv["sb"] in sig_buckets,
+        )
+        delete_rows(
+            spark, roots["bands"], partition_cols=["bj"],
+            condition=cond, txid=txid,
+        )
+        # ... then the retrieval artifacts, ledger correction LAST
+        propagate_retrieval_delete(
+            spark,
+            {
+                "postings": roots["postings"],
+                "forward": roots["forward"],
+                "stats": roots["bm25_stats"],
+            },
+            del_ids, txid,
+            ann_root=roots["ann"], del_cell_buckets=cell_buckets,
+        )
+        # untouched buckets stayed directory-verbatim across the takedown
+        # (the touched token buckets are recomputable from the deleted
+        # docs' texts — the fixture still has them)
+        from ..io.layout import read_table_config
+
+        tokb = int(read_table_config(roots["postings"])["tok_buckets"])
+        touched_tok = {
+            str(r["b"])
+            for r in docs.filter(F.col("doc_id").isin(del_ids))
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+            .select(F.pmod(md5_bucket("tok"), F.lit(tokb)).alias("b"))
+            .distinct()
+            .collect()
+        }
+        fwdb = int(read_table_config(roots["forward"])["fwd_buckets"])
+        touched_fwd = {str(i % fwdb) for i in del_ids}
+        for nm, col, tset in (
+            ("postings", "tok_bucket", touched_tok),
+            ("forward", "doc_bucket", touched_fwd),
+            ("ann", "cell_bucket", cell_buckets),
+        ):
+            post_man = current_manifest(roots[nm])["partitions"]
+            for pkey, dirs in man_pre[nm].items():
+                kv = dict(s.split("=", 1) for s in pkey.split("/"))
+                if kv[col] not in tset and post_man.get(pkey) != dirs:
+                    raise RuntimeError(
+                        f"untouched {nm} bucket {pkey} was rewritten by the takedown"
+                    )
+
+        # ---- epoch 2 resumes the SAME stream off the SAME checkpoint
+        _feed(2)
+        _run_gate()
+
+        # ---- replays: the delete txid AND the full stream are no-ops
+        all_roots = {n: roots[n] for n in names + ("bands",)}
+        vers = {
+            n: current_manifest(r)["version"]
+            for n, r in all_roots.items()
+            if current_manifest(r)["partitions"]
+        }
+        propagate_retrieval_delete(
+            spark,
+            {
+                "postings": roots["postings"],
+                "forward": roots["forward"],
+                "stats": roots["bm25_stats"],
+            },
+            del_ids, txid,
+            ann_root=roots["ann"], del_cell_buckets=cell_buckets,
+        )
+        shutil.rmtree(ckpt)  # fresh engine state; table txids carry exactly-once
+        _run_gate()
+        after = {n: current_manifest(all_roots[n])["version"] for n in vers}
+        if after != vers:
+            raise RuntimeError(
+                f"lifecycle replay committed new versions: {vers} -> {after}"
+            )
+
+        # ---- final serves off the standing artifacts
+        qk = (
+            docs.filter(F.col("doc_id") < 5)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+            .orderBy("tok")
+            .limit(3)
+            .select(F.lit(0).cast("long").alias("pid"), "tok")
+            .localCheckpoint()
+        )
+        sroots = {"postings": roots["postings"], "stats": roots["bm25_stats"]}
+        bsc = _served_scores(
+            spark, sroots, qk.withColumn("w", F.lit(1.0)), "bm25_e9"
+        ).localCheckpoint()
+        if bsc.filter(F.col("id").isin(del_ids)).count():
+            raise RuntimeError("a deleted doc is still serveable from BM25")
+        w_b = Window.partitionBy("pid").orderBy(F.desc("bm25_e9"), F.asc("id"))
+        bmtop = (
+            bsc.withColumn("rn", F.row_number().over(w_b))
+            .filter(F.col("rn") <= 5)
+            .select("pid", "rn", F.col("id"), F.col("bm25_e9"))
+        )
+        probes = nvt.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("pid"),
+            F.col("qv").alias("pqv"),
+            F.col("nrm").alias("pnrm"),
+        ).localCheckpoint()
+        w_c = Window.partitionBy("pid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        pcell = (
+            cents.drop("stride", "cstride")
+            .crossJoin(F.broadcast(probes))
+            .select(
+                "pid", "centroid_id",
+                _cosine(
+                    _dot(F.col("pqv"), F.col("cqv")), F.col("pnrm"), F.col("cnrm")
+                ).alias("c_sim"),
+            )
+            .withColumn("crn", F.row_number().over(w_c))
+            .filter(F.col("crn") <= served_nprobe(n_cells))
+            .select("pid", "centroid_id")
+            .localCheckpoint()
+        )
+        allowed = {
+            str(r["b"])
+            for r in pcell.select(
+                _cell_bucket(F.col("centroid_id"), cellb).alias("b")
+            ).distinct().collect()
+        }
+        idx = read_table(
+            spark, roots["ann"],
+            partition_filter=lambda kv: kv["cell_bucket"] in allowed,
+        ).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("qv").cast("array<bigint>").alias("qv"),
+            F.col("nrm").cast("long").alias("nrm"),
+        )
+        w_p = Window.partitionBy("pid").orderBy(F.desc("qsim"), F.asc("vec_id"))
+        anntop = (
+            F.broadcast(probes)
+            .join(pcell, "pid")
+            .join(idx, "centroid_id")
+            .filter(F.col("vec_id") != F.col("pid"))
+            .select(
+                "pid", "vec_id",
+                _cosine(
+                    _dot(F.col("pqv"), F.col("qv")), F.col("pnrm"), F.col("nrm")
+                ).alias("qsim"),
+            )
+            .withColumn("rn", F.row_number().over(w_p))
+            .filter(F.col("rn") <= 5)
+            .select(
+                "pid", "rn", "vec_id",
+                F.floor(F.col("qsim") * F.lit(1e9)).cast("bigint").alias("e9"),
+            )
+            .localCheckpoint()
+        )
+        if anntop.filter(F.col("vec_id").isin(del_ids)).count():
+            raise RuntimeError("a deleted vector is still serveable from ANN")
+
+        zl = F.lit(0).cast("bigint")
+        verd = read_table(spark, roots["verdicts"]).select(
+            F.lit("verdict").alias("kind"),
+            F.col("epoch").cast("bigint").alias("a"),
+            F.col("doc_id").cast("bigint").alias("b"),
+            F.col("verdict").cast("string").alias("s"),
+            zl.alias("v1"),
+            zl.alias("v2"),
+        )
+        out = (
+            verd.unionByName(
+                bmtop.select(
+                    F.lit("bm25").alias("kind"),
+                    F.col("pid").cast("bigint").alias("a"),
+                    F.col("rn").cast("bigint").alias("b"),
+                    F.lit("").alias("s"),
+                    F.col("id").cast("bigint").alias("v1"),
+                    F.col("bm25_e9").cast("bigint").alias("v2"),
+                )
+            )
+            .unionByName(
+                anntop.select(
+                    F.lit("ann").alias("kind"),
+                    F.col("pid").cast("bigint").alias("a"),
+                    F.col("rn").cast("bigint").alias("b"),
+                    F.lit("").alias("s"),
+                    F.col("vec_id").cast("bigint").alias("v1"),
+                    F.col("e9").cast("bigint").alias("v2"),
+                )
+            )
             .localCheckpoint()
         )
     finally:

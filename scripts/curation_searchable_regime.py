@@ -55,6 +55,7 @@ from data_engineer_coder_spark.streaming.core import (  # noqa: E402
 )
 
 EPOCH_DOCS = 2000
+EVAL_DOCS = 500  # fixed-size standing eval index (≈ the ov-sf1 eval count)
 
 
 def _seed(spark, sf_dir: str, tmp: str) -> dict:
@@ -65,8 +66,16 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
     roots["bands"] = roots["sigs"] + "_bands"
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     is_eval = F.pmod("doc_id", F.lit(_DECON_MOD)) == 0
+    # FIXED-SIZE eval index (VERDICT r13 #7): the r13 regime let the
+    # eval set grow ∝ corpus (doc_id % 97), which contributed ~54% of
+    # the measured epoch-cost growth — an artifact of the fixture, not
+    # the deployment claim (a production eval set is fixed while the
+    # corpus grows).  Pin the first EVAL_DOCS eval docs at every scale
+    # so the regime's exponent reflects the standing-corpus term alone.
     ev = (
         docs.filter(is_eval)
+        .orderBy("doc_id")
+        .limit(EVAL_DOCS)
         .select(F.explode(ngram_array(F.split("text", " "), _DECON_N)).alias("g"))
         .distinct()
         .withColumn("b", F.pmod(F.xxhash64("g"), F.lit(8)))

@@ -53,7 +53,13 @@ from data_engineer_coder_spark.streaming.bm25_ingest import (  # noqa: E402
 )
 
 NPROBES = (4, 8, 12, 16)
-POOLS = (20, 50)
+# pool 50 never beat pool 20 on any metric at any scale (r13 campaign);
+# the sweep fixes pool = 20 and spends the passes on probe width
+POOLS = (20,)
+# round 14: at ov scales ALSO sweep the wide probes that the adaptive
+# rule (similarity.served_nprobe = max(12, ceil(K/16))) reaches, so the
+# cell-fraction pin is read off a measured curve, not extrapolated
+WIDE_NPROBES = (32, 64, 100, 160)
 
 
 def _top5(fused):
@@ -113,12 +119,23 @@ def _scenario(spark, sf_dir: str, passes: int, with_exact: bool) -> list[dict]:
         _build_standing_index(spark, sf_dir, os.path.join(tmp, "lex"))
         _build_ann_index(spark, _nv(spark, sf_dir), os.path.join(tmp, "ann_index"))
         cellb = cell_layout(os.path.join(tmp, "ann_index"))
+        from data_engineer_coder_spark.operators.similarity import served_nprobe
+
+        n_cells = _ivf_cents(
+            _nv(spark, sf_dir).filter(F.pmod("vec_id", F.lit(10)) == 0)
+        ).count()
+        nprobes = sorted(
+            set(NPROBES)
+            | {served_nprobe(n_cells)}
+            | {w for w in WIDE_NPROBES if w < n_cells}
+        )
+        print(f"  K={n_cells} adaptive_nprobe={served_nprobe(n_cells)}", flush=True)
         exact5 = None
         if with_exact:
             exact5 = _top5(_rrf_fused(spark, sf_dir)).withColumnRenamed(
                 "id", "tid"
             ).localCheckpoint()
-        for nprobe in NPROBES:
+        for nprobe in nprobes:
             nbk = _buckets_read(spark, sf_dir, nprobe, cellb)
             for pool in POOLS:
                 t_serve = float("inf")
