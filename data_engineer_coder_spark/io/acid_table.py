@@ -482,15 +482,27 @@ def read_table(
     stats — legacy commits, or columns whose stats were non-portable —
     are always read.
     """
+    import re as _re
+
     man = manifest_at(root, version)
     dir_files = man.get("dir_files", {})
-    parts = []
+    # ONE file-source scan over every selected path (round 14): the
+    # previous shape — one DataFrame per staging dir chained through
+    # unionByName — built an N-leg union whose plan size, planning time,
+    # and task count all grew with the dir count, which at corpus-scaled
+    # bucket layouts (hundreds-thousands of partitions) dominated every
+    # serve.  A single multi-path scan lets Spark bin-pack small files
+    # into tasks (maxPartitionBytes/openCostInBytes) and keeps the plan
+    # O(1) in partition count.  Partition columns are recovered from the
+    # hive-encoded path segments (`col=value`) — the same literal
+    # strings the manifest keys hold, so semantics are unchanged.
+    paths: list[str] = []
+    txids: set[str] = set()
     for pkey, val in sorted(man["partitions"].items()):
         kv = dict(seg.split("=", 1) for seg in pkey.split("/"))
         if partition_filter is not None and not partition_filter(kv):
             continue
         for rel in _dirs(val):
-            src: str | list[str] = os.path.join(root, rel)
             if stats_filter is not None and rel in dir_files:
                 kept = [
                     os.path.join(root, rel, f["path"])
@@ -500,17 +512,30 @@ def read_table(
                 ]
                 if not kept:
                     continue  # every file in this dir provably irrelevant
-                src = kept
-            pdf = (spark.read.parquet(*src) if isinstance(src, list)
-                   else spark.read.parquet(src))
-            for col, v in kv.items():
-                pdf = pdf.withColumn(col, F.lit(v))
-            parts.append(pdf)
-    if not parts:
+                paths.extend(kept)
+            else:
+                paths.append(os.path.join(root, rel))
+            txids.add(rel.split("/")[1] if "/" in rel else rel)
+    if not paths:
         raise ValueError(f"no partitions selected from {root} (v{man['version']})")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+    reader = spark.read
+    if len(txids) > 1:
+        # dirs from >1 commit may carry evolved schemas: merge unions
+        # by name with null fill (same semantics the unionByName chain
+        # had).  Single-commit reads skip the footer-merge pass.
+        reader = reader.option("mergeSchema", "true")
+    out = reader.parquet(*paths)
+    # _metadata.file_path is a URI: the on-disk directory name (which
+    # is what the manifest keys and the old per-dir injection carried)
+    # comes back percent-encoded (' ' → %20).  url_decode recovers it;
+    # '+' is pre-protected because URI paths keep it literal while
+    # url_decode would turn it into a space.
+    fpath = F.col("_metadata.file_path")
+    for col in man.get("partition_cols", []):
+        seg = F.regexp_extract(fpath, "/" + _re.escape(col) + "=([^/]+)/", 1)
+        out = out.withColumn(
+            col, F.url_decode(F.regexp_replace(seg, r"\+", "%2B"))
+        )
     return out
 
 

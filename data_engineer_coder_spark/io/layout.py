@@ -84,6 +84,49 @@ def read_table_config(root: str) -> dict:
         return json.load(f)
 
 
+def align_bucketed_write(df, bucket_cols, sort_cols, parts: int):
+    """Co-locate each hive-partition value into as few tasks as possible
+    before a ``partitionBy(bucket_cols)`` write.
+
+    A partitioned write over a frame whose tasks each hold rows of MANY
+    bucket values emits one file per (task × bucket) — at a
+    corpus-scaled layout that is tasks × thousands of small files per
+    commit, and both the write and every later whole-table read pay for
+    each one.  Range-partitioning on (bucket, sort) makes a task cover a
+    contiguous bucket range instead: total files ≈ max(parts, buckets),
+    and when parts > buckets the extra splits land INSIDE buckets as
+    disjoint ``sort_cols`` ranges, which is exactly the file-level
+    zone-map tier the serving reads prune on.  ``parts`` should scale
+    with the frame's SIZE (rows / target-file-rows), never with
+    cluster width alone."""
+    cols = [*bucket_cols, *sort_cols]
+    return df.repartitionByRange(max(1, int(parts)), *cols).sortWithinPartitions(*cols)
+
+
+def align_epoch_append(df, bucket_cols, sort_cols, parts: int):
+    """Append-side twin of :func:`align_bucketed_write` for the small
+    per-epoch frames streaming gates commit: HASH-repartition on the
+    bucket columns (no range-sampling pass over the frame), so every
+    bucket's batch rows land in exactly one task and the append stages
+    exactly one file per TOUCHED bucket — instead of one per
+    (task × bucket), which at a corpus-scaled layout multiplies every
+    epoch's file count by the task count.  Rows sort by ``sort_cols``
+    within the task so each staged file still carries usable footer
+    stats."""
+    return (
+        df.repartition(max(1, int(parts)), *bucket_cols)
+        .sortWithinPartitions(*bucket_cols, *sort_cols)
+    )
+
+
+def write_parts(n_rows: int, n_buckets: int, rows_per_file: int = 2_000_000) -> int:
+    """Task count for :func:`align_bucketed_write`: enough splits that
+    no file exceeds ≈ ``rows_per_file`` rows, floored at the bucket
+    count so every bucket can get its own task (and its own file) once
+    the corpus outgrows a single file per bucket."""
+    return max(int(n_buckets), -(-int(n_rows) // int(rows_per_file)))
+
+
 def pow2_buckets(n_rows: int, target_rows: int, lo: int = 16, hi: int = 4096) -> int:
     """Smallest power of two ≥ ``n_rows / target_rows``, clamped to
     [lo, hi].  ``lo`` pins the driver-fixture scales to the

@@ -328,10 +328,18 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         n_cells = cents.count()
         cellb = cell_layout(ann_root, n_cells=n_cells)
+        from ..io.layout import align_bucketed_write, write_parts
+
         replace_partitions(
-            _two_level_assign(nv, cents)
-            .select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
+            align_bucketed_write(
+                _two_level_assign(nv, cents)
+                .select("vec_id", "centroid_id", "qv", "nrm")
+                .withColumn(
+                    "cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)
+                ),
+                ["cell_bucket"], ["centroid_id", "vec_id"],
+                write_parts(n_cells * 125, cellb, rows_per_file=250_000),
+            ),
             ann_root, ["cell_bucket"], "bulk-load",
         )
 

@@ -161,10 +161,21 @@ def _build_ann_index(spark: SparkSession, nv: DataFrame, index_root: str):
     boot = nv.filter(F.pmod("vec_id", F.lit(10)) == 0)
     cents = _ivf_cents(boot).localCheckpoint(eager=False)
     if not os.path.isdir(os.path.join(index_root, "_manifests")):
+        from ..io.layout import align_bucketed_write, write_parts
+
         cellb = cell_layout(index_root, n_cells=cents.count())
         idx_rows = _two_level_assign(nv, cents).select(
             "vec_id", "centroid_id", "qv", "nrm"
         ).withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb))
+        # one file per cell bucket (± size splits), not one per
+        # (task × bucket) — vectors are wide rows, so cap files at
+        # ~250k rows each.  n ≈ K · 125 by the quantizer's construction
+        # (one centroid per ~125 vectors), so the estimate costs no
+        # extra corpus pass.
+        idx_rows = align_bucketed_write(
+            idx_rows, ["cell_bucket"], ["centroid_id", "vec_id"],
+            write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+        )
         replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
     return cents
 

@@ -99,6 +99,12 @@ _FORCE_RECHECK: tuple[str, ...] = (
     "bm25_rm3_expansion_served",
     "stream_bm25_index_ingest",
     "stream_curation_searchable",
+    # round 14: the served ANN pools now probe adaptively
+    # (similarity.served_nprobe; VERDICT r13 #2) — identical to the old
+    # literal at driver scales by construction, but the implementation
+    # changed post-green, so re-prove the two verdict-named gates.
+    "hybrid_served_recall_check",
+    "retrieval_rank_metrics_served",
 )
 
 # (The round-3/4 _CHECK_FIRST backlog queue is gone: every registered query

@@ -250,10 +250,8 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     import os
 
     from ..io.acid_table import replace_partitions
-    from ..io.layout import pow2_buckets
+    from ..io.layout import align_bucketed_write, pow2_buckets, write_parts
     from .core import bm25_index_batch_frames, bm25_table_layout
-
-    from ..operators._helpers import shuffle_parts
 
     roots = {
         nm: os.path.join(tmp, nm)
@@ -274,36 +272,58 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
         tok_buckets=want, fwd_buckets=want,
     )
     fr = bm25_index_batch_frames(docs, tokb, fwdb)
-    # Range-partition by token and sort within tasks before the write:
-    # each staged file then covers a NARROW token range, so the commit's
-    # parquet-footer zone maps (min/max tok per file) let a serve read
-    # skip every file holding none of its query terms — the file-level
-    # pruning tier under the bucket-level manifest pruning.
+    # Align the shuffle with the hive layout before the write
+    # (``align_bucketed_write``): range-partition on (tok_bucket, tok)
+    # so a task covers a contiguous bucket span — total files ≈
+    # max(parts, buckets) instead of parts × buckets — and splits
+    # beyond the bucket count land INSIDE buckets as disjoint token
+    # ranges, which is the per-file zone-map tier the serve reads prune
+    # on.  parts scales with the corpus (rows / target-file-rows), so
+    # file sizes hold steady across decades.
     # No cache on the sorted postings: the frame is consumed exactly
     # once by the write, and checkpointing ~Θ(corpus tokens) rows OOMed
     # the ov-sf100 build (measured) for zero reuse.
-    postings = (
-        fr["postings"]
-        .withColumn("epoch", F.lit(-1))
-        .repartitionByRange(shuffle_parts(fr["postings"]), "tok")
-        .sortWithinPartitions("tok")
+    parts = write_parts(int(stats["len_sum"]), tokb)
+    postings = align_bucketed_write(
+        fr["postings"].withColumn("epoch", F.lit(-1)),
+        ["tok_bucket"], ["tok"], parts,
     )
     replace_partitions(postings, roots["postings"], ["tok_bucket"], "bulk-load")
+    # Forward and tokstats DERIVE FROM THE JUST-WRITTEN POSTINGS TABLE,
+    # not from the logical frame: re-reading committed columnar rows is
+    # one cheap scan, while re-evaluating the frame would re-tokenize
+    # the whole corpus once per downstream write (range-partitioned
+    # writes evaluate their input twice — sample + shuffle — so the
+    # lineage route costs ~4 extra corpus tokenizations per build).
+    from ..io.acid_table import read_table
+
+    written = read_table(spark, roots["postings"]).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tok").cast("string").alias("tok"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("tok_bucket").cast("int").alias("tok_bucket"),
+    )
     replace_partitions(
-        fr["forward"].withColumn("epoch", F.lit(-1)),
+        align_bucketed_write(
+            written.select(
+                "doc_id", "tok", "tf",
+                F.pmod("doc_id", F.lit(int(fwdb))).alias("doc_bucket"),
+            ).withColumn("epoch", F.lit(-1)),
+            ["doc_bucket"], ["doc_id"],
+            write_parts(int(stats["len_sum"]), fwdb),
+        ),
         roots["forward"], ["doc_bucket"], "bulk-load",
     )
     # token-stats sidecar (round 13): per-token document frequency as a
     # standing table, Θ(vocab) rows — the long-query two-stage serve
     # ranks the query's terms by df WITHOUT touching any postings
     # bucket.  Token-range-sorted for the same file-level zone maps.
-    tokstats = (
-        fr["postings"]
+    tokstats = align_bucketed_write(
+        written
         .groupBy("tok", "tok_bucket")
         .agg(F.count("*").alias("df"))
-        .withColumn("epoch", F.lit(-1))
-        .repartitionByRange(4, "tok")
-        .sortWithinPartitions("tok")
+        .withColumn("epoch", F.lit(-1)),
+        ["tok_bucket"], ["tok"], tokb,
     )
     replace_partitions(tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load")
     ledger = spark.createDataFrame(

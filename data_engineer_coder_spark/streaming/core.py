@@ -1236,19 +1236,28 @@ def write_stream_curation_gate(
 
         # 3b. searchable-corpus appends (same txid — see docstring)
         if search_roots is not None:
+            from ..io.layout import align_epoch_append
+            from ..operators._helpers import shuffle_parts
             from ..operators.retrieval_served import _cell_bucket
             from ..operators.similarity import _two_level_assign
 
             fr = bm25_index_batch_frames(
                 accepted.select("doc_id", "text"), s_tokb, s_fwdb
             )
+            sp = shuffle_parts(spark)
             if n_accepted:
                 append_partitions(
-                    fr["postings"].withColumn("epoch", F.lit(int(epoch_id))),
+                    align_epoch_append(
+                        fr["postings"].withColumn("epoch", F.lit(int(epoch_id))),
+                        ["tok_bucket"], ["tok"], sp,
+                    ),
                     search_roots["postings"], ["tok_bucket"], txid,
                 )
                 append_partitions(
-                    fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                    align_epoch_append(
+                        fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                        ["doc_bucket"], ["doc_id"], sp,
+                    ),
                     search_roots["forward"], ["doc_bucket"], txid,
                 )
             cents_v = version_before_txid(search_roots["cents"], txid)
@@ -1276,7 +1285,10 @@ def write_stream_curation_gate(
                 .localCheckpoint()
             )
             if ann.count():
-                append_partitions(ann, search_roots["ann"], ["cell_bucket"], txid)
+                append_partitions(
+                    align_epoch_append(ann, ["cell_bucket"], ["vec_id"], sp),
+                    search_roots["ann"], ["cell_bucket"], txid,
+                )
             # BM25 stats LAST among the searchable appends (ADVICE r13):
             # the ledger commit is the epoch's serving-pin anchor
             # (latest_consistent_version), so it must be the final table
@@ -1453,7 +1465,15 @@ def write_stream_ann_index_gate(
                 F.lit(0),
             ).alias("csum"),
         ).collect()[0]
-        append_partitions(enc, index_root, ["cell_bucket"], txid)
+        from ..io.layout import align_epoch_append
+        from ..operators._helpers import shuffle_parts
+
+        append_partitions(
+            align_epoch_append(
+                enc, ["cell_bucket"], ["vec_id"], shuffle_parts(spark)
+            ),
+            index_root, ["cell_bucket"], txid,
+        )
         ledger = spark.createDataFrame(
             [
                 (
@@ -1626,6 +1646,9 @@ def write_stream_bm25_index_gate(
     )
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
+        from ..io.layout import align_epoch_append
+        from ..operators._helpers import shuffle_parts
+
         spark = df.sparkSession
         txid = f"epoch-{epoch_id}"
         fr = bm25_index_batch_frames(df, tokb, fwdb)
@@ -1641,11 +1664,21 @@ def write_stream_bm25_index_gate(
             F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
         ).collect()[0]
+        # Bucket-align every append (align_epoch_append): one staged
+        # file per TOUCHED bucket per epoch, not one per (task ×
+        # bucket) — the difference between Θ(buckets) and
+        # Θ(tasks · buckets) small files per epoch at corpus-scaled
+        # layouts.
+        sp = shuffle_parts(spark)
         append_partitions(
-            postings, postings_root, ["tok_bucket"], txid
+            align_epoch_append(postings, ["tok_bucket"], ["tok"], sp),
+            postings_root, ["tok_bucket"], txid
         )
         append_partitions(
-            fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+            align_epoch_append(
+                fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                ["doc_bucket"], ["doc_id"], sp,
+            ),
             forward_root, ["doc_bucket"], txid
         )
         if tokstats_root is not None:
@@ -1653,9 +1686,12 @@ def write_stream_bm25_index_gate(
             # docs): serving sums them, so a replayed epoch can't
             # double-count — the ledger rule applied to the vocab table
             append_partitions(
-                postings.groupBy("tok", "tok_bucket")
-                .agg(F.count("*").alias("df"))
-                .withColumn("epoch", F.lit(int(epoch_id))),
+                align_epoch_append(
+                    postings.groupBy("tok", "tok_bucket")
+                    .agg(F.count("*").alias("df"))
+                    .withColumn("epoch", F.lit(int(epoch_id))),
+                    ["tok_bucket"], ["tok"], sp,
+                ),
                 tokstats_root, ["tok_bucket"], txid,
             )
         ledger = spark.createDataFrame(

@@ -99,13 +99,24 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
     tokb, fwdb = bm25_table_layout(
         roots["postings"], roots["forward"], tok_buckets=want, fwd_buckets=want
     )
+    from data_engineer_coder_spark.io.layout import (
+        align_bucketed_write,
+        write_parts,
+    )
+
     fr = bm25_index_batch_frames(train, tokb, fwdb)
     replace_partitions(
-        fr["postings"].withColumn("epoch", F.lit(-1)),
+        align_bucketed_write(
+            fr["postings"].withColumn("epoch", F.lit(-1)),
+            ["tok_bucket"], ["tok"], write_parts(int(lstat["l"]), tokb),
+        ),
         roots["postings"], ["tok_bucket"], "bulk-load",
     )
     replace_partitions(
-        fr["forward"].withColumn("epoch", F.lit(-1)),
+        align_bucketed_write(
+            fr["forward"].withColumn("epoch", F.lit(-1)),
+            ["doc_bucket"], ["doc_id"], write_parts(int(lstat["l"]), fwdb),
+        ),
         roots["forward"], ["doc_bucket"], "bulk-load",
     )
     st = fr["dl"].agg(
@@ -132,9 +143,14 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
 
     cellb = cell_layout(roots["ann"], n_cells=cents.count())
     replace_partitions(
-        _two_level_assign(emb, cents).select("vec_id", "centroid_id", "qv", "nrm")
-        .withColumn("epoch", F.lit(-1))
-        .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
+        align_bucketed_write(
+            _two_level_assign(emb, cents)
+            .select("vec_id", "centroid_id", "qv", "nrm")
+            .withColumn("epoch", F.lit(-1))
+            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
+            ["cell_bucket"], ["centroid_id", "vec_id"],
+            write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+        ),
         roots["ann"], ["cell_bucket"], "bulk-load",
     )
     return roots

@@ -169,11 +169,21 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
         )
         from data_engineer_coder_spark.operators.retrieval_served import cell_layout
 
+        from data_engineer_coder_spark.io.layout import (
+            align_bucketed_write,
+            write_parts,
+        )
+
         cents = _ivf_cents(nv.filter(F.pmod("vec_id", F.lit(10)) == 0)).localCheckpoint()
         cellb = cell_layout(ann_root, n_cells=cents.count())
         replace_partitions(
-            _two_level_assign(nv, cents).select("vec_id", "centroid_id", "qv", "nrm")
-            .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
+            align_bucketed_write(
+                _two_level_assign(nv, cents)
+                .select("vec_id", "centroid_id", "qv", "nrm")
+                .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
+                ["cell_bucket"], ["centroid_id", "vec_id"],
+                write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+            ),
             ann_root, ["cell_bucket"], "bulk-load",
         )
         qt = _probe_qt(spark, sf_dir).localCheckpoint()

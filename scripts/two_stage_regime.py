@@ -42,6 +42,12 @@ from data_engineer_coder_spark.streaming.bm25_ingest import (  # noqa: E402
 
 
 def _scenario(spark, sf_dir: str, passes: int) -> dict:
+    from data_engineer_coder_spark.streaming.bm25_ingest import (
+        _DISPATCH_CUTOFF,
+        _ledger_snapshot,
+        _query_dfreq,
+    )
+
     tmp = tempfile.mkdtemp(prefix="ts_regime_")
     try:
         n_docs = table(spark, sf_dir, "documents").count()
@@ -50,6 +56,17 @@ def _scenario(spark, sf_dir: str, passes: int) -> dict:
         t_build = time.time() - t0
         qt = _probe_qt(spark, sf_dir).localCheckpoint()
         n_terms = qt.count()
+        # the dispatcher's signal: per-probe matched-postings load
+        # (Σ term df off the stage-0 tokstats read) vs the cutoff
+        toks = sorted(r["tok"] for r in qt.select("tok").distinct().collect())
+        _, _, led_txids = _ledger_snapshot(spark, roots)
+        dfreq = _query_dfreq(spark, roots, toks, led_txids)
+        loads = sorted(
+            int(r["sdf"])
+            for r in qt.join(dfreq, "tok").groupBy("pid")
+            .agg(F.sum("df").alias("sdf")).collect()
+        )
+        n_two_stage = sum(1 for s in loads if s > _DISPATCH_CUTOFF)
 
         t_exact = float("inf")
         exact5 = None
@@ -81,6 +98,9 @@ def _scenario(spark, sf_dir: str, passes: int) -> dict:
         return {
             "n_docs": int(n_docs),
             "n_query_term_rows": int(n_terms),
+            "probe_load_min": loads[0],
+            "probe_load_max": loads[-1],
+            "dispatch_two_stage": f"{n_two_stage}/{len(loads)}",
             "t_build": t_build,
             "t_exact_serve": t_exact,
             "t_two_stage_serve": t_two,
