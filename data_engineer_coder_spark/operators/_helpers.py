@@ -149,3 +149,23 @@ def md5_bucket(col: Column | str) -> Column:
 def sql_md5_bucket(expr: str) -> str:
     """DuckDB twin of :func:`md5_bucket`."""
     return f"('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 2))::INT"
+
+
+def md5_bucket16(col: Column | str) -> Column:
+    """0-65535 bucket from the first FOUR hex chars of md5(CAST(x AS
+    string)) — the PHYSICAL-LAYOUT hash for corpus-scaled bucketed
+    tables (BM25 token buckets, ANN cell buckets).
+
+    :func:`md5_bucket`'s 8 bits are part of the sampling/split gates'
+    contract (fractions of 256) but cap any hash layout at 256 distinct
+    buckets — at the ov-sf100 4096-bucket layout the upper 3840 dirs
+    stayed empty and every real bucket held 16x its target (measured,
+    BASELINE.md eleventh campaign).  16 bits cover the 4096-bucket
+    clamp with headroom.  SQL twin: :func:`sql_md5_bucket16`.
+    """
+    return F.conv(F.substring(F.md5(_c(col).cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def sql_md5_bucket16(expr: str) -> str:
+    """DuckDB twin of :func:`md5_bucket16`."""
+    return f"('0x' || substring(md5(CAST(({expr}) AS VARCHAR)), 1, 4))::INT"

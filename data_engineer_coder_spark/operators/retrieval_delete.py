@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..io.tables import table
 from ..registry import register
-from ._helpers import md5_bucket
+from ._helpers import md5_bucket16
 from .retrieval_served import _cell_bucket
 from .similarity import (
     _SERVED_NPROBE,
@@ -122,7 +122,7 @@ def propagate_retrieval_delete(
     tok_buckets = {
         str(r["b"])
         for r in dfwd.select(
-            F.pmod(md5_bucket(F.col("tok").cast("string")), F.lit(tokb)).alias("b")
+            F.pmod(md5_bucket16(F.col("tok").cast("string")), F.lit(tokb)).alias("b")
         ).distinct().collect()
     }
     dstat = dfwd.agg(
@@ -163,7 +163,7 @@ def propagate_retrieval_delete(
         deltas = (
             dfwd.groupBy(F.col("tok").cast("string").alias("tok"))
             .agg((-F.countDistinct("doc_id")).cast("long").alias("df"))
-            .withColumn("tok_bucket", F.pmod(md5_bucket("tok"), F.lit(tokb)))
+            .withColumn("tok_bucket", F.pmod(md5_bucket16("tok"), F.lit(tokb)))
             .withColumn("epoch", F.lit(-2))
         )
         append_partitions(deltas, ts_root, ["tok_bucket"], txid)

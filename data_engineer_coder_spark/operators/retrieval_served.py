@@ -100,9 +100,9 @@ def _cell_bucket(col, n_buckets: int = _CELL_BUCKETS):
     split it and the manifest prune silently reads the wrong dirs.
     ``n_buckets`` must be the TABLE's persisted count (``cell_layout``)
     for any standing-table use."""
-    from ._helpers import md5_bucket
+    from ._helpers import md5_bucket16
 
-    return F.pmod(md5_bucket(col), F.lit(int(n_buckets)))
+    return F.pmod(md5_bucket16(col), F.lit(int(n_buckets)))
 
 
 def _sql_cos(a: str, b: str, na: str, nb: str) -> str:

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io.tables import table
-from ..operators._helpers import md5_bucket, sql_md5_bucket
+from ..operators._helpers import md5_bucket16, sql_md5_bucket16
 from ..registry import register
 
 # The ORACLE-REPLAYABLE layout: every driver fixture (sf ≤ 0.1) resolves
@@ -61,16 +61,18 @@ _TOKENS_PER_BUCKET = 65_536
 
 
 def _sql_tok_bucket(tok: str = "tok") -> str:
-    return f"CAST(({sql_md5_bucket(tok)}) % {_TOK_BUCKETS} AS INT)"
+    return f"CAST(({sql_md5_bucket16(tok)}) % {_TOK_BUCKETS} AS INT)"
 
 
 def _py_tok_bucket(tok: str, n_buckets: int) -> int:
-    """Driver-side twin of ``_helpers.md5_bucket % n_buckets`` (first
-    two md5 hex chars) — the one place the serve paths hash a token on
-    the driver to build a partition_filter's allowed-bucket set."""
+    """Driver-side twin of ``_helpers.md5_bucket16 % n_buckets`` (first
+    FOUR md5 hex chars — 16 bits, so corpus-scaled layouts up to the
+    4096-bucket clamp actually populate every bucket) — the one place
+    the serve paths hash a token on the driver to build a
+    partition_filter's allowed-bucket set."""
     import hashlib
 
-    return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % int(n_buckets)
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % int(n_buckets)
 
 
 def _tok_layout(postings_root: str) -> int:
@@ -100,7 +102,7 @@ SELECT CAST(doc_id % 3 AS INT) AS epoch,
        COUNT(*) AS n_postings,
        CAST(SUM(tf) AS BIGINT) AS tf_sum,
        CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_toks,
-       CAST(SUM(({sql_md5_bucket('tok')}) * tf) AS BIGINT) AS tokh_sum
+       CAST(SUM(({sql_md5_bucket16('tok')}) * tf) AS BIGINT) AS tokh_sum
 FROM tok
 GROUP BY 1, 2
 """
@@ -191,7 +193,7 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_postings"),
                 F.sum("tf").alias("tf_sum"),
                 F.countDistinct("tok").alias("n_toks"),
-                F.sum(md5_bucket("tok").cast("bigint") * F.col("tf")).alias(
+                F.sum(md5_bucket16("tok").cast("bigint") * F.col("tf")).alias(
                     "tokh_sum"
                 ),
             )

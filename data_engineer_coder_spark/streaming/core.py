@@ -1553,12 +1553,12 @@ def bm25_index_batch_frames(
     derive from one tokenize+group pass over the batch.
 
     The token bucket is the engine-independent md5 bucket
-    (``_helpers.md5_bucket % tok_buckets``) so the DuckDB oracles can
+    (``_helpers.md5_bucket16 % tok_buckets``) so the DuckDB oracles can
     replay the physical layout, not just the logical rows.  Callers
     writing to a STANDING table must pass the table's persisted counts
     (``bm25_table_layout``), never the module defaults.
     """
-    from ..operators._helpers import md5_bucket
+    from ..operators._helpers import md5_bucket16
 
     d = df.select("doc_id", F.split("text", " ").alias("ws"))
     dl = d.select("doc_id", F.size("ws").alias("len"))
@@ -1568,7 +1568,7 @@ def bm25_index_batch_frames(
         .agg(F.count("*").alias("tf"))
     )
     postings = tok.join(dl, "doc_id").withColumn(
-        "tok_bucket", F.pmod(md5_bucket("tok"), F.lit(int(tok_buckets)))
+        "tok_bucket", F.pmod(md5_bucket16("tok"), F.lit(int(tok_buckets)))
     )
     forward = tok.withColumn(
         "doc_bucket", F.pmod("doc_id", F.lit(int(fwd_buckets)))

@@ -166,7 +166,7 @@ def _curation_oracle() -> str:
 
 
 def _searchable_oracle() -> str:
-    from ..operators._helpers import sql_md5_bucket
+    from ..operators._helpers import sql_md5_bucket16
     from ..operators.similarity import (
         _SQL_NORM,
         _SQL_QVEC,
@@ -175,7 +175,7 @@ def _searchable_oracle() -> str:
         _sql_two_level,
     )
 
-    tokb = f"CAST(({sql_md5_bucket('tok')}) % 16 AS BIGINT)"
+    tokb = f"CAST(({sql_md5_bucket16('tok')}) % 16 AS BIGINT)"
     return f"""{_curation_ctes()},
 acc AS MATERIALIZED (
   SELECT doc_id, 0 AS epoch FROM a0
@@ -190,7 +190,7 @@ atok AS MATERIALIZED (
 ),
 postrows AS (
   SELECT epoch, {tokb} AS k, COUNT(*) AS v1,
-         CAST(SUM(({sql_md5_bucket('tok')}) * tf) AS BIGINT) AS v2
+         CAST(SUM(({sql_md5_bucket16('tok')}) * tf) AS BIGINT) AS v2
   FROM atok GROUP BY 1, 2
 ),
 fwdrows AS (
@@ -396,7 +396,7 @@ def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..io.acid_table import current_manifest, read_table, replace_partitions
-    from ..operators._helpers import md5_bucket
+    from ..operators._helpers import md5_bucket16
     from ..operators.similarity import _dot, _ivf_cents, _qvec
     from ..operators.textops import _DECON_MOD, _DECON_N, _bm25_scores, ngram_array
     from .bm25_ingest import _served_scores
@@ -573,7 +573,7 @@ def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count("*").alias("v1"),
                 F.sum(
-                    md5_bucket(F.col("tok").cast("string")).cast("bigint")
+                    md5_bucket16(F.col("tok").cast("string")).cast("bigint")
                     * F.col("tf").cast("long")
                 ).alias("v2"),
             )
@@ -803,7 +803,7 @@ def retrieval_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
         replace_partitions,
     )
-    from ..operators._helpers import md5_bucket
+    from ..operators._helpers import md5_bucket16
     from ..operators.retrieval_delete import propagate_retrieval_delete
     from ..operators.retrieval_served import _cell_bucket, cell_layout
     from ..operators.similarity import (
@@ -984,7 +984,7 @@ def retrieval_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in docs.filter(F.col("doc_id").isin(del_ids))
             .select(F.explode(F.split("text", " ")).alias("tok"))
             .distinct()
-            .select(F.pmod(md5_bucket("tok"), F.lit(tokb)).alias("b"))
+            .select(F.pmod(md5_bucket16("tok"), F.lit(tokb)).alias("b"))
             .distinct()
             .collect()
         }

@@ -77,7 +77,7 @@ def test_bm25_gate_matches_batch_and_replay_noop(spark, tmp_path):
     }
     assert {k: (int(r["tf"]), int(r["len"])) for k, r in post.items()} == want
     for (doc, tok), r in post.items():
-        b = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % 16
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 16
         assert int(r["tok_bucket"]) == b, tok
         assert int(r["epoch"]) == (0 if doc < 20 else 1)
     fwd = {
@@ -433,7 +433,7 @@ def test_read_pruned_postings_skips_files_by_token_range(spark, tmp_path):
     import hashlib
 
     def bucket(t: str) -> int:
-        return int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 16
+        return int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 16
 
     # 200 tokens that ALL hash to one md5 bucket, so partition pruning
     # can't help — only the zone maps can skip; 4 range-partitioned files
