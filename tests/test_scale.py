@@ -240,14 +240,20 @@ def test_exact_pair_budget_guard_trips(spark, sf_dir):
     it is ground truth for the recall gates, never the production path."""
     import pytest
     from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from data_engineer_coder_spark.config import config_overrides
     from data_engineer_coder_spark.operators import dedup
 
     # the guard reads the LIVE config (r8: the old module constant was
     # the pre-config default and is gone — overriding it did nothing)
+    # Spark 4 converts the executor-side USER_RAISED_EXCEPTION to
+    # SparkRuntimeException on collect; older paths surfaced the raw
+    # Py4JJavaError — the guard tripping is the contract, not the class.
     with config_overrides(exact_pair_budget=1):
-        with pytest.raises(Py4JJavaError, match="candidate budget exceeded"):
+        with pytest.raises(
+            (Py4JJavaError, SparkRuntimeException), match="candidate budget exceeded"
+        ):
             dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
 
 
