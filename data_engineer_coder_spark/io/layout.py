@@ -84,7 +84,8 @@ def read_table_config(root: str) -> dict:
         return json.load(f)
 
 
-def align_bucketed_write(df, bucket_cols, sort_cols, parts: int):
+def align_bucketed_write(df, bucket_cols, sort_cols, parts: int,
+                         n_buckets: int | None = None):
     """Co-locate each hive-partition value into as few tasks as possible
     before a ``partitionBy(bucket_cols)`` write.
 
@@ -92,15 +93,37 @@ def align_bucketed_write(df, bucket_cols, sort_cols, parts: int):
     bucket values emits one file per (task × bucket) — at a
     corpus-scaled layout that is tasks × thousands of small files per
     commit, and both the write and every later whole-table read pay for
-    each one.  Range-partitioning on (bucket, sort) makes a task cover a
-    contiguous bucket range instead: total files ≈ max(parts, buckets),
-    and when parts > buckets the extra splits land INSIDE buckets as
-    disjoint ``sort_cols`` ranges, which is exactly the file-level
-    zone-map tier the serving reads prune on.  ``parts`` should scale
-    with the frame's SIZE (rows / target-file-rows), never with
-    cluster width alone."""
+    each one.  Two alignment strategies, picked by the parts/buckets
+    ratio:
+
+    - ``parts <= n_buckets`` (one file per bucket suffices): HASH
+      repartition on the bucket columns.  Every bucket's rows land in
+      exactly one task, the write stages exactly one file per bucket,
+      and ``sortWithinPartitions`` makes that file's footer cover the
+      bucket's full ``sort_cols`` range — the same files a range
+      partition would produce, for ONE evaluation of the input instead
+      of two (``repartitionByRange`` first evaluates the whole frame
+      again just to sample range boundaries; for the postings bulk
+      build that sampling pass is a second full corpus tokenization —
+      guide §2.4: remove shuffles/passes outright).  Because the
+      bucket count scales with the corpus (``pow2_buckets``) while
+      ``write_parts`` floors at it, this is the taken path at every
+      measured decade (sf0.001 → ov-sf100).
+    - ``parts > n_buckets`` (buckets outgrow the target file size —
+      past the ``pow2_buckets`` hi clamp): range-partition on
+      (bucket, sort) so the extra splits land INSIDE buckets as
+      disjoint ``sort_cols`` ranges, which is exactly the file-level
+      zone-map tier the serving reads prune on.
+
+    ``parts`` should scale with the frame's SIZE (rows /
+    target-file-rows), never with cluster width alone.  Callers that
+    do not know the bucket count keep the (always-correct) range
+    path."""
     cols = [*bucket_cols, *sort_cols]
-    return df.repartitionByRange(max(1, int(parts)), *cols).sortWithinPartitions(*cols)
+    parts = max(1, int(parts))
+    if n_buckets is not None and parts <= int(n_buckets):
+        return df.repartition(parts, *bucket_cols).sortWithinPartitions(*cols)
+    return df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
 
 
 def align_epoch_append(df, bucket_cols, sort_cols, parts: int):

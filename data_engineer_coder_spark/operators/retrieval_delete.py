@@ -339,6 +339,7 @@ def retrieval_index_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ["cell_bucket"], ["centroid_id", "vec_id"],
                 write_parts(n_cells * 125, cellb, rows_per_file=250_000),
+                n_buckets=cellb,
             ),
             ann_root, ["cell_bucket"], "bulk-load",
         )

@@ -175,6 +175,7 @@ def _build_ann_index(spark: SparkSession, nv: DataFrame, index_root: str):
         idx_rows = align_bucketed_write(
             idx_rows, ["cell_bucket"], ["centroid_id", "vec_id"],
             write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+            n_buckets=cellb,
         )
         replace_partitions(idx_rows, index_root, ["cell_bucket"], "bulk-load")
     return cents

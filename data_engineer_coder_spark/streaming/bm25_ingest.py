@@ -288,7 +288,7 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     parts = write_parts(int(stats["len_sum"]), tokb)
     postings = align_bucketed_write(
         fr["postings"].withColumn("epoch", F.lit(-1)),
-        ["tok_bucket"], ["tok"], parts,
+        ["tok_bucket"], ["tok"], parts, n_buckets=tokb,
     )
     replace_partitions(postings, roots["postings"], ["tok_bucket"], "bulk-load")
     # Forward and tokstats DERIVE FROM THE JUST-WRITTEN POSTINGS TABLE,
@@ -312,7 +312,7 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
                 F.pmod("doc_id", F.lit(int(fwdb))).alias("doc_bucket"),
             ).withColumn("epoch", F.lit(-1)),
             ["doc_bucket"], ["doc_id"],
-            write_parts(int(stats["len_sum"]), fwdb),
+            write_parts(int(stats["len_sum"]), fwdb), n_buckets=fwdb,
         ),
         roots["forward"], ["doc_bucket"], "bulk-load",
     )
@@ -325,7 +325,7 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
         .groupBy("tok", "tok_bucket")
         .agg(F.count("*").alias("df"))
         .withColumn("epoch", F.lit(-1)),
-        ["tok_bucket"], ["tok"], tokb,
+        ["tok_bucket"], ["tok"], tokb, n_buckets=tokb,
     )
     replace_partitions(tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load")
     ledger = spark.createDataFrame(
@@ -447,17 +447,21 @@ def _served_scores(
 
     n_docs, avglen, led_txids = _ledger_snapshot(spark, roots)
     pin = latest_consistent_version(roots["postings"], led_txids)
-    qtoks = q.select("tok").distinct().localCheckpoint()
-    toks = sorted(r["tok"] for r in qtoks.collect())
-    idx = read_pruned_postings(
+    # One driver round-trip for the query's term set (a serving query is
+    # tens of terms, KBs of strings) — it feeds BOTH the pruned read's
+    # driver-side bucket/zone-map filters and the pushed isin predicate,
+    # so a separate qtoks frame (its checkpoint job + a broadcast join
+    # that re-filtered rows the isin already restricted) added two jobs
+    # and an exchange for nothing (guide §2.4).
+    toks = sorted(r["tok"] for r in q.select("tok").distinct().collect())
+    post_q = read_pruned_postings(
         spark, roots["postings"], toks, version=pin
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("tok").cast("string").alias("tok"),
         F.col("tf").cast("long").alias("tf"),
         F.col("len").cast("long").alias("len"),
-    )
-    post_q = idx.join(F.broadcast(qtoks), "tok").localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
     dfreq = post_q.groupBy("tok").agg(F.count("*").alias("df"))
     # N/avglen from the ledger snapshot collected above (tiny — one row
     # per epoch); Python long/long division and Spark's double division

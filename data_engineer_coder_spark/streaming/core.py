@@ -1246,16 +1246,27 @@ def write_stream_curation_gate(
             )
             sp = shuffle_parts(spark)
             if n_accepted:
+                # Tokenize the accepted batch ONCE per epoch: checkpoint
+                # the postings rows (Θ(batch tokens), batch-bounded) and
+                # derive the forward rows from them instead of
+                # re-evaluating the tokenize+group lineage per table
+                # (guide §1.2).
+                postings = fr["postings"].withColumn(
+                    "epoch", F.lit(int(epoch_id))
+                ).localCheckpoint()
                 append_partitions(
-                    align_epoch_append(
-                        fr["postings"].withColumn("epoch", F.lit(int(epoch_id))),
-                        ["tok_bucket"], ["tok"], sp,
-                    ),
+                    align_epoch_append(postings, ["tok_bucket"], ["tok"], sp),
                     search_roots["postings"], ["tok_bucket"], txid,
                 )
                 append_partitions(
                     align_epoch_append(
-                        fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                        postings.select(
+                            "doc_id", "tok", "tf",
+                            F.pmod(
+                                "doc_id", F.lit(int(s_fwdb))
+                            ).alias("doc_bucket"),
+                            "epoch",
+                        ),
                         ["doc_bucket"], ["doc_id"], sp,
                     ),
                     search_roots["forward"], ["doc_bucket"], txid,
@@ -1676,7 +1687,15 @@ def write_stream_bm25_index_gate(
         )
         append_partitions(
             align_epoch_append(
-                fr["forward"].withColumn("epoch", F.lit(int(epoch_id))),
+                # the forward rows ARE the postings rows re-bucketed by
+                # doc — derive them from the CHECKPOINTED postings so the
+                # batch is tokenized once per epoch, not once per table
+                # (guide §1.2: don't compute things twice)
+                postings.select(
+                    "doc_id", "tok", "tf",
+                    F.pmod("doc_id", F.lit(int(fwdb))).alias("doc_bucket"),
+                    "epoch",
+                ),
                 ["doc_bucket"], ["doc_id"], sp,
             ),
             forward_root, ["doc_bucket"], txid

@@ -109,6 +109,7 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
         align_bucketed_write(
             fr["postings"].withColumn("epoch", F.lit(-1)),
             ["tok_bucket"], ["tok"], write_parts(int(lstat["l"]), tokb),
+            n_buckets=tokb,
         ),
         roots["postings"], ["tok_bucket"], "bulk-load",
     )
@@ -116,6 +117,7 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
         align_bucketed_write(
             fr["forward"].withColumn("epoch", F.lit(-1)),
             ["doc_bucket"], ["doc_id"], write_parts(int(lstat["l"]), fwdb),
+            n_buckets=fwdb,
         ),
         roots["forward"], ["doc_bucket"], "bulk-load",
     )
@@ -150,6 +152,7 @@ def _seed(spark, sf_dir: str, tmp: str) -> dict:
             .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
             ["cell_bucket"], ["centroid_id", "vec_id"],
             write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+                n_buckets=cellb,
         ),
         roots["ann"], ["cell_bucket"], "bulk-load",
     )

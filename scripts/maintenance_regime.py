@@ -183,6 +183,7 @@ def _delete_scenario(spark, sf_dir, passes) -> dict:
                 .withColumn("cell_bucket", _cell_bucket(F.col("centroid_id"), cellb)),
                 ["cell_bucket"], ["centroid_id", "vec_id"],
                 write_parts(cents.count() * 125, cellb, rows_per_file=250_000),
+                n_buckets=cellb,
             ),
             ann_root, ["cell_bucket"], "bulk-load",
         )
