@@ -440,10 +440,16 @@ def _neardup_screen(
         # sorted list for the per-file bisect).  The bound is ENFORCED:
         # past ``prune_key_cap`` keys the probe falls back to the
         # unpruned scan — decisions identical, only more files read.
-        keys_df = bands.select("band_key").distinct()
+        # ONE bounded job instead of count-then-collect: limit(cap+1)
+        # returns every key when the batch is under the cap and cap+1
+        # rows (→ unpruned fallback, the identical decision) when it is
+        # not — driver memory stays bounded either way (guide §2.4).
+        key_rows = (
+            bands.select("band_key").distinct().limit(prune_key_cap + 1).collect()
+        )
         hit = None
-        if keys_df.count() <= prune_key_cap:
-            batch_keys = sorted(r["band_key"] for r in keys_df.collect())
+        if len(key_rows) <= prune_key_cap:
+            batch_keys = sorted(r["band_key"] for r in key_rows)
             hit = band_range_hits(batch_keys)("band_key")
         try:
             idx_bands = read_table(
@@ -465,15 +471,17 @@ def _neardup_screen(
                 # below for the id set AND the verify join
                 .localCheckpoint()
             )
-            cand_df = cand_i.select("idx_id").distinct()
-            n_cand = cand_df.count()
-            if n_cand:
+            cand_rows = (
+                cand_i.select("idx_id").distinct().limit(prune_key_cap + 1).collect()
+            )
+            if cand_rows:
                 # second pruned read: only sig files whose doc_id
                 # footer range contains a candidate id are opened —
-                # same enforced cap + unpruned fallback as above
+                # same enforced cap + unpruned fallback as above,
+                # fused into one bounded job like the key probe
                 idf = None
-                if n_cand <= prune_key_cap:
-                    cand_ids = sorted(r["idx_id"] for r in cand_df.collect())
+                if len(cand_rows) <= prune_key_cap:
+                    cand_ids = sorted(r["idx_id"] for r in cand_rows)
                     idf = band_range_hits(cand_ids)("doc_id")
                 index_sig = read_table(
                     spark, sig_root, version=sig_v, stats_filter=idf

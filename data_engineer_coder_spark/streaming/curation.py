@@ -450,8 +450,8 @@ def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
             k: roots[k] for k in ("postings", "forward", "bm25_stats", "cents", "ann")
         }
 
-        def _run_stream(src_tmp: str):
-            sdf = _ordered_epoch_stream(spark, train, src_tmp)
+        def _run_stream(src_tmp: str, copy_from: str | None = None):
+            sdf = _ordered_epoch_stream(spark, train, src_tmp, copy_from=copy_from)
             key = "spark.sql.shuffle.partitions"
             prev = spark.conf.get(key)
             spark.conf.set(key, "8")
@@ -547,7 +547,11 @@ def stream_curation_searchable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in names + ("bands",)
             if n != "quarantine" or current_manifest(roots[n])["partitions"]
         }
-        _run_stream(os.path.join(tmp, "replay"))
+        # replay reuses the first run's epoch files byte-for-byte (the
+        # split is deterministic) — re-deriving them re-ran the 3
+        # filter+coalesce jobs over the docs⋈embeddings train frame for
+        # identical rows (guide §1.2: don't recompute what you have)
+        _run_stream(os.path.join(tmp, "replay"), copy_from=tmp)
         after = {n: current_manifest(roots[n])["version"] for n in vers}
         if after != vers:
             raise RuntimeError(

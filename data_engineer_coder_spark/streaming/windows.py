@@ -585,11 +585,16 @@ def _await_gate(q) -> None:
         )
 
 
-def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3, key: str = "doc_id"):
+def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3, key: str = "doc_id",
+                          copy_from: str | None = None):
     """Deterministic epoch split (``{key} % n_epochs``) of ``df`` as a
     file-source stream under ``tmp``: one file per epoch, arrival order
     forced BOTH ways the file source may sort pending files (name asc,
-    mtime asc), one micro-batch per file."""
+    mtime asc), one micro-batch per file.  ``copy_from`` names another
+    tmp whose ``src`` files were ALREADY derived from the same ``df``
+    with the same split — a replay run copies those bytes instead of
+    re-running the n_epochs filter+coalesce jobs (the split is
+    deterministic, so the rows are identical by construction)."""
     import os
     import shutil
     import time as _time
@@ -598,15 +603,20 @@ def _ordered_epoch_stream(spark, df, tmp, n_epochs: int = 3, key: str = "doc_id"
     os.makedirs(src_dir)
     now = _time.time()
     for e in range(n_epochs):
-        part_dir = os.path.join(tmp, f"part{e}")
-        df.filter(F.pmod(key, F.lit(n_epochs)) == e).coalesce(1).write.parquet(part_dir)
-        src_file = next(
-            os.path.join(part_dir, f)
-            for f in os.listdir(part_dir)
-            if f.endswith(".parquet")
-        )
         dst = os.path.join(src_dir, f"e{e}.parquet")
-        shutil.move(src_file, dst)
+        if copy_from is not None:
+            shutil.copy(os.path.join(copy_from, "src", f"e{e}.parquet"), dst)
+        else:
+            part_dir = os.path.join(tmp, f"part{e}")
+            df.filter(
+                F.pmod(key, F.lit(n_epochs)) == e
+            ).coalesce(1).write.parquet(part_dir)
+            src_file = next(
+                os.path.join(part_dir, f)
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            )
+            shutil.move(src_file, dst)
         os.utime(dst, (now + 30 * e, now + 30 * e))
     schema = spark.read.parquet(src_dir).schema
     return (
