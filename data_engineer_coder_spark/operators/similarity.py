@@ -1578,7 +1578,19 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
 def _pca_matrix_and_v2(spark: SparkSession, sf_dir: str):
     """(quantized 4096-cell moment matrix, un-normalized second power
     iterate) — shared by the principal-direction op and the round-7
-    anisotropy score."""
+    anisotropy score.
+
+    The moment matrix is a Gram matrix: Σ_rows qv·qvᵀ.  Exploding the
+    per-row 64×64 outer product shipped Θ(n·d²) struct rows into the
+    hash aggregate (8.2M rows at sf0.1, ~5 s — the dominant cost of
+    both PCA queries); instead each task folds its rows into ONE d×d
+    int64 partial with a vectorized matmul (``mapInArrow``, guide §4.2)
+    and emits d² rows, so the aggregate sees Θ(tasks·d²) rows no matter
+    the corpus size.  Integer addition is associative/commutative, so
+    the summed cells are bit-identical to the exploded plan and the
+    DuckDB oracle.  |qv| ≤ ~1e4·|x| and the int64 partials wrap exactly
+    like Spark bigint, far from overflow at any corpus the moment grid
+    supports (the _PCA_SCALE comment below)."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select(
         F.transform(
@@ -1586,25 +1598,34 @@ def _pca_matrix_and_v2(spark: SparkSession, sf_dir: str):
             lambda x: F.floor(x * _PCA_SCALE + F.lit(0.5)).cast("bigint"),
         ).alias("qv")
     )
-    idx = F.sequence(F.lit(1), F.lit(_DIMS))
-    outer = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                idx,
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (
-                        F.element_at(F.col("qv"), i) * F.element_at(F.col("qv"), j)
-                    ).alias("p"),
-                ),
-            ),
-        )
-    )
+
+    def _gram(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dims = _DIMS
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for b in batches:
+            col = b.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.int64, copy=False).reshape(-1, dims)
+            acc += m.T @ m
+            seen = True
+        if seen:
+            i = np.repeat(np.arange(1, dims + 1, dtype=np.int32), dims)
+            j = np.tile(np.arange(1, dims + 1, dtype=np.int32), dims)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i, pa.int32()),
+                    pa.array(j, pa.int32()),
+                    pa.array(acc.reshape(-1), pa.int64()),
+                ],
+                names=["i", "j", "p"],
+            )
+
     cells = (
-        q.select(F.explode(outer).alias("c"))
-        .select("c.i", "c.j", "c.p")
+        q.mapInArrow(_gram, "i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("c"))
     )

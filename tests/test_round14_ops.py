@@ -217,3 +217,71 @@ def test_delete_propagation_uses_table_layout_and_corrects_tokstats(
     n, avglen, txids = _ledger_snapshot(spark, roots)
     assert n == 2 and "maint-del" in txids
     assert avglen == (9 - 3) / 2
+
+
+def test_pca_gram_partials_match_exploded_outer_product(spark):
+    """r14 optimization: the PCA moment matrix is computed by per-task
+    numpy Gram partials (mapInArrow) instead of exploding Θ(n·d²) outer-
+    product rows — the summed int64 cells must equal the exploded plan
+    exactly (integer addition is order-free, so any partitioning gives
+    the same cells)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_coder_spark.operators import similarity as sim
+
+    rows = [([float(i % 7) / 7.0 - 0.4 + 0.01 * d for d in range(sim._DIMS)],)
+            for i in range(37)]
+    df = spark.createDataFrame(rows, "embedding array<double>").repartition(5)
+    q = df.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * sim._PCA_SCALE + F.lit(0.5)).cast("bigint"),
+        ).alias("qv")
+    )
+    idx = F.sequence(F.lit(1), F.lit(sim._DIMS))
+    outer = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                idx,
+                lambda j: F.struct(
+                    i.alias("i"), j.alias("j"),
+                    (F.element_at(F.col("qv"), i)
+                     * F.element_at(F.col("qv"), j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    want = {
+        (int(r["i"]), int(r["j"])): int(r["c"])
+        for r in q.select(F.explode(outer).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j").agg(F.sum("p").alias("c")).collect()
+    }
+
+    def _gram(batches):
+        import numpy as np
+        import pyarrow as pa
+        dims = sim._DIMS
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        seen = False
+        for b in batches:
+            flat = b.column(0).flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.int64, copy=False).reshape(-1, dims)
+            acc += m.T @ m
+            seen = True
+        if seen:
+            i = np.repeat(np.arange(1, dims + 1, dtype=np.int32), dims)
+            j = np.tile(np.arange(1, dims + 1, dtype=np.int32), dims)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(i, pa.int32()), pa.array(j, pa.int32()),
+                 pa.array(acc.reshape(-1), pa.int64())],
+                names=["i", "j", "p"],
+            )
+
+    got = {
+        (int(r["i"]), int(r["j"])): int(r["c"])
+        for r in q.mapInArrow(_gram, "i int, j int, p long")
+        .groupBy("i", "j").agg(F.sum("p").alias("c")).collect()
+    }
+    assert got == want and len(got) == sim._DIMS * sim._DIMS
