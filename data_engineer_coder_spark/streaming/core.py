@@ -1228,10 +1228,12 @@ def write_stream_curation_gate(
         quarantined = survivors.join(contam_ids, "doc_id", "left_semi")
         accepted = survivors.join(contam_ids, "doc_id", "left_anti").localCheckpoint()
         n_accepted = accepted.count()
-        arrived = batch.agg(
+        arrived_agg = batch.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ids"),
-        ).collect()[0]
+        )
+        if search_roots is None:
+            arrived = arrived_agg.collect()[0]
 
         # 3. commits — every table under the SAME epoch txid
         append_partitions(accepted, docs_root, ["epoch"], txid)
@@ -1253,6 +1255,28 @@ def write_stream_curation_gate(
                 accepted.select("doc_id", "text"), s_tokb, s_fwdb
             )
             sp = shuffle_parts(spark)
+            # ONE stats job for the epoch's two single-row aggregates
+            # (arrival checksum + accepted doc-length sum) instead of
+            # two driver round-trips — each epoch job pays the full
+            # fixed scheduling/commit overhead (guide §1.2).
+            srows = {
+                r["k"]: r
+                for r in arrived_agg.select(
+                    F.lit("arr").alias("k"), "n", F.col("ids").alias("v")
+                )
+                .unionByName(
+                    fr["dl"]
+                    .agg(F.coalesce(F.sum("len"), F.lit(0)).alias("v"))
+                    .select(
+                        F.lit("dl").alias("k"),
+                        F.lit(0).cast("long").alias("n"),
+                        "v",
+                    )
+                )
+                .collect()
+            }
+            arrived = {"n": srows["arr"]["n"], "ids": srows["arr"]["v"]}
+            acc_lens = int(srows["dl"]["v"])
             if n_accepted:
                 # Tokenize the accepted batch ONCE per epoch: checkpoint
                 # the postings rows (Θ(batch tokens), batch-bounded) and
@@ -1314,12 +1338,9 @@ def write_stream_curation_gate(
             # commit of the epoch — a crash before it leaves every
             # standing table pinned to the previous epoch, never a
             # ledger that includes docs the ANN index lacks.
-            lstat = fr["dl"].agg(
-                F.coalesce(F.sum("len"), F.lit(0)).alias("lens")
-            ).collect()[0]
             append_partitions(
                 spark.createDataFrame(
-                    [(int(epoch_id), int(n_accepted), int(lstat["lens"]))],
+                    [(int(epoch_id), int(n_accepted), acc_lens)],
                     "epoch int, n_docs long, len_sum long",
                 ),
                 search_roots["bm25_stats"], ["epoch"], txid,
@@ -1674,15 +1695,41 @@ def write_stream_bm25_index_gate(
         postings = fr["postings"].withColumn(
             "epoch", F.lit(int(epoch_id))
         ).localCheckpoint()
-        stats = postings.agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.coalesce(F.sum("tf"), F.lit(0)).alias("tf_sum"),
-            F.count("*").alias("n_postings"),
-        ).collect()[0]
-        dstat = fr["dl"].agg(
-            F.coalesce(F.sum("len"), F.lit(0)).alias("len_sum"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"),
-        ).collect()[0]
+        # ONE ledger-stats job per epoch: the postings rollup and the
+        # doc-length rollup are both single-row aggregates, so they ride
+        # one unioned collect instead of two driver round-trips (each
+        # epoch job carries the full fixed scheduling/commit overhead —
+        # guide §1.2).
+        stat_rows = {
+            r["k"]: r
+            for r in postings.agg(
+                F.countDistinct("doc_id").alias("a"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("b"),
+                F.count("*").alias("c"),
+            )
+            .select(F.lit("post").alias("k"), "a", "b", "c")
+            .unionByName(
+                fr["dl"]
+                .agg(
+                    F.coalesce(F.sum("len"), F.lit(0)).alias("a"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("b"),
+                )
+                .select(
+                    F.lit("dl").alias("k"), "a", "b",
+                    F.lit(0).cast("long").alias("c"),
+                )
+            )
+            .collect()
+        }
+        stats = {
+            "n_docs": stat_rows["post"]["a"],
+            "tf_sum": stat_rows["post"]["b"],
+            "n_postings": stat_rows["post"]["c"],
+        }
+        dstat = {
+            "len_sum": stat_rows["dl"]["a"],
+            "id_sum": stat_rows["dl"]["b"],
+        }
         # Bucket-align every append (align_epoch_append): one staged
         # file per TOUCHED bucket per epoch, not one per (task ×
         # bucket) — the difference between Θ(buckets) and
