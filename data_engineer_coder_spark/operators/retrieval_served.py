@@ -464,8 +464,13 @@ def _rrf_served_fused(
             )
             .select("pid", "id", "vr")
         )
-        # LEXICAL LEG: the standing postings, token-bucket-pruned
-        post_roots = _build_standing_index(spark, sf_dir, os.path.join(tmp, "lex"))
+        # LEXICAL LEG: the standing postings, token-bucket-pruned.
+        # Only the postings table is served from here (the overlap leg
+        # reads no forward index, tokstats, or ledger), so only it is
+        # built (guide §1.2).
+        post_roots = _build_standing_index(
+            spark, sf_dir, os.path.join(tmp, "lex"), tables=("postings",)
+        )
         ptok = (
             probes.select(
                 F.col("probe_id").alias("pid"), F.explode("pws").alias("tok")
@@ -817,7 +822,6 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         post_root = os.path.join(tmp, "chunk_postings")
         from ..io.layout import table_config
         from ..streaming.core import _BM25_TOK_BUCKETS
-        from ._helpers import shuffle_parts
 
         tokb = int(
             table_config(post_root, {"tok_buckets": _BM25_TOK_BUCKETS})[
@@ -830,12 +834,18 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             tok_buckets=tokb,
         )
-        # token-range-sorted files → per-file zone maps prune the serve
-        # read (the _build_standing_index layout convention)
+        # bucket-aligned, token-sorted files → per-file zone maps prune
+        # the serve read (the _build_standing_index layout convention).
+        # The previous range-partition on tok alone staged one file per
+        # (task × bucket) — md5 buckets are uncorrelated with token
+        # ranges, so every task wrote into every bucket — and evaluated
+        # the chunk tokenize twice (range boundary sampling).
+        from ..io.layout import align_bucketed_write
+
         replace_partitions(
-            fr["postings"]
-            .repartitionByRange(shuffle_parts(fr["postings"]), "tok")
-            .sortWithinPartitions("tok"),
+            align_bucketed_write(
+                fr["postings"], ["tok_bucket"], ["tok"], tokb, n_buckets=tokb
+            ),
             post_root,
             ["tok_bucket"],
             "bulk-load",

@@ -587,10 +587,15 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boot = emb.filter(is_boot)
     strm = emb.filter(~is_boot).localCheckpoint(eager=False)
 
-    def train_row(src):
-        return _cb_row_from_entries(
-            _pq_train_entries(src, _pq_seed_row(src))
-        ).localCheckpoint(eager=False)
+    def train_entries(src):
+        # one Lloyd round, materialized ONCE: the audit references the
+        # bootstrap entries three times (encoder row, codebook table
+        # write, pre-swap checksum) and each un-checkpointed reference
+        # would re-run the seed top-K + train shuffle (guide §1.2)
+        return _pq_train_entries(src, _pq_seed_row(src)).localCheckpoint()
+
+    def train_row(entries):
+        return _cb_row_from_entries(entries).localCheckpoint(eager=False)
 
     def encode(src, cb_row):
         return src.crossJoin(F.broadcast(cb_row)).select(
@@ -620,17 +625,15 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         return int(r["n"]), int(r["cs"])
 
-    cb_old = train_row(boot)  # the ingest-era bootstrap codebook
+    cb_old_entries = train_entries(boot)  # the ingest-era bootstrap codebook
+    cb_old = train_row(cb_old_entries)
     tmp = tempfile.mkdtemp(prefix="annswap_")
     try:
         index_root = os.path.join(tmp, "index")
         cb_root = os.path.join(tmp, "codebook")
         enc_old = encode(strm, cb_old).localCheckpoint()
         replace_partitions(enc_old, index_root, ["b"], "bulk-load")
-        replace_partitions(
-            _pq_train_entries(boot, _pq_seed_row(boot)), cb_root, ["s"],
-            "bulk-load",
-        )
+        replace_partitions(cb_old_entries, cb_root, ["s"], "bulk-load")
         v_old = current_manifest(index_root)["version"]
 
         # THE MAINTENANCE PATH (staged per bucket, VERDICT r11 #3):
@@ -651,8 +654,8 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared txid); a serving stack that must close even that
         # window pins reads to ``version_before_txid`` like the ingest
         # gate does.
-        cb_new_entries = _pq_train_entries(strm, _pq_seed_row(strm)).localCheckpoint()
-        cb_new = _cb_row_from_entries(cb_new_entries).localCheckpoint(eager=False)
+        cb_new_entries = train_entries(strm)
+        cb_new = train_row(cb_new_entries)
         enc_new = encode(strm, cb_new).localCheckpoint()
         staging_root = os.path.join(tmp, "index_restage")
         _staged_reencode(enc_new, staging_root, n_buckets=8)
@@ -708,9 +711,7 @@ def ann_index_retrain_swap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if cb_cks(cb_tbl(None)) != cb_cks(cb_new_entries):
             raise RuntimeError("codebook head drifted from the retrained entries")
-        if cb_cks(cb_tbl(1)) != cb_cks(
-            _pq_train_entries(boot, _pq_seed_row(boot))
-        ):
+        if cb_cks(cb_tbl(1)) != cb_cks(cb_old_entries):
             raise RuntimeError("pre-swap codebook version drifted")
 
         # per-subspace exact quantization error, old vs new — FROM THE

@@ -244,11 +244,20 @@ def stream_bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
+def _build_standing_index(
+    spark: SparkSession, sf_dir: str, tmp: str,
+    tables: tuple[str, ...] = ("postings", "forward", "stats", "tokstats"),
+) -> dict:
     """Batch twin of the gate's per-epoch work: the full documents table
     committed as the standing postings + forward + ledger artifacts
     under one txid (the serving queries' setup; the stream path is
-    proven separately by ``stream_bm25_index_ingest``)."""
+    proven separately by ``stream_bm25_index_ingest``).
+
+    ``tables`` names the artifacts to actually build — callers that
+    serve from a subset (the hybrid lexical leg reads ONLY the
+    postings) skip the other tables' shuffle+write passes
+    (guide §1.2: don't compute things you throw away).  Postings are
+    always built."""
     import os
 
     from ..io.acid_table import replace_partitions
@@ -299,40 +308,46 @@ def _build_standing_index(spark: SparkSession, sf_dir: str, tmp: str) -> dict:
     # lineage route costs ~4 extra corpus tokenizations per build).
     from ..io.acid_table import read_table
 
-    written = read_table(spark, roots["postings"]).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("tok").cast("string").alias("tok"),
-        F.col("tf").cast("long").alias("tf"),
-        F.col("tok_bucket").cast("int").alias("tok_bucket"),
-    )
-    replace_partitions(
-        align_bucketed_write(
-            written.select(
-                "doc_id", "tok", "tf",
-                F.pmod("doc_id", F.lit(int(fwdb))).alias("doc_bucket"),
-            ).withColumn("epoch", F.lit(-1)),
-            ["doc_bucket"], ["doc_id"],
-            write_parts(int(stats["len_sum"]), fwdb), n_buckets=fwdb,
-        ),
-        roots["forward"], ["doc_bucket"], "bulk-load",
-    )
+    if "forward" in tables or "tokstats" in tables:
+        written = read_table(spark, roots["postings"]).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("tok").cast("string").alias("tok"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("tok_bucket").cast("int").alias("tok_bucket"),
+        )
+    if "forward" in tables:
+        replace_partitions(
+            align_bucketed_write(
+                written.select(
+                    "doc_id", "tok", "tf",
+                    F.pmod("doc_id", F.lit(int(fwdb))).alias("doc_bucket"),
+                ).withColumn("epoch", F.lit(-1)),
+                ["doc_bucket"], ["doc_id"],
+                write_parts(int(stats["len_sum"]), fwdb), n_buckets=fwdb,
+            ),
+            roots["forward"], ["doc_bucket"], "bulk-load",
+        )
     # token-stats sidecar (round 13): per-token document frequency as a
     # standing table, Θ(vocab) rows — the long-query two-stage serve
     # ranks the query's terms by df WITHOUT touching any postings
     # bucket.  Token-range-sorted for the same file-level zone maps.
-    tokstats = align_bucketed_write(
-        written
-        .groupBy("tok", "tok_bucket")
-        .agg(F.count("*").alias("df"))
-        .withColumn("epoch", F.lit(-1)),
-        ["tok_bucket"], ["tok"], tokb, n_buckets=tokb,
-    )
-    replace_partitions(tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load")
-    ledger = spark.createDataFrame(
-        [(-1, int(stats["n_docs"]), int(stats["len_sum"]))],
-        "epoch int, n_docs long, len_sum long",
-    )
-    replace_partitions(ledger, roots["stats"], ["epoch"], "bulk-load")
+    if "tokstats" in tables:
+        tokstats = align_bucketed_write(
+            written
+            .groupBy("tok", "tok_bucket")
+            .agg(F.count("*").alias("df"))
+            .withColumn("epoch", F.lit(-1)),
+            ["tok_bucket"], ["tok"], tokb, n_buckets=tokb,
+        )
+        replace_partitions(
+            tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load"
+        )
+    if "stats" in tables:
+        ledger = spark.createDataFrame(
+            [(-1, int(stats["n_docs"]), int(stats["len_sum"]))],
+            "epoch int, n_docs long, len_sum long",
+        )
+        replace_partitions(ledger, roots["stats"], ["epoch"], "bulk-load")
     return roots
 
 
