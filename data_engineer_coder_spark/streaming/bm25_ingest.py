@@ -260,7 +260,7 @@ def _build_standing_index(
     always built."""
     import os
 
-    from ..io.acid_table import replace_partitions
+    from ..io.acid_table import replace_partitions, replace_rows
     from ..io.layout import align_bucketed_write, pow2_buckets, write_parts
     from .core import bm25_index_batch_frames, bm25_table_layout
 
@@ -343,11 +343,13 @@ def _build_standing_index(
             tokstats, roots["tokstats"], ["tok_bucket"], "bulk-load"
         )
     if "stats" in tables:
-        ledger = spark.createDataFrame(
+        # one-row ledger: driver-side commit, no Spark job (guide §1.2)
+        replace_rows(
+            spark,
             [(-1, int(stats["n_docs"]), int(stats["len_sum"]))],
             "epoch int, n_docs long, len_sum long",
+            roots["stats"], ["epoch"], "bulk-load",
         )
-        replace_partitions(ledger, roots["stats"], ["epoch"], "bulk-load")
     return roots
 
 

@@ -740,6 +740,7 @@ def write_stream_neardup_gate(
 
     from ..io.acid_table import (
         append_partitions,
+        append_rows,
         compact_partitions,
         manifest_at,
         read_table,
@@ -838,14 +839,33 @@ def write_stream_neardup_gate(
             spark, sig, sig_root, bands_root, sig_v, bands_v,
             min_agree, prune_key_cap,
         )
-        n_rej_index = rej_index.count() if rej_index is not None else 0
-        n_rej_batch = rej_batch.count()
         rejected = rej_batch if rej_index is None else rej_index.unionByName(rej_batch)
         accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint()
-        arrived = batch.agg(
-            F.count("*").alias("n"), F.sum("doc_id").alias("ids")
-        ).collect()[0]
-        n_accepted = accepted.count()
+        # ONE stats job for the epoch's four single-row aggregates (the
+        # reject counts, accepted count, arrival checksum) — every input
+        # but the batch is a materialized localCheckpoint, so fusing them
+        # into one unioned collect pays the per-job fixed scheduling
+        # overhead once instead of four times (guide §1.2).
+
+        def _cnt(df_, k):
+            return df_.agg(F.count("*").alias("n")).select(
+                F.lit(k).alias("k"), "n", F.lit(0).cast("long").alias("v")
+            )
+
+        stat = batch.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ids"),
+        ).select(F.lit("arr").alias("k"), "n", F.col("ids").alias("v"))
+        stat = stat.unionByName(_cnt(rej_batch, "rb")).unionByName(
+            _cnt(accepted, "acc")
+        )
+        if rej_index is not None:
+            stat = stat.unionByName(_cnt(rej_index, "ri"))
+        srows = {r["k"]: r for r in stat.collect()}
+        n_rej_index = int(srows["ri"]["n"]) if rej_index is not None else 0
+        n_rej_batch = int(srows["rb"]["n"])
+        n_accepted = int(srows["acc"]["n"])
+        arrived = {"n": int(srows["arr"]["n"]), "ids": int(srows["arr"]["v"])}
 
         append_partitions(accepted, docs_root, ["epoch"], txid)
         acc_sig = accepted.select("doc_id", "epoch").join(sig, "doc_id")
@@ -854,15 +874,20 @@ def write_stream_neardup_gate(
         )
         # arrived_id_sum: a content checksum of WHICH docs this epoch
         # saw — lets auditors (and the registry oracle) pin batch
-        # membership, not just cardinality
-        stats = spark.createDataFrame(
-            [(int(epoch_id), arrived["n"], int(arrived["ids"] or 0),
-              n_capped, n_rej_index, n_rej_batch, n_accepted)],
+        # membership, not just cardinality.  The one-row ledger commits
+        # DRIVER-SIDE (append_rows): same manifest/txid protocol, no
+        # Spark job for a row whose values are already collected
+        # (guide §1.2 — the per-epoch job count is the audit-tier floor).
+        append_rows(
+            spark,
+            [(int(epoch_id), int(arrived["n"]), int(arrived["ids"] or 0),
+              int(n_capped), int(n_rej_index), int(n_rej_batch),
+              int(n_accepted))],
             "epoch int, n_arrived long, arrived_id_sum long, "
             "n_capped_shingles long, n_rejected_index long, "
             "n_rejected_batch long, n_accepted long",
+            stats_root, ["epoch"], txid,
         )
-        append_partitions(stats, stats_root, ["epoch"], txid)
 
         if df_cap is not None and df_mode == "cms":
             # fold this epoch's per-shingle arrived-doc counts into the
@@ -1031,7 +1056,7 @@ def write_stream_decontam_gate(
     """
     from pyspark.sql import functions as F
 
-    from ..io.acid_table import append_partitions, read_table
+    from ..io.acid_table import append_partitions, append_rows, read_table
     from ..operators.textops import _DECON_N, ngram_array
 
     def _commit_batch(df: DataFrame, epoch_id: int) -> None:
@@ -1055,15 +1080,32 @@ def write_stream_decontam_gate(
         )
         accepted = batch.join(contam_ids, "doc_id", "left_anti")
         quarantined = batch.join(contam_ids, "doc_id", "left_semi")
-        agg = batch.agg(
-            F.count("*").alias("n_arrived"),
-            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("arrived_id_sum"),
-        ).collect()[0]
-        n_contam = contam_ids.count()
+        # ONE stats job for the epoch's two single-row aggregates
+        # (arrival checksum + contaminated count) — guide §1.2.
+        srows = {
+            r["k"]: r
+            for r in batch.agg(
+                F.count("*").alias("n_arrived"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).alias("arrived_id_sum"),
+            )
+            .select(F.lit("arr").alias("k"), "n_arrived", "arrived_id_sum")
+            .unionByName(
+                contam_ids.agg(F.count("*").alias("n_arrived")).select(
+                    F.lit("q").alias("k"),
+                    "n_arrived",
+                    F.lit(0).cast("long").alias("arrived_id_sum"),
+                )
+            )
+            .collect()
+        }
+        agg = srows["arr"]
+        n_contam = int(srows["q"]["n_arrived"])
         append_partitions(accepted, docs_root, ["epoch"], txid)
         if quarantine_root is not None and n_contam:
             append_partitions(quarantined, quarantine_root, ["epoch"], txid)
-        ledger = spark.createDataFrame(
+        # one-row ledger: driver-side commit, no Spark job (guide §1.2)
+        append_rows(
+            spark,
             [(
                 int(epoch_id),
                 int(agg["n_arrived"]),
@@ -1073,8 +1115,8 @@ def write_stream_decontam_gate(
             )],
             "epoch int, n_arrived long, arrived_id_sum long, "
             "n_contaminated long, n_accepted long",
+            stats_root, ["epoch"], txid,
         )
-        append_partitions(ledger, stats_root, ["epoch"], txid)
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
@@ -1164,7 +1206,12 @@ def write_stream_curation_gate(
     """
     from pyspark.sql import functions as F
 
-    from ..io.acid_table import append_partitions, read_table, version_before_txid
+    from ..io.acid_table import (
+        append_partitions,
+        append_rows,
+        read_table,
+        version_before_txid,
+    )
     from ..operators.dedup import minhash_from_hashes, shingle_hashes
     from ..operators.textops import _DECON_N, ngram_array
 
@@ -1204,8 +1251,6 @@ def write_stream_curation_gate(
             spark, sig, sig_root, bands_root, sig_v, bands_v,
             min_agree, prune_key_cap,
         )
-        n_rej_index = rej_index.count() if rej_index is not None else 0
-        n_rej_batch = rej_batch.count()
         rejected = (
             rej_batch if rej_index is None
             else rej_index.unionByName(rej_batch)
@@ -1224,16 +1269,50 @@ def write_stream_curation_gate(
             .distinct()
             .localCheckpoint()
         )
-        n_quarantined = contam_ids.count()
         quarantined = survivors.join(contam_ids, "doc_id", "left_semi")
         accepted = survivors.join(contam_ids, "doc_id", "left_anti").localCheckpoint()
-        n_accepted = accepted.count()
-        arrived_agg = batch.agg(
+        if search_roots is not None:
+            fr = bm25_index_batch_frames(
+                accepted.select("doc_id", "text"), s_tokb, s_fwdb
+            )
+        # ONE stats job for ALL the epoch's single-row aggregates — the
+        # four verdict counts, the arrival checksum, and (searchable)
+        # the accepted doc-length sum ride one unioned collect instead
+        # of five-six driver round-trips; every input but the batch is a
+        # materialized localCheckpoint, so the fused job's compute is
+        # the same, only the per-job fixed scheduling/commit overhead is
+        # paid once (guide §1.2).
+
+        def _cnt(df_, k):
+            return df_.agg(F.count("*").alias("n")).select(
+                F.lit(k).alias("k"), "n", F.lit(0).cast("long").alias("v")
+            )
+
+        stat = batch.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ids"),
+        ).select(F.lit("arr").alias("k"), "n", F.col("ids").alias("v"))
+        stat = (
+            stat.unionByName(_cnt(rej_batch, "rb"))
+            .unionByName(_cnt(contam_ids, "q"))
+            .unionByName(_cnt(accepted, "acc"))
         )
-        if search_roots is None:
-            arrived = arrived_agg.collect()[0]
+        if rej_index is not None:
+            stat = stat.unionByName(_cnt(rej_index, "ri"))
+        if search_roots is not None:
+            stat = stat.unionByName(
+                fr["dl"]
+                .agg(F.coalesce(F.sum("len"), F.lit(0)).alias("v"))
+                .select(
+                    F.lit("dl").alias("k"), F.lit(0).cast("long").alias("n"), "v"
+                )
+            )
+        srows = {r["k"]: r for r in stat.collect()}
+        n_rej_index = int(srows["ri"]["n"]) if rej_index is not None else 0
+        n_rej_batch = int(srows["rb"]["n"])
+        n_quarantined = int(srows["q"]["n"])
+        n_accepted = int(srows["acc"]["n"])
+        arrived = {"n": int(srows["arr"]["n"]), "ids": int(srows["arr"]["v"])}
 
         # 3. commits — every table under the SAME epoch txid
         append_partitions(accepted, docs_root, ["epoch"], txid)
@@ -1251,31 +1330,7 @@ def write_stream_curation_gate(
             from ..operators.retrieval_served import _cell_bucket
             from ..operators.similarity import _two_level_assign
 
-            fr = bm25_index_batch_frames(
-                accepted.select("doc_id", "text"), s_tokb, s_fwdb
-            )
             sp = shuffle_parts(spark)
-            # ONE stats job for the epoch's two single-row aggregates
-            # (arrival checksum + accepted doc-length sum) instead of
-            # two driver round-trips — each epoch job pays the full
-            # fixed scheduling/commit overhead (guide §1.2).
-            srows = {
-                r["k"]: r
-                for r in arrived_agg.select(
-                    F.lit("arr").alias("k"), "n", F.col("ids").alias("v")
-                )
-                .unionByName(
-                    fr["dl"]
-                    .agg(F.coalesce(F.sum("len"), F.lit(0)).alias("v"))
-                    .select(
-                        F.lit("dl").alias("k"),
-                        F.lit(0).cast("long").alias("n"),
-                        "v",
-                    )
-                )
-                .collect()
-            }
-            arrived = {"n": srows["arr"]["n"], "ids": srows["arr"]["v"]}
             acc_lens = int(srows["dl"]["v"])
             if n_accepted:
                 # Tokenize the accepted batch ONCE per epoch: checkpoint
@@ -1337,12 +1392,12 @@ def write_stream_curation_gate(
             # (latest_consistent_version), so it must be the final table
             # commit of the epoch — a crash before it leaves every
             # standing table pinned to the previous epoch, never a
-            # ledger that includes docs the ANN index lacks.
-            append_partitions(
-                spark.createDataFrame(
-                    [(int(epoch_id), int(n_accepted), acc_lens)],
-                    "epoch int, n_docs long, len_sum long",
-                ),
+            # ledger that includes docs the ANN index lacks.  One-row
+            # frame: driver-side commit, no Spark job (guide §1.2).
+            append_rows(
+                spark,
+                [(int(epoch_id), int(n_accepted), int(acc_lens))],
+                "epoch int, n_docs long, len_sum long",
                 search_roots["bm25_stats"], ["epoch"], txid,
             )
 
@@ -1365,15 +1420,17 @@ def write_stream_curation_gate(
             ["epoch"],
             txid,
         )
-        ledger = spark.createDataFrame(
+        # one-row epoch ledger: driver-side commit, no Spark job
+        append_rows(
+            spark,
             [(int(epoch_id), int(arrived["n"]), int(arrived["ids"]),
               int(n_rej_index), int(n_rej_batch), int(n_quarantined),
               int(n_accepted))],
             "epoch int, n_arrived long, arrived_id_sum long, "
             "n_rejected_index long, n_rejected_batch long, "
             "n_quarantined long, n_accepted long",
+            stats_root, ["epoch"], txid,
         )
-        append_partitions(ledger, stats_root, ["epoch"], txid)
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
@@ -1432,7 +1489,12 @@ def write_stream_ann_index_gate(
     maintenance path — ``compact_partitions``, proven in
     ``stream_neardup_index_compaction_audit``).
     """
-    from ..io.acid_table import append_partitions, read_table, version_before_txid
+    from ..io.acid_table import (
+        append_partitions,
+        append_rows,
+        read_table,
+        version_before_txid,
+    )
     from ..operators.similarity import (
         _PQ_SUBS,
         _cb_row_from_entries,
@@ -1514,7 +1576,9 @@ def write_stream_ann_index_gate(
             ),
             index_root, ["cell_bucket"], txid,
         )
-        ledger = spark.createDataFrame(
+        # one-row epoch ledger: driver-side commit, no Spark job
+        append_rows(
+            spark,
             [
                 (
                     int(epoch_id),
@@ -1526,8 +1590,8 @@ def write_stream_ann_index_gate(
             ],
             "epoch int, n_arrived long, arrived_id_sum long, "
             "n_cells_touched long, code_checksum long",
+            stats_root, ["epoch"], txid,
         )
-        append_partitions(ledger, stats_root, ["epoch"], txid)
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"
@@ -1675,7 +1739,7 @@ def write_stream_bm25_index_gate(
     time from the ledger + the probed buckets, so a served score is
     always consistent with the index AS OF the read version.
     """
-    from ..io.acid_table import append_partitions
+    from ..io.acid_table import append_partitions, append_rows
 
     # Layout resolution happens ONCE, at gate construction: the table's
     # persisted record wins over the passed values, so a restarted gate
@@ -1768,7 +1832,9 @@ def write_stream_bm25_index_gate(
                 ),
                 tokstats_root, ["tok_bucket"], txid,
             )
-        ledger = spark.createDataFrame(
+        # one-row epoch ledger: driver-side commit, no Spark job
+        append_rows(
+            spark,
             [
                 (
                     int(epoch_id),
@@ -1781,8 +1847,8 @@ def write_stream_bm25_index_gate(
             ],
             "epoch int, n_docs long, len_sum long, doc_id_sum long, "
             "n_postings long, tf_sum long",
+            stats_root, ["epoch"], txid,
         )
-        append_partitions(ledger, stats_root, ["epoch"], txid)
 
     return write_foreach_batch(
         sdf, _commit_batch, checkpoint=checkpoint, output_mode="append"

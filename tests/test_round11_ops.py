@@ -572,22 +572,22 @@ def test_ann_index_gate_crash_mid_epoch_converges(spark, tmp_path, monkeypatch):
         )
         q.awaitTermination(300)
 
-    real = at.append_partitions
-    calls = {"n": 0}
+    # the one-row ledger commits through the driver-side append_rows
+    # fast path (round 15); the index append stays a Spark write — so
+    # the torn-epoch seam is: let the index append land, kill the
+    # ledger's append_rows commit
+    real_rows = at.append_rows
 
-    def flaky(df, root, cols, txid, *a, **k):
-        calls["n"] += 1
-        if calls["n"] == 2:  # index is durable, the ledger commit dies
-            raise RuntimeError("injected crash mid-epoch")
-        return real(df, root, cols, txid, *a, **k)
+    def flaky_rows(spark_, rows, schema, root, cols, txid, *a, **k):
+        raise RuntimeError("injected crash mid-epoch")
 
-    monkeypatch.setattr(at, "append_partitions", flaky)
+    monkeypatch.setattr(at, "append_rows", flaky_rows)
     try:
         _run()
         raise AssertionError("injected crash did not surface")
     except Exception as e:
         assert "injected crash" in str(e)
-    monkeypatch.setattr(at, "append_partitions", real)
+    monkeypatch.setattr(at, "append_rows", real_rows)
 
     assert read_table(spark, roots["index"]).count() == 20  # durable
     try:
